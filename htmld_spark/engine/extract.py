@@ -1,0 +1,281 @@
+"""Serialization & text extraction — engine milestone M4
+(SURVEY.md §2.A.5 X1–X6).
+
+X1 inner_text: document-order concatenation of descendant Text/CDATA bytes —
+    no whitespace normalization (parity with the reference's ``node.text``
+    [recalled], pinned by tests/test_extract.py).
+X2/X3 inner_html/outer_html: markup reconstruction with HTML escaping of
+    text (``& < >``) and attribute values (``& "``), quoting semantics of the
+    reference's writeHTMLEscaped/requiresQuotes (src/html/utils.d [recalled]):
+    attribute values are always double-quoted; valueless attributes are
+    emitted bare; original tag case is preserved.
+X5 element_spans: per element node, byte offsets into the raw html
+    (raw_start/raw_end) and into the full-document innerText
+    (text_start/text_end) — mandated by BASELINE.json "per-node span offsets".
+X6 main_text: deterministic main-content extraction (NOT in the reference —
+    mandated by BASELINE.json "main-content text ... DOM heuristics,
+    boilerplate strip"). Rule stack MAIN_TEXT_RULES_VERSION below; it defines
+    the golden ``text`` column of the pages fixture, so any change here is a
+    breaking fixture change.
+"""
+
+from __future__ import annotations
+
+import re
+
+from htmld_spark.engine.dom import (
+    CDATA,
+    COMMENT,
+    DECL,
+    DOCTYPE,
+    ELEM,
+    NULL,
+    PI,
+    TEXT,
+    VOID_ELEMENTS,
+    Document,
+)
+from htmld_spark.engine.selector import compile_selector, query_select
+
+MAIN_TEXT_RULES_VERSION = "mcx-1"
+
+# --- X1: innerText ------------------------------------------------------------
+
+
+def inner_text(doc: Document, nid: int = 0) -> bytes:
+    """Raw concatenation of all descendant Text/CDATA content, document order.
+    Script/style content IS included (they are ordinary Text nodes in
+    raw-text mode) — use main_text for boilerplate-stripped output."""
+    kind, content = doc.kind, doc.content
+    pieces = [
+        content[d] for d in doc.descendants(nid) if kind[d] == TEXT or kind[d] == CDATA
+    ]
+    return b"".join(pieces)
+
+
+# --- X2/X3: innerHTML / outerHTML ------------------------------------------------
+
+
+def _escape_text(b: bytes) -> bytes:
+    if b"&" in b:
+        b = b.replace(b"&", b"&amp;")
+    if b"<" in b:
+        b = b.replace(b"<", b"&lt;")
+    if b">" in b:
+        b = b.replace(b">", b"&gt;")
+    return b
+
+
+def _escape_attr(b: bytes) -> bytes:
+    if b"&" in b:
+        b = b.replace(b"&", b"&amp;")
+    if b'"' in b:
+        b = b.replace(b'"', b"&quot;")
+    return b
+
+
+_NO_ESCAPE_CONTENT = frozenset((b"script", b"style", b"xmp"))
+
+
+def _serialize(doc: Document, nid: int, out: list[bytes]) -> None:
+    # iterative pre-order with explicit close events (deep docs: no recursion)
+    stack: list[tuple[int, bool]] = [(nid, False)]
+    kind, tag, tag_raw, attrs, content = (
+        doc.kind,
+        doc.tag,
+        doc.tag_raw,
+        doc.attrs,
+        doc.content,
+    )
+    while stack:
+        cur, closing = stack.pop()
+        if closing:
+            out.append(b"</" + tag_raw[cur] + b">")
+            continue
+        k = kind[cur]
+        if k == ELEM:
+            out.append(b"<" + tag_raw[cur])
+            a = attrs[cur]
+            if a:
+                for name, value in a.items():
+                    if value is None:
+                        out.append(b" " + name)
+                    else:
+                        out.append(b" " + name + b'="' + _escape_attr(value) + b'"')
+            t = tag[cur]
+            if t in VOID_ELEMENTS and doc.first_child[cur] == NULL:
+                out.append(b"/>")
+                continue
+            out.append(b">")
+            stack.append((cur, True))
+            if t in _NO_ESCAPE_CONTENT:
+                # raw-text content: emit verbatim, no escaping (round-trips
+                # the tokenizer's raw-text mode)
+                for c in doc.children(cur):
+                    if kind[c] == TEXT:
+                        out.append(content[c])
+            else:
+                for c in reversed(list(doc.children(cur))):
+                    stack.append((c, False))
+        elif k == TEXT:
+            out.append(_escape_text(content[cur]))
+        elif k == CDATA:
+            out.append(b"<![CDATA[" + content[cur] + b"]]>")
+        elif k == COMMENT:
+            out.append(b"<!--" + content[cur] + b"-->")
+        elif k in (DOCTYPE, DECL):
+            out.append(b"<!" + content[cur] + b">")
+        elif k == PI:
+            out.append(b"<?" + content[cur] + b"?>")
+        else:  # DOC root
+            for c in reversed(list(doc.children(cur))):
+                stack.append((c, False))
+
+
+def inner_html(doc: Document, nid: int = 0) -> bytes:
+    out: list[bytes] = []
+    for c in doc.children(nid):
+        _serialize(doc, c, out)
+    return b"".join(out)
+
+
+def outer_html(doc: Document, nid: int) -> bytes:
+    if doc.kind[nid] == 0:  # DOC → X4 Document.toString
+        return inner_html(doc, nid)
+    out: list[bytes] = []
+    _serialize(doc, nid, out)
+    return b"".join(out)
+
+
+# --- X5: element spans ------------------------------------------------------------
+
+
+def element_spans(doc: Document) -> list[dict]:
+    """One row per element node: (node_id, parent_id, tag, start, end,
+    text_start, text_end). Invariants (checked in tests + SQL): child span ⊆
+    parent span; node_id strictly increasing in document order."""
+    kind = doc.kind
+    rows = []
+    for nid in range(1, len(kind)):
+        if kind[nid] == ELEM:
+            rows.append(
+                {
+                    "node_id": nid,
+                    "parent_id": doc.parent[nid],
+                    "tag": doc.tag[nid].decode("utf-8", "replace"),
+                    "start": doc.raw_start[nid],
+                    "end": doc.raw_end[nid],
+                    "text_start": doc.text_start[nid],
+                    "text_end": doc.text_end[nid],
+                }
+            )
+    return rows
+
+
+# --- X6: main-content extraction -----------------------------------------------------
+
+# Subtrees never contributing to main content.
+STRIP_TAGS = frozenset(
+    b"script style noscript template nav header footer aside form iframe svg "
+    b"button select option optgroup".split()
+)
+
+# Container preference, first match wins (compiled once at import).
+_CONTAINER_SELECTORS = [
+    compile_selector(s)
+    for s in (
+        "main",
+        "article",
+        "[role='main']",
+        "#main",
+        "#content",
+        ".main-content",
+        ".post-content",
+        ".article-body",
+        ".content",
+        "body",
+    )
+]
+
+# Elements that open a new text block.
+BLOCK_TAGS = frozenset(
+    b"address article aside blockquote body caption dd details div dl dt "
+    b"fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr html "
+    b"li main menu nav ol p pre section table tbody td tfoot th thead tr ul".split()
+)
+
+_WS_RUN = re.compile(rb"[ \t\n\r\f\xc2\xa0]+")  # incl. UTF-8 NBSP bytes
+
+
+def _collapse(b: bytes) -> bytes:
+    return _WS_RUN.sub(b" ", b).strip()
+
+
+def main_text_node(doc: Document, root: int) -> bytes:
+    """Blocked, whitespace-collapsed text of ``root``'s subtree with STRIP_TAGS
+    subtrees removed. Blocks are separated by single newlines; runs of
+    whitespace inside a block collapse to one space; empty blocks dropped."""
+    kind, tag, first_child, next_sib, parent = (
+        doc.kind,
+        doc.tag,
+        doc.first_child,
+        doc.next_sib,
+        doc.parent,
+    )
+    blocks: list[bytes] = []
+    buf: list[bytes] = []
+
+    def flush():
+        if buf:
+            blk = _collapse(b" ".join(buf) if False else b"".join(buf))
+            buf.clear()
+            if blk:
+                blocks.append(blk)
+
+    # iterative pre-order walk with block flushing on block-element boundaries
+    stack: list[int] = [root]
+    # We need enter/exit events for block flushing; encode exit as negative-2 offset
+    events: list[tuple[int, bool]] = [(root, False)]
+    while events:
+        nid, leaving = events.pop()
+        k = kind[nid]
+        if leaving:
+            flush()
+            continue
+        if k == ELEM:
+            t = tag[nid]
+            if t in STRIP_TAGS:
+                continue
+            if t == b"br":
+                flush()
+                continue
+            if t in BLOCK_TAGS:
+                flush()
+                events.append((nid, True))  # flush again on exit
+            for c in reversed(list(doc.children(nid))):
+                events.append((c, False))
+        elif k == TEXT or k == CDATA:
+            buf.append(doc.content[nid])
+        elif k == 0:  # DOC
+            for c in reversed(list(doc.children(nid))):
+                events.append((c, False))
+    flush()
+    return b"\n".join(blocks)
+
+
+def _find_container(doc: Document) -> int:
+    for sel in _CONTAINER_SELECTORS:
+        hit = query_select(doc, sel)
+        if hit != NULL:
+            return hit
+    return 0  # document root
+
+
+def main_text(doc: Document) -> bytes:
+    """Deterministic main-content text (rule set MAIN_TEXT_RULES_VERSION):
+    1. pick container = first match of the priority selector list
+       (main, article, [role=main], #main, #content, .main-content,
+       .post-content, .article-body, .content, body) else document root;
+    2. strip STRIP_TAGS subtrees;
+    3. blocked + whitespace-collapsed text per main_text_node."""
+    return main_text_node(doc, _find_container(doc))

@@ -1,0 +1,185 @@
+"""M4 extraction pins (SURVEY.md §2.A.5 X1–X6; FIXTURES.md families 1, 10)."""
+
+from htmld_spark.engine.dom import parse_document
+from htmld_spark.engine.extract import (
+    element_spans,
+    inner_html,
+    inner_text,
+    main_text,
+    outer_html,
+)
+
+
+# --- X1: innerText (raw concat, no normalization) --------------------------------
+
+
+def test_inner_text_raw():
+    d = parse_document(b"<div> a \n b <b>c</b></div>")
+    assert inner_text(d) == b" a \n b c"
+
+
+def test_inner_text_includes_script():
+    # script/style content is ordinary Text in raw-text mode → included in X1
+    d = parse_document(b"<p>a</p><script>var x;</script>")
+    assert inner_text(d) == b"avar x;"
+
+
+def test_inner_text_entities_decoded():
+    d = parse_document(b"<p>x &amp; y &#228;</p>")
+    assert inner_text(d) == "x & y ä".encode()
+
+
+def test_inner_text_subtree():
+    d = parse_document(b"<div>a<p>b</p>c</div>")
+    div = next(d.descendant_elements())
+    p = next(d.descendant_elements(div))
+    assert inner_text(d, p) == b"b"
+    assert inner_text(d, div) == b"abc"
+
+
+# --- X2/X3: innerHTML / outerHTML --------------------------------------------------
+
+
+def test_outer_html_roundtrip_simple():
+    src = b'<div id="a"><p>hi</p></div>'
+    d = parse_document(src)
+    div = next(d.descendant_elements())
+    assert outer_html(d, div) == src
+
+
+def test_inner_html():
+    d = parse_document(b"<div><p>a</p><p>b</p></div>")
+    div = next(d.descendant_elements())
+    assert inner_html(d, div) == b"<p>a</p><p>b</p>"
+
+
+def test_escaping_on_serialize():
+    d = parse_document(b"<p>a &amp; b &lt;c&gt;</p>")
+    p = next(d.descendant_elements())
+    # decoded text re-escapes on output
+    assert outer_html(d, p) == b"<p>a &amp; b &lt;c&gt;</p>"
+
+
+def test_attr_quoting():
+    d = parse_document(b"<a href=x title='s\"q'>t</a>")
+    a = next(d.descendant_elements())
+    assert outer_html(d, a) == b'<a href="x" title="s&quot;q">t</a>'
+
+
+def test_valueless_attr_serialized_bare():
+    d = parse_document(b"<input disabled type=text>")
+    a = next(d.descendant_elements())
+    assert outer_html(d, a) == b'<input disabled type="text"/>'
+
+
+def test_void_serialization():
+    d = parse_document(b"<div><br>x<img src=y></div>")
+    div = next(d.descendant_elements())
+    assert outer_html(d, div) == b'<div><br/>x<img src="y"/></div>'
+
+
+def test_raw_text_not_escaped():
+    src = b"<script>if(a<b){}</script>"
+    d = parse_document(src)
+    s = next(d.descendant_elements())
+    assert outer_html(d, s) == src
+
+
+def test_comment_cdata_doctype_roundtrip():
+    src = b"<!DOCTYPE html><!--c--><div><![CDATA[x<y]]></div><?pi?>"
+    d = parse_document(src)
+    assert outer_html(d, 0) == src
+
+
+def test_tag_case_preserved():
+    d = parse_document(b"<DiV CLASS=x>t</dIv>")
+    n = next(d.descendant_elements())
+    assert outer_html(d, n) == b'<DiV class="x">t</DiV>'
+
+
+# --- X5: spans ------------------------------------------------------------------------
+
+
+def test_spans_table():
+    src = b"<div><p>hi</p><p>yo</p></div>"
+    d = parse_document(src)
+    spans = element_spans(d)
+    assert [s["tag"] for s in spans] == ["div", "p", "p"]
+    by_tag = {(s["tag"], s["node_id"]): s for s in spans}
+    root_span = spans[0]
+    assert root_span["start"] == 0 and root_span["end"] == len(src)
+    # node_id monotone in document order
+    assert [s["node_id"] for s in spans] == sorted(s["node_id"] for s in spans)
+    # child ⊆ parent
+    for s in spans[1:]:
+        assert s["start"] >= root_span["start"] and s["end"] <= root_span["end"]
+    # text offsets index into innerText
+    txt = inner_text(d)
+    p1 = spans[1]
+    assert txt[p1["text_start"] : p1["text_end"]] == b"hi"
+
+
+# --- X6: main_text ---------------------------------------------------------------------
+
+
+def test_main_text_strips_boilerplate():
+    src = (
+        b"<html><head><title>T</title><script>junk()</script></head>"
+        b"<body><nav>menu</nav>"
+        b"<main><h1>Head</h1><p>Para one.</p><p>Para two.</p></main>"
+        b"<footer>foot</footer></body></html>"
+    )
+    d = parse_document(src)
+    assert main_text(d) == b"Head\nPara one.\nPara two."
+
+
+def test_main_text_container_priority():
+    src = b"<body><div>junk</div><article><p>real</p></article></body>"
+    d = parse_document(src)
+    assert main_text(d) == b"real"
+
+
+def test_main_text_id_content():
+    src = b"<body><div id=content><p>a</p><p>b</p></div><div>noise</div></body>"
+    d = parse_document(src)
+    assert main_text(d) == b"a\nb"
+
+
+def test_main_text_falls_back_to_body():
+    src = b"<body><div><p>x y</p></div></body>"
+    d = parse_document(src)
+    assert main_text(d) == b"x y"
+
+
+def test_main_text_whitespace_collapse():
+    src = b"<main><p>  a \n\n b  </p><p>\t c </p></main>"
+    d = parse_document(src)
+    assert main_text(d) == b"a b\nc"
+
+
+def test_main_text_br_splits_blocks():
+    src = b"<main>line one<br>line two</main>"
+    d = parse_document(src)
+    assert main_text(d) == b"line one\nline two"
+
+
+def test_main_text_inline_merge():
+    src = b"<main><p>a <b>bold</b> c</p></main>"
+    d = parse_document(src)
+    assert main_text(d) == b"a bold c"
+
+
+def test_main_text_no_body():
+    d = parse_document(b"<p>just text</p>")
+    assert main_text(d) == b"just text"
+
+
+def test_main_text_deterministic():
+    src = b"<body><main><p>z</p></main></body>" * 1
+    assert main_text(parse_document(src)) == main_text(parse_document(src))
+
+
+def test_main_text_nested_list():
+    src = b"<main><ul><li>a</li><li>b<ul><li>b1</li></ul></li></ul></main>"
+    d = parse_document(src)
+    assert main_text(d) == b"a\nb\nb1"
