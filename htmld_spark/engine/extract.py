@@ -204,7 +204,10 @@ BLOCK_TAGS = frozenset(
     b"li main menu nav ol p pre section table tbody td tfoot th thead tr ul".split()
 )
 
-_WS_RUN = re.compile(rb"[ \t\n\r\f\xc2\xa0]+")  # incl. UTF-8 NBSP bytes
+# ASCII whitespace or UTF-8 NBSP — NBSP must match as the full two-byte
+# sequence \xc2\xa0, never as a byte class (a class would eat the lead byte
+# of other \xc2-prefixed chars like © and corrupt the UTF-8 stream).
+_WS_RUN = re.compile(rb"(?:[ \t\n\r\f]|\xc2\xa0)+")
 
 
 def _collapse(b: bytes) -> bytes:
