@@ -1,38 +1,592 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query families (SURVEY.md §2 inventory → entries here):
+- ``extract_*`` / ``pages_*`` / ``spans_*`` / ``select_*``: the HTML engine
+  + pipeline over the deterministic pages fixture (fixtures/gen_pages.py);
+  golden oracles read the fixture's independently-composed ``text`` column
+  via DuckDB read_parquet.
+- ``q*_`` / ``window_*`` / ``join_*`` / ``set_*`` / ``rollup_*`` /
+  ``json_*`` / ``date_*``: relational operators (R8–R13) over the driver's
+  TPC-H-ish tables with direct SQL oracles.
+- ``dedup_*`` / ``embed_*`` / ``text_*`` / ``lang_*`` / ``fp_*``:
+  training-data operators (exact/MinHash/SimHash/Jaccard dedup, ANN,
+  text analysis). SQL-oracled where both engines can express identical
+  math; otherwise rows-only (MinHash/SimHash use xxhash64, which DuckDB
+  lacks — they are pinned by tests/test_training_ops.py instead).
+- ``stream_*``: Structured Streaming variant (R16), oracled via the
+  floor-epoch window equivalence.
+
+Column names are aliased identically on both sides (driver hashes by
+sorted column name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+import sys
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from fixtures.gen_pages import ensure_pages  # noqa: E402
+from htmld_spark.functions import dedup as D  # noqa: E402
+from htmld_spark.functions import similarity as S  # noqa: E402
+from htmld_spark.functions import text as TX  # noqa: E402
+from htmld_spark.functions.udfs import extract_df, select_count_df  # noqa: E402
+
+# Oracle fixture path — the driver runs correctness at sf=0.01.
+_FIX_01 = os.path.join(REPO, "fixtures", "data", "sf0.01", "pages.parquet")
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_pages(_sf_of(sf_dir)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract main content from the sf0.001 pages corpus with the
+    §2.A engine (mapInArrow), then the per-language metrics rollup (R8)."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    extracted = extract_df(pages.select("url", "warc_ts", "html", "lang"))
+    return (
+        extracted.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias("n_errors"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------- queries
+
+
+def _q_extract_main_text(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    out = extract_df(
+        pages.select("url", "warc_ts", "html", "lang"), with_spans=False
+    )
+    return out.select("url", "warc_ts", "text")
+
+
+def _q_extract_metrics_by_lang(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    out = extract_df(pages.select("url", "warc_ts", "html", "lang"), with_spans=False)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def _q_spans_tag_histogram(spark, sf_dir):
+    pages = _pages(spark, sf_dir).limit(2000)
+    out = extract_df(pages.select("url", "html"), with_spans=True)
+    return (
+        out.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.tag").alias("tag"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("tag")
+    )
+
+
+def _q_select_counts(spark, sf_dir):
+    pages = _pages(spark, sf_dir).limit(2000)
+    counted = select_count_df(
+        pages.select("url", "html"),
+        ["main p", "nav a[href]", "table td", "ul > li", "h1, h2, h3"],
+    )
+    return counted.agg(
+        F.sum("c0").alias("n_main_p"),
+        F.sum("c1").alias("n_nav_links"),
+        F.sum("c2").alias("n_cells"),
+        F.sum("c3").alias("n_list_items"),
+        F.sum("c4").alias("n_headings"),
+    )
+
+
+def _q_pages_dedup_latest(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "warc_ts")
+    )
+
+
+def _q_pages_host_counts(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    return (
+        pages.select(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+# --- relational (R8-R13) over driver tables -----------------------------------------
+
+
+def _q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent")
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(25)
+    )
+
+
+def _q_window_running_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def _q_rollup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _q_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _q_stream_window_counts(spark, sf_dir):
+    """R16: Structured Streaming tumbling-window counts, driven to completion
+    synchronously on the batch parquet (memory sink)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file-stream source requires a directory; expose the single parquet
+    # file through a symlink dir (read-only testdata stays untouched).
+    import hashlib
+
+    link_dir = os.path.join(
+        "/tmp", "htmld_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:8]
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(link_dir)
+    # parquet stores TIMESTAMP_NTZ; event-time watermarks need TIMESTAMP
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "stream_win_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# --- training-data ops -------------------------------------------------------------------
+
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    return D.exact_dedup_keep(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, jaccard_threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, max_hamming=3)
+
+
+def _q_embed_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+def _q_embed_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, dim=64
+    )
+
+
+def _q_text_token_stats(spark, sf_dir):
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    return TX.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return TX.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction engine + pipeline (golden oracles on the pages fixture)
+        "extract_main_text": _q_extract_main_text,
+        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
+        "spans_tag_histogram": _q_spans_tag_histogram,  # rows-only
+        "select_counts": _q_select_counts,  # rows-only
+        "pages_dedup_latest": _q_pages_dedup_latest,
+        "pages_host_counts": _q_pages_host_counts,
+        # relational operators over driver tables
+        "q1_pricing": _q_q1_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "window_running_qty": _q_window_running_qty,
+        "customers_without_orders": _q_customers_without_orders,
+        "rollup_docs": _q_rollup_docs,
+        "json_props": _q_json_props,
+        "events_daily": _q_events_daily,
+        "sessionize": _q_sessionize,
+        "stream_window_counts": _q_stream_window_counts,
+        # training-data ops
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (xxhash64)
+        "dedup_simhash": _q_dedup_simhash,  # rows-only (xxhash64)
+        "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_ann_lsh": _q_embed_ann_lsh,  # rows-only (numpy planes)
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = _FIX_01
+    lang_scores = {
+        "en": r"\b(the|and|of)\b",
+        "de": r"\b(der|die|und)\b",
+        "fr": r"\b(les|une|dans)\b",
+        "es": r"\b(los|una|por)\b",
+    }
+    s = {
+        k: f"len(regexp_extract_all(lower(text), '{p}'))"
+        for k, p in lang_scores.items()
+    }
+    return {
+        # golden oracles: the fixture's text column IS the expected output
+        "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
+        "extract_metrics_by_lang": (
+            f"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars "
+            f"FROM read_parquet('{fx}') GROUP BY lang"
+        ),
+        "pages_dedup_latest": (
+            f"SELECT url, warc_ts FROM read_parquet('{fx}') "
+            "QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1"
+        ),
+        "pages_host_counts": (
+            "SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, "
+            f"count(*) AS n_pages FROM read_parquet('{fx}') GROUP BY 1"
+        ),
+        # relational
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, total_spent FROM (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+              FROM orders GROUP BY o_custkey
+            ) t JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_spent DESC, c_custkey LIMIT 25
+        """,
+        "window_running_qty": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_qty
+            FROM lineitem WHERE l_suppkey <= 5
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "rollup_docs": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "json_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n, round(sum(value), 3) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "stream_window_counts": """
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # training-data ops (md5 and pure arithmetic are engine-identical)
+        "dedup_exact_groups": """
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        "dedup_exact_keep": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tset
+              FROM documents WHERE doc_id < 120
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.tset, b.tset))::DOUBLE
+                         / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.tset, b.tset))::DOUBLE
+                        / len(list_distinct(list_concat(a.tset, b.tset))), 4) >= 0.5
+        """,
+        "embed_cosine_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings e, q WHERE e.vec_id != 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 20
+        """,
+        "text_token_stats": r"""
+            WITH t AS (
+              SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END
+                     AS n_tokens
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "text_quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_chars,
+                   round(CASE WHEN n_tokens > 0
+                         THEN (n_chars - (n_tokens - 1))::DOUBLE / n_tokens
+                         ELSE 0 END, 4) AS avg_word_len,
+                   round(CASE WHEN n_chars > 0
+                         THEN alpha_chars::DOUBLE / n_chars ELSE 0 END, 4) AS alpha_ratio,
+                   round(CASE WHEN n_tokens > 0
+                         THEN stop_hits::DOUBLE / n_tokens ELSE 0 END, 4) AS stopword_ratio,
+                   CASE WHEN n_tokens >= 50 AND
+                             round(CASE WHEN n_tokens > 0
+                                   THEN stop_hits::DOUBLE / n_tokens ELSE 0 END, 4) >= 0.05
+                        THEN 'high'
+                        WHEN n_tokens >= 10 THEN 'mid' ELSE 'low' END AS quality_bucket
+            FROM t
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   {s['en']} AS s_en, {s['de']} AS s_de,
+                   {s['fr']} AS s_fr, {s['es']} AS s_es,
+                   CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']}
+                             AND {s['en']} >= {s['es']} THEN 'en'
+                        WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} THEN 'de'
+                        WHEN {s['fr']} >= {s['es']} THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+            FROM documents
+        """,
+    }

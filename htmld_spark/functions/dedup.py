@@ -1,0 +1,234 @@
+"""Deduplication operators for training-data pipelines (task mandate:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on a 16-byte key, map-side
+  partial agg);
+- MinHash signatures are computed with k min-aggregations over exploded
+  shingles (shuffle carries (doc_id, 8-byte hash) pairs, never text);
+  LSH banding turns the O(n²) pair search into b self-joins on band keys —
+  each join is an equi-join Catalyst can shuffle-hash, and candidate
+  verification joins token sets only for candidate pairs;
+- SimHash is 64 conditional-sum aggregations over exploded token hashes —
+  all JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from htmld_spark.functions.text import TOKEN_SPLIT
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """md5-hash groups: one row per distinct content hash with multiplicity
+    and the keeper (min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Ids that survive exact dedup (min id per content hash)."""
+    return exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as an array column (whole text if < n tokens)."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array(F.trim(F.col(text_col))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{k-1}: min over shingles of
+    xxhash64(shingle, perm_seed). Runs as explode → k min-aggs (map-side
+    combine keeps the shuffle tiny)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perms)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
+    band_tables = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_tables.append(
+            sigs.select(
+                F.col(id_col), F.xxhash64(*cols, F.lit(b)).alias("band_key")
+            ).withColumn("band", F.lit(b))
+        )
+    banded = band_tables[0]
+    for t in band_tables[1:]:
+        banded = banded.unionByName(t)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verification on shingle sets, joined only for candidates
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(text_col, shingle_n)).alias("sset"),
+    )
+    sa = sets_df.alias("sa")
+    sb = sets_df.alias("sb")
+    verified = (
+        cand.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa.sset", "sb.sset"))
+                / F.size(F.array_union("sa.sset", "sb.sset")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs — the quadratic baseline that
+    validates the LSH path at small scale (gate the input size upstream)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("tset"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.tset", "b.tset"))
+                / F.size(F.array_union("a.tset", "b.tset")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    (+1/-1) votes from each token's xxhash64 bit. 64 conditional sums, all
+    codegen'd; returns (id, simhash:bigint)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("tok"),
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash using the block trick: split the 64-bit
+    hash into n_blocks chunks; any pair within max_hamming (< n_blocks)
+    agrees on ≥1 chunk → equi-join per chunk, then exact popcount filter."""
+    sims = simhash64(df, id_col, text_col)
+    width = 64 // n_blocks
+    chunks = []
+    for c in range(n_blocks):
+        chunks.append(
+            sims.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            ).withColumn("chunk_id", F.lit(c))
+        )
+    all_chunks = chunks[0]
+    for t in chunks[1:]:
+        all_chunks = all_chunks.unionByName(t)
+    a = all_chunks.alias("a")
+    b = all_chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines (task mandate:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything here is pure ``pyspark.sql.functions`` expressions — JVM-side,
+whole-stage-codegen'd, zero Python UDFs — so these run at scan speed over
+100 TB. Each has an exactly-equivalent DuckDB SQL form used as the driver
+oracle (see __spark_entry__.oracle_sql); keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# Language-ID stopword probes. Deliberately small + disjoint; tie-break is
+# fixed order en > de > fr > es. Shared verbatim with the DuckDB oracle.
+LANG_PROBES = {
+    "en": r"\b(the|and|of)\b",
+    "de": r"\b(der|die|und)\b",
+    "fr": r"\b(les|une|dans)\b",
+    "es": r"\b(los|una|por)\b",
+}
+
+STOPWORDS_EN = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def _tokens(col):
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def token_count(col):
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(col))
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
+    """Per-group token statistics."""
+    toks = token_count(F.col(text_col))
+    return (
+        df.select(F.col(by), toks.alias("n_tokens"))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy(by)
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic per-document quality features: token count, mean word
+    length, alpha ratio, stopword ratio, and a coarse quality bucket."""
+    text = F.col(text_col)
+    toks = token_count(text)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop_hits = F.regexp_count(F.lower(text), F.lit(STOPWORDS_EN))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(toks > 0, (n_chars - (toks - 1)) / toks).otherwise(F.lit(0.0)), 4
+        ).alias("avg_word_len"),
+        F.round(
+            F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0)), 4
+        ).alias("alpha_ratio"),
+        F.round(
+            F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)), 4
+        ).alias("stopword_ratio"),
+    )
+    return out.withColumn(
+        "quality_bucket",
+        F.when((F.col("n_tokens") >= 50) & (F.col("stopword_ratio") >= 0.05), "high")
+        .when(F.col("n_tokens") >= 10, "mid")
+        .otherwise("low"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-heuristic language ID with fixed tie-break order."""
+    low = F.lower(F.col(text_col))
+    scores = {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_PROBES.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        F.col(id_col),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of the lowercased text with all
+    non-alphanumerics removed — catches whitespace/punctuation-only edits."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

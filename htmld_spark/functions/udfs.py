@@ -1,0 +1,225 @@
+"""Arrow-batched extraction UDF — pipeline operator R6 (SURVEY.md §2.B).
+
+The whole §2.A engine runs inside ``mapInArrow``: JVM → Python crosses once
+per Arrow batch (never per row — BASELINE.json input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python)"). Inside a batch the per-document
+hot loop is pure-Python engine calls (tokenize → arena DOM → extract), the
+Python analog of the reference's single-pass parse (src/html/parser.d
+[recalled] — SURVEY.md §3.1).
+
+Oversized-blob handling (R4): incoming record batches are re-chunked by a
+byte budget, so a batch containing several ~MiB html blobs is processed and
+emitted in smaller slices — bounds peak memory per worker regardless of
+``spark.sql.execution.arrow.maxRecordsPerBatch`` and keeps output batches
+streaming even when one input batch is huge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from htmld_spark import ENGINE_VERSION
+from htmld_spark.engine.dom import parse_document
+from htmld_spark.engine.extract import (
+    MAIN_TEXT_RULES_VERSION,
+    element_spans,
+    main_text,
+)
+
+SPAN_TYPE = pa.struct(
+    [
+        ("node_id", pa.int32()),
+        ("parent_id", pa.int32()),
+        ("tag", pa.string()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("text_start", pa.int64()),
+        ("text_end", pa.int64()),
+    ]
+)
+SPANS_TYPE = pa.list_(SPAN_TYPE)
+
+# Spark-side schemas (DDL) — keep in sync with the arrow builders below.
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "n_bytes bigint, n_nodes int, n_spans int, parse_ok boolean, "
+    "spans array<struct<node_id:int, parent_id:int, tag:string, "
+    "start:bigint, end:bigint, text_start:bigint, text_end:bigint>>, "
+    "exec_partition_id int"
+)
+EXTRACT_SCHEMA_NO_SPANS = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "n_bytes bigint, n_nodes int, n_spans int, parse_ok boolean, "
+    "exec_partition_id int"
+)
+
+DEFAULT_BYTE_BUDGET = 32 << 20  # 32 MiB of raw html per processing slice
+
+
+def _slice_offsets(html_col, byte_budget: int) -> list[tuple[int, int]]:
+    """Split a batch's rows into [start, end) slices whose summed html bytes
+    stay under ``byte_budget`` (always ≥1 row per slice)."""
+    n = len(html_col)
+    slices = []
+    start = 0
+    acc = 0
+    for i in range(n):
+        v = html_col[i]
+        ln = v.as_buffer().size if v.is_valid else 0
+        if acc + ln > byte_budget and i > start:
+            slices.append((start, i))
+            start = i
+            acc = 0
+        acc += ln
+    if start < n:
+        slices.append((start, n))
+    return slices
+
+
+def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Build the mapInArrow function. Input batches must carry at least
+    (url, html); (warc_ts, lang) pass through when present."""
+
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            partition_id = ctx.partitionId() if ctx is not None else -1
+        except Exception:  # pragma: no cover - non-Spark context
+            partition_id = -1
+
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            html_col = batch.column(names.index("html"))
+            ts_col = batch.column(names.index("warc_ts")) if "warc_ts" in names else None
+            lang_col = batch.column(names.index("lang")) if "lang" in names else None
+
+            for lo, hi in _slice_offsets(html_col, byte_budget):
+                texts: list[str] = []
+                n_bytes: list[int] = []
+                n_nodes: list[int] = []
+                n_spans: list[int] = []
+                ok: list[bool] = []
+                spans_out: list[list[dict] | None] = []
+                for i in range(lo, hi):
+                    v = html_col[i]
+                    raw = v.as_py() if v.is_valid else b""
+                    if raw is None:
+                        raw = b""
+                    try:
+                        doc = parse_document(raw)
+                        txt = main_text(doc).decode("utf-8", "replace")
+                        sp = element_spans(doc) if with_spans else None
+                        texts.append(txt)
+                        n_bytes.append(len(raw))
+                        n_nodes.append(doc.n_nodes())
+                        n_spans.append(len(sp) if sp is not None else 0)
+                        ok.append(True)
+                        spans_out.append(sp)
+                    except Exception:
+                        # engine contract is never-throw; this is a belt-and-
+                        # braces guard so one poison doc can't kill the task
+                        texts.append("")
+                        n_bytes.append(len(raw))
+                        n_nodes.append(0)
+                        n_spans.append(0)
+                        ok.append(False)
+                        spans_out.append([] if with_spans else None)
+
+                arrays = [
+                    url_col.slice(lo, hi - lo),
+                    (
+                        ts_col.slice(lo, hi - lo)
+                        if ts_col is not None
+                        else pa.nulls(hi - lo, pa.timestamp("us"))
+                    ),
+                    (
+                        lang_col.slice(lo, hi - lo)
+                        if lang_col is not None
+                        else pa.nulls(hi - lo, pa.string())
+                    ),
+                    pa.array(texts, pa.string()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(n_nodes, pa.int32()),
+                    pa.array(n_spans, pa.int32()),
+                    pa.array(ok, pa.bool_()),
+                ]
+                fields = [
+                    ("url", arrays[0].type),
+                    ("warc_ts", arrays[1].type),
+                    ("lang", arrays[2].type),
+                    ("text", pa.string()),
+                    ("n_bytes", pa.int64()),
+                    ("n_nodes", pa.int32()),
+                    ("n_spans", pa.int32()),
+                    ("parse_ok", pa.bool_()),
+                ]
+                if with_spans:
+                    arrays.append(pa.array(spans_out, SPANS_TYPE))
+                    fields.append(("spans", SPANS_TYPE))
+                arrays.append(pa.array([partition_id] * (hi - lo), pa.int32()))
+                fields.append(("exec_partition_id", pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, schema=pa.schema(fields)
+                )
+
+    return extract_batches
+
+
+def extract_df(df, with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Apply the extraction engine to a pages DataFrame (url, html[, warc_ts,
+    lang]) → extracted DataFrame. The single JVM↔Python boundary of the
+    pipeline (SURVEY.md §3.4)."""
+    schema = EXTRACT_SCHEMA if with_spans else EXTRACT_SCHEMA_NO_SPANS
+    return df.mapInArrow(make_extract_fn(with_spans, byte_budget), schema)
+
+
+def make_select_count_fn(selectors: list[str], byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """mapInArrow function counting CSS-selector matches per document
+    (S18 surfaced relationally). Selectors are compiled ONCE here on the
+    driver and shipped in the closure — compile-once/match-many, the analog
+    of the reference's Selector.parse reuse (SURVEY.md §3.2)."""
+    from htmld_spark.engine.selector import compile_selector, query_select_all
+
+    compiled = [(f"c{i}", compile_selector(s)) for i, s in enumerate(selectors)]
+
+    def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            html_col = batch.column(names.index("html"))
+            for lo, hi in _slice_offsets(html_col, byte_budget):
+                counts: list[list[int]] = [[] for _ in compiled]
+                for i in range(lo, hi):
+                    v = html_col[i]
+                    raw = v.as_py() if v.is_valid else b""
+                    doc = parse_document(raw or b"")
+                    for slot, (_, sel) in enumerate(compiled):
+                        counts[slot].append(
+                            sum(1 for _ in query_select_all(doc, sel))
+                        )
+                arrays = [url_col.slice(lo, hi - lo)] + [
+                    pa.array(c, pa.int32()) for c in counts
+                ]
+                fields = [("url", arrays[0].type)] + [
+                    (name, pa.int32()) for name, _ in compiled
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return count_batches
+
+
+def select_count_df(df, selectors: list[str], byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Count selector matches per document: returns (url, c0..cN int)."""
+    schema = "url string, " + ", ".join(f"c{i} int" for i in range(len(selectors)))
+    return df.mapInArrow(make_select_count_fn(selectors, byte_budget), schema)
+
+
+ENGINE_META = {
+    "engine_version": ENGINE_VERSION,
+    "rules_version": MAIN_TEXT_RULES_VERSION,
+}

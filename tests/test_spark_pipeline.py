@@ -1,0 +1,127 @@
+"""Spark-layer tests: extraction UDF byte identity, job resume semantics,
+selector UDF, driver entry smoke (SURVEY.md §5.2 layers 2–3)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_pages import ensure_pages
+from htmld_spark.pipeline.job import JobConfig, run_extract_job
+from htmld_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_pipeline")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_path():
+    return ensure_pages("0.001")
+
+
+def test_extract_udf_byte_identity(spark, pages_path):
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(pages_path)
+    out = extract_df(pages.select("url", "warc_ts", "html"), with_spans=False)
+    golden = pages.select("url", "warc_ts", F.col("text").alias("expected"))
+    j = out.join(golden, ["url", "warc_ts"])
+    assert j.count() == pages.count()
+    assert j.filter(F.col("text") != F.col("expected")).count() == 0
+
+
+def test_extract_udf_span_invariants(spark, pages_path):
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(pages_path).limit(200)
+    out = extract_df(pages.select("url", "warc_ts", "html"), with_spans=True)
+    ex = out.select("url", "warc_ts", F.explode("spans").alias("s"), "n_spans")
+    bad = ex.filter(
+        (F.col("s.start") < 0)
+        | (F.col("s.end") < F.col("s.start"))
+        | (F.col("s.text_end") < F.col("s.text_start"))
+    )
+    assert bad.count() == 0
+    # node_id strictly increasing within each doc
+    from pyspark.sql.window import Window
+
+    # duplicate urls exist by design (re-crawls) → partition by (url, warc_ts)
+    w = Window.partitionBy("url", "warc_ts").orderBy("s.node_id")
+    dup = (
+        ex.withColumn("prev", F.lag("s.node_id").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("s.node_id") <= F.col("prev")))
+    )
+    assert dup.count() == 0
+
+
+def test_select_count_udf(spark):
+    from htmld_spark.functions.udfs import select_count_df
+
+    df = spark.createDataFrame(
+        [
+            ("u1", b"<main><p>a</p><p>b</p></main>"),
+            ("u2", b"<div><p>only</p></div>"),
+        ],
+        "url string, html binary",
+    )
+    out = select_count_df(df, ["main p", "p"]).orderBy("url").collect()
+    assert [(r.url, r.c0, r.c1) for r in out] == [("u1", 2, 2), ("u2", 0, 1)]
+
+
+def test_job_resume_after_partial_run(spark, pages_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("job_out"))
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = JobConfig(
+        source=pages_path, output=out, n_buckets=8, buckets_per_round=2,
+        with_spans=False,
+    )
+    # full run = 4 rounds
+    stats = run_extract_job(spark, cfg)
+    assert stats["rounds"] == 4 and stats["errors"] == 0
+    total = stats["rows_written"]
+
+    # simulate a crash after round 1: drop manifest rows for 6 buckets
+    m = spark.read.parquet(cfg.manifest_path)
+    kept = m.filter(F.col("bucket") < 2)
+    tmp_manifest = out + "/_manifest_tmp"
+    kept.write.mode("overwrite").parquet(tmp_manifest)
+    shutil.rmtree(cfg.manifest_path)
+    os.rename(tmp_manifest, cfg.manifest_path)
+
+    stats2 = run_extract_job(spark, cfg)
+    assert stats2["done_at_start"] == 2
+    assert stats2["rounds"] == 3  # 6 pending buckets / 2 per round
+
+    # no duplicates, no loss after resume (dynamic overwrite idempotency)
+    data = spark.read.parquet(out + "/data")
+    assert data.count() == total
+    assert data.select("url", "warc_ts").distinct().count() == total
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5  # one per lang
+    assert all(r.n_errors == 0 for r in rows)
+    assert set(df.columns) == {
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_spans",
+        "n_errors",
+    }
+
+
+def test_queries_oracle_keys_consistent():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    extra = set(e.oracle_sql()) - set(qs)
+    assert not extra, f"oracle entries without queries: {extra}"

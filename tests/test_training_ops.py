@@ -1,0 +1,141 @@
+"""Pins for the training-data operators that have no SQL oracle
+(MinHash+LSH, SimHash, ANN-LSH) — constructed known near-duplicates and a
+recall check vs the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from htmld_spark.functions import dedup as D
+from htmld_spark.functions import similarity as S
+from htmld_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_training")
+    yield s
+    s.stop()
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("garden", "meadow")),  # near dup of 0
+        (3, "completely different content about spark shuffle partitions and arrow batches"),
+        (4, "completely different content about spark shuffle partitions and arrow buffers"),  # near dup of 3
+        (5, "unique singleton text with no relatives anywhere in this corpus at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    dup_groups = [g for g in groups if g.n_copies > 1]
+    assert len(dup_groups) == 1 and dup_groups[0].keeper == 0
+    keep = sorted(r.doc_id for r in D.exact_dedup_keep(docs).collect())
+    assert keep == [0, 2, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.8
+    assert (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_matches_bruteforce_jaccard(docs):
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # brute force on word shingle sets must agree on the verified jaccard
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in brute
+
+
+def test_simhash_near_pairs(docs):
+    sims = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert sims[0] == sims[1]  # identical text → identical simhash
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs  # near dup within 10 bits
+    assert (0, 5) not in pairs and (3, 5) not in pairs
+
+
+def test_simhash_deterministic(docs):
+    a = sorted((r.doc_id, r.simhash) for r in D.simhash64(docs).collect())
+    b = sorted((r.doc_id, r.simhash) for r in D.simhash64(docs).collect())
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float32)
+    # vec 1 = near-copy of vec 0
+    base[1] = base[0] + rng.randn(16).astype(np.float32) * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    top = S.cosine_topk(vectors, query_vec_id=0, k=5).collect()
+    assert top[0].vec_id == 1 and top[0].cosine > 0.999
+    assert len(top) == 5
+    # descending, deterministic
+    cs = [r.cosine for r in top]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_ann_lsh_recall(vectors):
+    exact = [r.vec_id for r in S.cosine_topk(vectors, 0, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ann_lsh_topk(
+            vectors, 0, k=5, dim=16, n_planes=6, probe_hamming=3
+        ).collect()
+    ]
+    # the near-copy must be found; recall@5 ≥ 0.6 with these settings
+    assert 1 in approx
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3
+
+
+def test_lang_id_and_quality_shapes(spark):
+    from htmld_spark.functions.text import lang_id, quality_features, token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house", "en"),
+            (2, "der hund und die katze und der vogel", "de"),
+            (3, "les chats dans une maison", "fr"),
+            (4, "los gatos una casa por favor", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    preds = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert preds == {1: "en", 2: "de", 3: "fr", 4: "es"}
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].n_tokens == 8 and q[1].stopword_ratio > 0.3
+    ts = token_stats(df).collect()
+    assert sum(r.total_tokens for r in ts) == 8 + 8 + 5 + 6
