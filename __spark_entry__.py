@@ -45,8 +45,9 @@ from htmld_spark.functions import similarity as S  # noqa: E402
 from htmld_spark.functions import text as TX  # noqa: E402
 from htmld_spark.functions.udfs import extract_df, select_count_df  # noqa: E402
 
-# Oracle fixture path — the driver runs correctness at sf=0.01.
-_FIX_01 = os.path.join(REPO, "fixtures", "data", "sf0.01", "pages.parquet")
+# Oracle fixture glob — the driver runs correctness at sf=0.01. The fixture
+# is a directory of sharded parquet files (fixtures/gen_pages.py).
+_FIX_01 = os.path.join(REPO, "fixtures", "data", "sf0.01", "pages.parquet", "*.parquet")
 
 
 def _sf_of(sf_dir: str) -> str:

@@ -270,13 +270,22 @@ SCHEMA = pa.schema(
 
 
 def pages_path(sf: str) -> str:
+    """Directory of sharded parquet files (a single file would make the
+    scan+shuffle-write stage one task and cap scaling — real tables are
+    many-file)."""
     return os.path.join(DATA_DIR, f"sf{sf}", "pages.parquet")
 
 
+N_SHARDS = 64
+
+
 def ensure_pages(sf: str) -> str:
-    """Generate the pages fixture for scale ``sf`` if missing; return path."""
+    """Generate the pages fixture for scale ``sf`` if missing; return path
+    (a directory of N_SHARDS parquet files, readable by spark.read.parquet
+    and duckdb read_parquet('<path>/*.parquet'))."""
     path = pages_path(sf)
-    if os.path.exists(path):
+    done_marker = os.path.join(path, "_DONE")
+    if os.path.exists(done_marker):
         return path
     n = ROWS[sf]
     urls, tss, htmls, texts, langs = gen_rows(n)
@@ -290,9 +299,29 @@ def ensure_pages(sf: str) -> str:
         },
         schema=SCHEMA,
     )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, compression="zstd", row_group_size=4096)
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    total = table.num_rows
+    per = (total + N_SHARDS - 1) // N_SHARDS
+    for s in range(N_SHARDS):
+        shard = table.slice(s * per, per)
+        if shard.num_rows == 0:
+            break
+        pq.write_table(
+            shard,
+            os.path.join(tmp, f"part-{s:05d}.parquet"),
+            compression="zstd",
+            row_group_size=2048,
+        )
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
     os.replace(tmp, path)
     return path
 
@@ -301,8 +330,13 @@ def main(argv: list[str]) -> None:
     sfs = argv or ["0.001", "0.01", "0.1"]
     for sf in sfs:
         p = ensure_pages(sf)
-        meta = pq.read_metadata(p)
-        print(f"sf{sf}: {meta.num_rows} rows, {os.path.getsize(p)/1e6:.1f} MB → {p}")
+        t = pq.read_table(p, columns=["url"])
+        size = sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        print(f"sf{sf}: {t.num_rows} rows, {size/1e6:.1f} MB → {p}")
 
 
 if __name__ == "__main__":

@@ -274,7 +274,28 @@ class DOMBuilder:
     """TokenSink that assembles a Document — the analog of the reference's
     DOMBuilder struct consuming parser callbacks [recalled]."""
 
-    __slots__ = ("doc", "stack", "_buf", "_buf_start", "_buf_end", "_text_len")
+    __slots__ = (
+        "doc",
+        "stack",
+        "_buf",
+        "_buf_start",
+        "_buf_end",
+        "_text_len",
+        "_k",
+        "_tagl",
+        "_tagr",
+        "_attrsl",
+        "_contentl",
+        "_parentl",
+        "_fc",
+        "_lc",
+        "_ns",
+        "_ps",
+        "_rs",
+        "_rel",
+        "_tsl",
+        "_tel",
+    )
 
     def __init__(self, source: bytes):
         self.doc = Document(source)
@@ -283,6 +304,50 @@ class DOMBuilder:
         self._buf_start = 0
         self._buf_end = 0
         self._text_len = 0
+        # hot-path locals: the arena lists, bound once (node allocation is
+        # the single most frequent operation — SURVEY.md §4.1 arena analog)
+        d = self.doc
+        self._k = d.kind
+        self._tagl = d.tag
+        self._tagr = d.tag_raw
+        self._attrsl = d.attrs
+        self._contentl = d.content
+        self._parentl = d.parent
+        self._fc = d.first_child
+        self._lc = d.last_child
+        self._ns = d.next_sib
+        self._ps = d.prev_sib
+        self._rs = d.raw_start
+        self._rel = d.raw_end
+        self._tsl = d.text_start
+        self._tel = d.text_end
+
+    def _alloc(self, kind: int, parent: int, raw_s: int, raw_e: int, txt: int) -> int:
+        """Builder-side fast allocation (same layout as Document._alloc)."""
+        k = self._k
+        nid = len(k)
+        k.append(kind)
+        self._tagl.append(None)
+        self._tagr.append(None)
+        self._attrsl.append(None)
+        self._contentl.append(None)
+        self._parentl.append(parent)
+        self._fc.append(NULL)
+        lc = self._lc
+        prev = lc[parent]
+        self._ns.append(NULL)
+        self._ps.append(prev)
+        if prev != NULL:
+            self._ns[prev] = nid
+        else:
+            self._fc[parent] = nid
+        lc.append(NULL)
+        lc[parent] = nid
+        self._rs.append(raw_s)
+        self._rel.append(raw_e)
+        self._tsl.append(txt)
+        self._tel.append(txt)
+        return nid
 
     # --- text folding (D8) -----------------------------------------------------
     def _flush_text(self) -> None:
@@ -290,11 +355,12 @@ class DOMBuilder:
             return
         content = b"".join(self._buf)
         self._buf.clear()
-        d = self.doc
-        nid = d._alloc(TEXT, self.stack[-1], self._buf_start, self._buf_end, self._text_len)
-        d.content[nid] = content
+        nid = self._alloc(
+            TEXT, self.stack[-1], self._buf_start, self._buf_end, self._text_len
+        )
+        self._contentl[nid] = content
         self._text_len += len(content)
-        d.text_end[nid] = self._text_len
+        self._tel[nid] = self._text_len
 
     def on_text(self, s: int, e: int) -> None:
         if not self._buf:
@@ -310,45 +376,45 @@ class DOMBuilder:
 
     # --- elements -------------------------------------------------------------------
     def on_open(self, name, raw_name, attrs, s, e, self_closing) -> None:
-        self._flush_text()
-        d = self.doc
+        if self._buf:
+            self._flush_text()
         stack = self.stack
+        tagl = self._tagl
         # D5: implied end tags
-        closes = IMPLIED_END.get(name, _EMPTY)
+        closes = IMPLIED_END.get(name)
         if closes:
-            while len(stack) > 1 and d.tag[stack[-1]] in closes:
+            while len(stack) > 1 and tagl[stack[-1]] in closes:
                 top = stack.pop()
-                d.raw_end[top] = s
-                d.text_end[top] = self._text_len
-        nid = d._alloc(ELEM, stack[-1], s, e, self._text_len)
-        d.tag[nid] = name
-        d.tag_raw[nid] = raw_name
+                self._rel[top] = s
+                self._tel[top] = self._text_len
+        nid = self._alloc(ELEM, stack[-1], s, e, self._text_len)
+        tagl[nid] = name
+        self._tagr[nid] = raw_name
         if attrs:
             adict: dict[bytes, bytes | None] = {}
             for an, av in attrs:
                 if an not in adict:  # duplicate attr names: first wins
                     adict[an] = av
-            d.attrs[nid] = adict
-        else:
-            d.attrs[nid] = {}
+            self._attrsl[nid] = adict
         if not self_closing and name not in VOID_ELEMENTS:
             stack.append(nid)
 
     def on_close(self, name, s, e) -> None:
-        self._flush_text()
-        d = self.doc
+        if self._buf:
+            self._flush_text()
         stack = self.stack
+        tagl = self._tagl
         # D6: find matching open element
         for depth in range(len(stack) - 1, 0, -1):
-            if d.tag[stack[depth]] == name:
+            if tagl[stack[depth]] == name:
                 # implicitly close everything above it
                 while len(stack) - 1 > depth:
                     top = stack.pop()
-                    d.raw_end[top] = s
-                    d.text_end[top] = self._text_len
+                    self._rel[top] = s
+                    self._tel[top] = self._text_len
                 top = stack.pop()
-                d.raw_end[top] = e
-                d.text_end[top] = self._text_len
+                self._rel[top] = e
+                self._tel[top] = self._text_len
                 return
         # not found → ignore the close tag
 

@@ -115,8 +115,11 @@ def _serialize(doc: Document, nid: int, out: list[bytes]) -> None:
                     if kind[c] == TEXT:
                         out.append(content[c])
             else:
-                for c in reversed(list(doc.children(cur))):
+                # push children in reverse via prev_sib links (no list alloc)
+                c = doc.last_child[cur]
+                while c != NULL:
                     stack.append((c, False))
+                    c = doc.prev_sib[c]
         elif k == TEXT:
             out.append(_escape_text(content[cur]))
         elif k == CDATA:
@@ -128,8 +131,10 @@ def _serialize(doc: Document, nid: int, out: list[bytes]) -> None:
         elif k == PI:
             out.append(b"<?" + content[cur] + b"?>")
         else:  # DOC root
-            for c in reversed(list(doc.children(cur))):
+            c = doc.last_child[cur]
+            while c != NULL:
                 stack.append((c, False))
+                c = doc.prev_sib[c]
 
 
 def inner_html(doc: Document, nid: int = 0) -> bytes:
@@ -170,6 +175,29 @@ def element_spans(doc: Document) -> list[dict]:
                 }
             )
     return rows
+
+
+def element_span_columns(doc: Document, cols: tuple[list, ...]) -> int:
+    """Append this document's element spans into 7 caller-owned column lists
+    (node_id, parent_id, tag, start, end, text_start, text_end) — the
+    columnar fast path for Arrow batch construction. Returns the number of
+    spans appended."""
+    kind = doc.kind
+    c_nid, c_pid, c_tag, c_s, c_e, c_ts, c_te = cols
+    tag, parent = doc.tag, doc.parent
+    rs, re_, ts, te = doc.raw_start, doc.raw_end, doc.text_start, doc.text_end
+    n = 0
+    for nid in range(1, len(kind)):
+        if kind[nid] == ELEM:
+            c_nid.append(nid)
+            c_pid.append(parent[nid])
+            c_tag.append(tag[nid].decode("utf-8", "replace"))
+            c_s.append(rs[nid])
+            c_e.append(re_[nid])
+            c_ts.append(ts[nid])
+            c_te.append(te[nid])
+            n += 1
+    return n
 
 
 # --- X6: main-content extraction -----------------------------------------------------
@@ -218,33 +246,28 @@ def main_text_node(doc: Document, root: int) -> bytes:
     """Blocked, whitespace-collapsed text of ``root``'s subtree with STRIP_TAGS
     subtrees removed. Blocks are separated by single newlines; runs of
     whitespace inside a block collapse to one space; empty blocks dropped."""
-    kind, tag, first_child, next_sib, parent = (
-        doc.kind,
-        doc.tag,
-        doc.first_child,
-        doc.next_sib,
-        doc.parent,
-    )
+    kind, tag, content = doc.kind, doc.tag, doc.content
+    last_child, prev_sib = doc.last_child, doc.prev_sib
     blocks: list[bytes] = []
     buf: list[bytes] = []
 
     def flush():
         if buf:
-            blk = _collapse(b" ".join(buf) if False else b"".join(buf))
+            blk = _collapse(b"".join(buf))
             buf.clear()
             if blk:
                 blocks.append(blk)
 
-    # iterative pre-order walk with block flushing on block-element boundaries
-    stack: list[int] = [root]
-    # We need enter/exit events for block flushing; encode exit as negative-2 offset
+    # iterative pre-order walk with enter/exit events for block flushing;
+    # children pushed in reverse via prev_sib links (no per-node list alloc)
     events: list[tuple[int, bool]] = [(root, False)]
+    push = events.append
     while events:
         nid, leaving = events.pop()
-        k = kind[nid]
         if leaving:
             flush()
             continue
+        k = kind[nid]
         if k == ELEM:
             t = tag[nid]
             if t in STRIP_TAGS:
@@ -254,14 +277,18 @@ def main_text_node(doc: Document, root: int) -> bytes:
                 continue
             if t in BLOCK_TAGS:
                 flush()
-                events.append((nid, True))  # flush again on exit
-            for c in reversed(list(doc.children(nid))):
-                events.append((c, False))
+                push((nid, True))  # flush again on exit
+            c = last_child[nid]
+            while c != NULL:
+                push((c, False))
+                c = prev_sib[c]
         elif k == TEXT or k == CDATA:
-            buf.append(doc.content[nid])
+            buf.append(content[nid])
         elif k == 0:  # DOC
-            for c in reversed(list(doc.children(nid))):
-                events.append((c, False))
+            c = last_child[nid]
+            while c != NULL:
+                push((c, False))
+                c = prev_sib[c]
     flush()
     return b"\n".join(blocks)
 

@@ -44,7 +44,17 @@ is absent, see SURVEY.md provenance warning):
 
 from __future__ import annotations
 
+import re
+
 from htmld_spark.engine.entities import decode_entities, decode_entity
+
+# One attribute: optional leading ws, name, optional = value (dquoted /
+# squoted / unquoted — unquoted may contain '/'). Compiled C-side scanning
+# replaces the per-character Python loops in the hot path.
+_ATTR_RE = re.compile(
+    rb"[ \t\n\r\f]*([^ \t\n\r\f=/>]+)"
+    rb"(?:[ \t\n\r\f]*=[ \t\n\r\f]*(\"[^\"]*\"?|'[^']*'?|[^ \t\n\r\f>]*))?"
+)
 
 # --- character classes (as byte sets, for speed) -----------------------------
 _WS = frozenset(b" \t\n\r\f")
@@ -146,6 +156,7 @@ def _scan_open_tag(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
     raw_name = html[lt + 1 : i]
     attrs: list[tuple[bytes, bytes | None]] = []
     self_closing = False
+    attr_match = _ATTR_RE.match
     while True:
         # skip whitespace
         while i < n and html[i] in _WS:
@@ -163,35 +174,22 @@ def _scan_open_tag(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
                 break
             i += 1  # stray '/' inside tag → ignore
             continue
-        # attribute name
-        a_start = i
-        while i < n and html[i] not in _ATTR_NAME_END:
+        m = attr_match(html, i)
+        if m is None or m.end(1) == i:  # junk byte (e.g. stray '=') → skip
             i += 1
-        attr_name = low[a_start:i]
-        while i < n and html[i] in _WS:
-            i += 1
-        if i < n and html[i] == 0x3D:  # '='
-            i += 1
-            while i < n and html[i] in _WS:
-                i += 1
-            if i >= n:
-                return n
-            q = html[i]
-            if q == 0x22 or q == 0x27:  # '"' or "'"
-                v_start = i + 1
-                close = html.find(bytes((q,)), v_start)
-                if close < 0:
-                    return n  # EOF in quoted value → drop tag
-                value = decode_entities(html[v_start:close])
-                i = close + 1
-            else:
-                v_start = i
-                while i < n and html[i] not in _UNQUOTED_END:
-                    i += 1
-                value = decode_entities(html[v_start:i])
-            attrs.append((attr_name, value))
-        else:
+            continue
+        attr_name = low[m.start(1) : m.end(1)]
+        val = m.group(2)
+        if val is None:
             attrs.append((attr_name, None))  # valueless attribute
+        else:
+            q = val[:1]
+            if q == b'"' or q == b"'":
+                if len(val) < 2 or not val.endswith(q):
+                    return n  # EOF in quoted value → drop tag
+                val = val[1:-1]
+            attrs.append((attr_name, decode_entities(val)))
+        i = m.end()
     handler.on_open(name, raw_name, attrs, lt, end, self_closing)
     if not self_closing:
         if name in RAW_TEXT_TAGS:

