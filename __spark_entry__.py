@@ -366,6 +366,84 @@ def _q_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """As-of join: each click event picks the most recent prior-or-equal
+    view event's value per user (functions/relational.py; DuckDB native
+    ASOF JOIN is the oracle)."""
+    from htmld_spark.functions.relational import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("view_value"))
+    )
+    joined = asof_join(clicks, views, on="ts", by="user_id")
+    return joined.select("event_id", "user_id", "click_value", "view_value")
+
+
+def _q_set_ops_hosts(spark, sf_dir):
+    """Set ops (R12): hosts crawled in BOTH en and de, and en-only hosts."""
+    pages = _pages(spark, sf_dir).select(
+        F.parse_url("url", F.lit("HOST")).alias("host"), "lang"
+    )
+    en = pages.filter(F.col("lang") == "en").select("host").distinct()
+    de = pages.filter(F.col("lang") == "de").select("host").distinct()
+    both = en.intersect(de).withColumn("which", F.lit("both"))
+    only_en = en.exceptAll(de).withColumn("which", F.lit("en_only"))
+    return both.unionByName(only_en)
+
+
+def _q_pivot_orders(spark, sf_dir):
+    """Pivot (R8): order counts per priority pivoted on status."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_filled"),
+        F.col("P").alias("n_pending"),
+    )
+
+
+def _q_topk_parts_per_brand(spark, sf_dir):
+    """Top-k per group (R10): 3 priciest parts per brand."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_retailprice")
+    )
+
+
+def _q_spans_array_ops(spark, sf_dir):
+    """Array functions over the spans column (R13): size / filter /
+    transform+aggregate without leaving the JVM."""
+    pages = _pages(spark, sf_dir).limit(1500)
+    out = extract_df(pages.select("url", "warc_ts", "html"), with_spans=True)
+    widths = F.transform("spans", lambda s: s["end"] - s["start"])
+    return out.select(
+        "url",
+        "warc_ts",
+        F.size("spans").alias("n_elements"),
+        F.size(F.filter("spans", lambda s: s["tag"] == F.lit("p"))).alias("n_p"),
+        F.aggregate(
+            widths, F.lit(0).cast("long"), lambda acc, x: F.greatest(acc, x)
+        ).alias("max_span_width"),
+    )
+
+
 def _q_multimodal_image_features(spark, sf_dir):
     from htmld_spark.functions import multimodal as MM
 
@@ -404,6 +482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "sessionize": _q_sessionize,
         "stream_window_counts": _q_stream_window_counts,
+        "asof_join_events": _q_asof_join_events,
+        "set_ops_hosts": _q_set_ops_hosts,
+        "pivot_orders": _q_pivot_orders,
+        "topk_parts_per_brand": _q_topk_parts_per_brand,
+        "spans_array_ops": _q_spans_array_ops,  # rows-only (spans source)
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -528,6 +611,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id, round(value, 4) AS click_value
+              FROM events WHERE event_type = 'click'
+            ), views AS (
+              SELECT user_id, ts, round(max(value), 4) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.click_value, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "set_ops_hosts": f"""
+            WITH p AS (
+              SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host, lang
+              FROM read_parquet('{fx}')
+            ),
+            en AS (SELECT DISTINCT host FROM p WHERE lang = 'en'),
+            de AS (SELECT DISTINCT host FROM p WHERE lang = 'de')
+            SELECT host, 'both' AS which FROM (SELECT host FROM en INTERSECT SELECT host FROM de)
+            UNION ALL
+            SELECT host, 'en_only' AS which FROM (SELECT host FROM en EXCEPT ALL SELECT host FROM de)
+        """,
+        "pivot_orders": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "topk_parts_per_brand": """
+            SELECT p_brand,
+                   row_number() OVER (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey) AS rk,
+                   p_partkey, p_retailprice
+            FROM part
+            QUALIFY rk <= 3
         """,
         # training-data ops (md5 and pure arithmetic are engine-identical)
         "dedup_exact_groups": """

@@ -249,6 +249,61 @@ class Document:
             self.first_child[parent] = child
         self.last_child[parent] = child
 
+    def insert_before(self, parent: int, child: int, ref: int) -> None:
+        """Insert ``child`` under ``parent`` immediately before ``ref``
+        (ref must be a child of parent); X7 mutation API."""
+        if ref == NULL or self.parent[ref] != parent:
+            self.append_child(parent, child)
+            return
+        self.detach(child)
+        prev = self.prev_sib[ref]
+        self.parent[child] = parent
+        self.prev_sib[child] = prev
+        self.next_sib[child] = ref
+        self.prev_sib[ref] = child
+        if prev != NULL:
+            self.next_sib[prev] = child
+        else:
+            self.first_child[parent] = child
+
+    def set_text(self, nid: int, content: bytes) -> None:
+        """Replace ``nid``'s children with a single Text node (X7
+        ``node.text =`` setter)."""
+        c = self.first_child[nid]
+        while c != NULL:
+            nxt = self.next_sib[c]
+            self.detach(c)
+            c = nxt
+        self.append_child(nid, self.create_text(content))
+
+    def set_inner_html(self, nid: int, fragment: bytes) -> None:
+        """Replace ``nid``'s children with a re-parsed html fragment (X7
+        ``node.html =`` setter — fragment re-parse semantics [recalled])."""
+        frag = parse_document(fragment)
+        c = self.first_child[nid]
+        while c != NULL:
+            nxt = self.next_sib[c]
+            self.detach(c)
+            c = nxt
+        # graft the fragment's top-level nodes by deep copy into this arena
+        for top in list(frag.children(0)):
+            self._graft(frag, top, nid)
+
+    def _graft(self, src: "Document", snid: int, parent: int) -> None:
+        k = src.kind[snid]
+        if k == ELEM:
+            nid = self.create_element(src.tag_raw[snid] or b"")
+            if src.attrs[snid]:
+                self.attrs[nid] = dict(src.attrs[snid])
+        else:
+            nid = self.create_text(src.content[snid] or b"")
+            self.kind[nid] = k
+        self.append_child(parent, nid)
+        c = src.first_child[snid]
+        while c != NULL:
+            self._graft(src, c, nid)
+            c = src.next_sib[c]
+
     def detach(self, nid: int) -> None:
         p = self.parent[nid]
         if p == NULL:

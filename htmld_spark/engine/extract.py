@@ -177,6 +177,63 @@ def element_spans(doc: Document) -> list[dict]:
     return rows
 
 
+class TextSink:
+    """DOM-free streaming innerText extractor — an alternate ``TokenSink``
+    handler (SURVEY.md §2.A.6): any object with the ``on_*`` protocol can
+    consume the tokenizer directly, the analog of the reference's
+    ``parseHTML!(MyHandler)`` template handlers [recalled]. Produces the
+    same bytes as ``inner_text(parse_document(x))`` without allocating a
+    single node."""
+
+    __slots__ = ("pieces", "source")
+
+    def __init__(self, source: bytes):
+        self.source = source
+        self.pieces: list[bytes] = []
+
+    def on_text(self, s, e):
+        self.pieces.append(self.source[s:e])
+
+    def on_entity(self, s, e, decoded):
+        self.pieces.append(decoded)
+
+    def on_cdata(self, s, e):
+        self.pieces.append(self.source[s:e])
+
+    def on_open(self, name, raw, attrs, s, e, sc):
+        pass
+
+    def on_close(self, name, s, e):
+        pass
+
+    def on_comment(self, s, e):
+        pass
+
+    def on_doctype(self, s, e):
+        pass
+
+    def on_decl(self, s, e):
+        pass
+
+    def on_pi(self, s, e):
+        pass
+
+    def on_done(self, e):
+        pass
+
+    def text(self) -> bytes:
+        return b"".join(self.pieces)
+
+
+def fast_inner_text(html: bytes) -> bytes:
+    """Single-pass innerText without building a DOM (TextSink handler)."""
+    from htmld_spark.engine.tokenizer import tokenize
+
+    sink = TextSink(html)
+    tokenize(html, sink)
+    return sink.text()
+
+
 def element_span_columns(doc: Document, cols: tuple[list, ...]) -> int:
     """Append this document's element spans into 7 caller-owned column lists
     (node_id, parent_id, tag, start, end, text_start, text_end) — the
