@@ -1,0 +1,124 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the optimizations we rely on
+at 100 TB must actually appear in the plan — predicate pushdown, column
+pruning, partition pruning, broadcast joins, bucketed (Exchange-free) joins,
+whole-stage codegen for the pure-expression operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_pages import ensure_pages
+from htmld_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        master="local[4]",
+        app_name="pytest_plans",
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
+    yield s
+    s.stop()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    df = pages.filter(F.col("lang") == "en").select("url")
+    p = plan_of(df)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters")[1][:120]
+
+
+def test_column_pruning(spark):
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    df = pages.select("url", "lang")
+    p = plan_of(df)
+    rs = p.split("ReadSchema")[1][:200]
+    assert "url" in rs and "html" not in rs  # the 1 MiB blobs never leave disk
+
+
+def test_broadcast_join_small_dim(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    df = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).groupBy(
+        "s_name"
+    ).count()
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_partition_pruning_on_bucketed_output(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pruned")) + "/t"
+    pages = spark.read.parquet(ensure_pages("0.001")).limit(200)
+    (
+        pages.select("url")
+        .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
+        .write.partitionBy("bucket")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("bucket") == 3)
+    # the bucket predicate must land in PartitionFilters (scan-time pruning,
+    # no data filter) — this is what makes resume's bucket skipping free
+    scan = plan_of(df)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf and "= 3" in pf
+    assert "PushedFilters: []" in scan  # not a data filter
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # force a sort-merge join so the bucketed layout (not a broadcast) is
+    # what eliminates the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    (
+        docs.write.mode("overwrite")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable("docs_bucketed_a")
+    )
+    (
+        docs.selectExpr("doc_id", "n_chars")
+        .write.mode("overwrite")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable("docs_bucketed_b")
+    )
+    a = spark.table("docs_bucketed_a")
+    b = spark.table("docs_bucketed_b")
+    joined = a.join(b, "doc_id")
+    p = plan_of(joined)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in p  # co-located bucketed join: shuffle-free
+    assert "SortMergeJoin" in p and "Bucketed: true" in p
+    assert joined.count() == docs.count()
+
+
+def test_text_ops_stay_in_codegen(spark):
+    """quality_features / lang_id are pure JVM expressions — no Python
+    evaluation node may appear in their plans."""
+    from htmld_spark.functions.text import lang_id, quality_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (quality_features(docs), lang_id(docs)):
+        p = plan_of(df)
+        assert "EvalPython" not in p and "ArrowEval" not in p
+        assert "*(" in p  # WholeStageCodegen stage marker in toString()
+
+
+def test_extraction_plan_has_single_python_stage(spark):
+    """The flagship plan crosses JVM↔Python exactly once (one mapInArrow)."""
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    df = (
+        extract_df(pages.select("url", "warc_ts", "html", "lang"))
+        .repartition(8, F.xxhash64("url"))
+        .groupBy("lang")
+        .count()
+    )
+    p = plan_of(df)
+    assert p.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
