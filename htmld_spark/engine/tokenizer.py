@@ -55,6 +55,9 @@ _ATTR_RE = re.compile(
     rb"[ \t\n\r\f]*([^ \t\n\r\f=/>]+)"
     rb"(?:[ \t\n\r\f]*=[ \t\n\r\f]*(\"[^\"]*\"?|'[^']*'?|[^ \t\n\r\f>]*))?"
 )
+# NOTE: regex fast paths for open/close tags were measured SLOWER than the
+# find()-driven manual scanners below (re.match per-call overhead exceeds
+# the short byte loops) — don't reintroduce them without a CPU-time A/B.
 
 # --- character classes (as byte sets, for speed) -----------------------------
 _WS = frozenset(b" \t\n\r\f")
@@ -68,6 +71,7 @@ _UNQUOTED_END = frozenset(b" \t\n\r\f>")
 
 RAW_TEXT_TAGS = frozenset((b"script", b"style", b"xmp"))
 RCDATA_TAGS = frozenset((b"title", b"textarea"))
+_RAW_OR_RCDATA = RAW_TEXT_TAGS | RCDATA_TAGS
 
 
 def tokenize(html: bytes, handler, low: bytes | None = None) -> None:

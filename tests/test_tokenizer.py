@@ -22,7 +22,8 @@ class Rec:
         self.events.append(("entity", d, s, e))
 
     def on_open(self, name, raw, attrs, s, e, sc):
-        self.events.append(("open", name, attrs, s, e, sc))
+        # attrs is a sequence (tuple on the no-attr fast path, list otherwise)
+        self.events.append(("open", name, list(attrs), s, e, sc))
 
     def on_close(self, name, s, e):
         self.events.append(("close", name, s, e))
