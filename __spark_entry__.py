@@ -106,10 +106,11 @@ def _q_extract_metrics_by_lang(spark, sf_dir):
 def _q_spans_tag_histogram(spark, sf_dir):
     pages = _pages(spark, sf_dir).limit(2000)
     out = extract_df(pages.select("url", "html"), with_spans=True)
+    # R7: posexplode — the UDTF-equivalent relational view of the DOM
     return (
-        out.select(F.explode("spans").alias("s"))
+        out.select(F.posexplode("spans").alias("pos", "s"))
         .groupBy(F.col("s.tag").alias("tag"))
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.min("pos").alias("first_pos"))
         .orderBy("tag")
     )
 
@@ -228,6 +229,39 @@ def _q_rollup_docs(spark, sf_dir):
     )
 
 
+def _q_cube_events(spark, sf_dir):
+    """Grouping sets via cube (R8): event counts over all combinations of
+    (event_type, weekday-bucket)."""
+    e = _t(spark, sf_dir, "events")
+    wd = F.date_format("ts", "E").isin("Sat", "Sun")
+    return (
+        e.withColumn("is_weekend", wd)
+        .cube("event_type", "is_weekend")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total_value"))
+    )
+
+
+def _q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, gated to a subset; the
+    LSH-bucketed scale path is embed_ann_lsh)."""
+    from htmld_spark.functions.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    va = F.col("a.embedding").cast("array<double>")
+    vb = F.col("b.embedding").cast("array<double>")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 def _q_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -274,6 +308,9 @@ def _q_sessionize(spark, sf_dir):
 def _q_stream_window_counts(spark, sf_dir):
     """R16: Structured Streaming tumbling-window counts, driven to completion
     synchronously on the batch parquet (memory sink)."""
+    # ws is tz-sensitive (NTZ→TIMESTAMP cast + unix_timestamp); pin UTC so
+    # the result matches the DuckDB naive-epoch oracle in ANY driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file-stream source requires a directory; expose the single parquet
@@ -478,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_qty": _q_window_running_qty,
         "customers_without_orders": _q_customers_without_orders,
         "rollup_docs": _q_rollup_docs,
+        "cube_events": _q_cube_events,
         "json_props": _q_json_props,
         "events_daily": _q_events_daily,
         "sessionize": _q_sessionize,
@@ -491,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (xxhash64)
         "dedup_simhash": _q_dedup_simhash,  # rows-only (xxhash64)
         "embed_cosine_topk": _q_embed_cosine_topk,
@@ -578,6 +617,21 @@ def oracle_sql() -> dict[str, str]:
         "rollup_docs": """
             SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "cube_events": """
+            SELECT event_type,
+                   (dayofweek(ts) IN (0, 6)) AS is_weekend,
+                   count(*) AS n, round(sum(value), 3) AS total_value
+            FROM events GROUP BY CUBE (event_type, (dayofweek(ts) IN (0, 6)))
+        """,
+        "dedup_embedding_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 150 AND b.vec_id < 150
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.3
         """,
         "json_props": """
             SELECT event_type, count(*) AS n,
