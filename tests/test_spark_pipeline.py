@@ -125,3 +125,30 @@ def test_queries_oracle_keys_consistent():
     qs = e.queries()
     extra = set(e.oracle_sql()) - set(qs)
     assert not extra, f"oracle entries without queries: {extra}"
+
+
+def test_extraction_deterministic_across_runs(spark, pages_path):
+    """SURVEY §5.2 layer 3: two runs → identical output hash."""
+    from htmld_spark.functions.udfs import extract_df
+
+    def run_hash():
+        pages = spark.read.parquet(pages_path)
+        out = extract_df(pages.select("url", "warc_ts", "html"), with_spans=True)
+        return (
+            out.select(
+                F.md5(
+                    F.concat_ws(
+                        "\x00",
+                        "url",
+                        F.col("warc_ts").cast("string"),
+                        "text",
+                        F.col("n_spans").cast("string"),
+                        F.hash("spans").cast("string"),
+                    )
+                ).alias("h")
+            )
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    assert run_hash() == run_hash()
