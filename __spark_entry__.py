@@ -563,7 +563,7 @@ def oracle_sql() -> dict[str, str]:
         # golden oracles: the fixture's text column IS the expected output
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
         "extract_metrics_by_lang": (
-            f"SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars "
+            f"SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM read_parquet('{fx}') GROUP BY lang"
         ),
         "pages_dedup_latest": (
@@ -615,7 +615,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "rollup_docs": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "cube_events": """
@@ -635,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -658,7 +658,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM g
             )
-            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
         """,
         "stream_window_counts": """
@@ -691,15 +691,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_orders": """
             SELECT o_orderpriority,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
             FROM orders GROUP BY o_orderpriority
         """,
         "topk_parts_per_brand": """
             SELECT p_brand,
-                   row_number() OVER (PARTITION BY p_brand
-                     ORDER BY p_retailprice DESC, p_partkey) AS rk,
+                   CAST(row_number() OVER (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rk,
                    p_partkey, p_retailprice
             FROM part
             QUALIFY rk <= 3
@@ -740,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens
               FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 4) AS avg_tokens
             FROM t GROUP BY lang ORDER BY lang
         """,

@@ -61,8 +61,8 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     stop_hits = F.regexp_count(F.lower(text), F.lit(STOPWORDS_EN))
     out = df.select(
         F.col(id_col),
-        toks.alias("n_tokens"),
-        n_chars.alias("n_chars"),
+        toks.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
         F.round(
             F.when(toks > 0, (n_chars - (toks - 1)) / toks).otherwise(F.lit(0.0)), 4
         ).alias("avg_word_len"),
@@ -98,10 +98,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
     return df.select(
         F.col(id_col),
-        scores["en"].alias("s_en"),
-        scores["de"].alias("s_de"),
-        scores["fr"].alias("s_fr"),
-        scores["es"].alias("s_es"),
+        scores["en"].cast("long").alias("s_en"),
+        scores["de"].cast("long").alias("s_de"),
+        scores["fr"].cast("long").alias("s_fr"),
+        scores["es"].cast("long").alias("s_es"),
         pred.alias("pred_lang"),
     )
 

@@ -84,6 +84,21 @@ def main(names: list[str]) -> int:
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        # dtype-family comparison (warn-only; driver's strictness unknown)
+        # duckdb's DBAPI description only exposes coarse families
+        # (NUMBER/STRING/DATETIME/Date/bool) — compare at that granularity
+        fam = {
+            "bigint": "num", "long": "num", "int": "num", "smallint": "num",
+            "double": "num", "float": "num", "decimal": "num",
+            "NUMBER": "num", "string": "s", "STRING": "s",
+            "boolean": "b", "bool": "b", "date": "d", "Date": "d",
+            "timestamp": "t", "timestamp_ntz": "t", "DATETIME": "t",
+        }
+        sd = {c: fam.get(t, t) for c, t in sdf.dtypes}
+        od = {d[0]: fam.get(str(d[1]), str(d[1])) for d in res.description}
+        for c in set(sd) & set(od):
+            if sd[c] != od[c]:
+                print(f"      DTYPE-WARN {name}.{c}: spark={sd[c]} duckdb={od[c]}")
         sc, sr = canon_rows(scols, srows)
         oc, orw = canon_rows(ocols, orows)
         if sc != oc:
