@@ -130,6 +130,23 @@ def _q_select_counts(spark, sf_dir):
     )
 
 
+def _q_select_extract(spark, sf_dir):
+    """querySelectorAll → innerText, relationally (the reference's primary
+    workflow; S18/S19 + X1 over the corpus)."""
+    from htmld_spark.functions.udfs import select_extract_df
+
+    pages = _pages(spark, sf_dir).limit(1000)
+    out = select_extract_df(
+        pages.select("url", "html"), ["main h1", "table td", ".wrap p"]
+    )
+    return out.select(
+        "url",
+        "selector",
+        "n_matches",
+        F.element_at("texts", 1).alias("first_text"),
+    )
+
+
 def _q_pages_dedup_latest(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
@@ -506,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         "spans_tag_histogram": _q_spans_tag_histogram,  # rows-only
         "select_counts": _q_select_counts,  # rows-only
+        "select_extract": _q_select_extract,  # rows-only (selector engine)
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_host_counts": _q_pages_host_counts,
         # relational operators over driver tables

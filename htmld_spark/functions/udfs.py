@@ -242,6 +242,90 @@ def select_count_df(df, selectors: list[str], byte_budget: int = DEFAULT_BYTE_BU
     return df.mapInArrow(make_select_count_fn(selectors, byte_budget), schema)
 
 
+SELECT_EXTRACT_SCHEMA = (
+    "url string, selector string, n_matches int, "
+    "texts array<string>, htmls array<string>"
+)
+
+
+def make_select_extract_fn(
+    selectors: list[str],
+    max_matches: int = 20,
+    with_html: bool = False,
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+):
+    """The reference's primary per-document workflow — querySelectorAll →
+    innerText/outerHTML (SURVEY.md §3.2/§3.3) — surfaced relationally: one
+    output row per (document, selector) with the matched texts (and
+    optionally markup). Selectors compile once on the driver."""
+    from htmld_spark.engine.extract import inner_text, outer_html
+    from htmld_spark.engine.selector import compile_selector, query_select_all
+
+    compiled = [(s, compile_selector(s)) for s in selectors]
+
+    def select_extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            html_col = batch.column(names.index("html"))
+            for lo, hi in _slice_offsets(html_col, byte_budget):
+                urls = url_col.slice(lo, hi - lo).to_pylist()
+                raws = html_col.slice(lo, hi - lo).to_pylist()
+                o_url, o_sel, o_n, o_texts, o_htmls = [], [], [], [], []
+                for url, raw in zip(urls, raws):
+                    doc = parse_document(raw or b"")
+                    for sel_str, sel in compiled:
+                        nodes = []
+                        for nid in query_select_all(doc, sel):
+                            nodes.append(nid)
+                            if len(nodes) >= max_matches:
+                                break
+                        o_url.append(url)
+                        o_sel.append(sel_str)
+                        o_n.append(len(nodes))
+                        o_texts.append(
+                            [
+                                inner_text(doc, n).decode("utf-8", "replace")
+                                for n in nodes
+                            ]
+                        )
+                        o_htmls.append(
+                            [
+                                outer_html(doc, n).decode("utf-8", "replace")
+                                for n in nodes
+                            ]
+                            if with_html
+                            else None
+                        )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_url, pa.string()),
+                        pa.array(o_sel, pa.string()),
+                        pa.array(o_n, pa.int32()),
+                        pa.array(o_texts, pa.list_(pa.string())),
+                        pa.array(o_htmls, pa.list_(pa.string())),
+                    ],
+                    names=["url", "selector", "n_matches", "texts", "htmls"],
+                )
+
+    return select_extract
+
+
+def select_extract_df(
+    df,
+    selectors: list[str],
+    max_matches: int = 20,
+    with_html: bool = False,
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+):
+    """querySelectorAll + extract over a pages DataFrame: one row per
+    (url, selector) with matched texts (and markup when ``with_html``)."""
+    return df.mapInArrow(
+        make_select_extract_fn(selectors, max_matches, with_html, byte_budget),
+        SELECT_EXTRACT_SCHEMA,
+    )
+
+
 ENGINE_META = {
     "engine_version": ENGINE_VERSION,
     "rules_version": MAIN_TEXT_RULES_VERSION,

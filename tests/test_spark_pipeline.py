@@ -152,3 +152,34 @@ def test_extraction_deterministic_across_runs(spark, pages_path):
         )
 
     assert run_hash() == run_hash()
+
+
+def test_select_extract_df(spark):
+    """querySelectorAll→extract surfaced relationally (the reference's
+    primary per-document workflow)."""
+    from htmld_spark.functions.udfs import select_extract_df
+
+    df = spark.createDataFrame(
+        [
+            ("u1", b"<main><h1>Title</h1><p>a</p><p>b</p></main>"),
+            ("u2", b"<div><span class=x>only</span></div>"),
+        ],
+        "url string, html binary",
+    )
+    out = select_extract_df(df, ["main p", ".x", "h1"], with_html=True)
+    rows = {(r.url, r.selector): r for r in out.collect()}
+    assert len(rows) == 6  # 2 docs × 3 selectors
+    assert rows[("u1", "main p")].texts == ["a", "b"]
+    assert rows[("u1", "main p")].htmls == ["<p>a</p>", "<p>b</p>"]
+    assert rows[("u1", "h1")].texts == ["Title"]
+    assert rows[("u2", ".x")].texts == ["only"]
+    assert rows[("u2", "main p")].n_matches == 0 and rows[("u2", "main p")].texts == []
+
+
+def test_select_extract_max_matches(spark):
+    from htmld_spark.functions.udfs import select_extract_df
+
+    html = b"<ul>" + b"".join(b"<li>%d</li>" % i for i in range(50)) + b"</ul>"
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    r = select_extract_df(df, ["li"], max_matches=5).collect()[0]
+    assert r.n_matches == 5 and r.texts == ["0", "1", "2", "3", "4"]
