@@ -143,7 +143,7 @@ def _q_select_extract(spark, sf_dir):
         "url",
         "selector",
         "n_matches",
-        F.element_at("texts", 1).alias("first_text"),
+        F.try_element_at("texts", F.lit(1)).alias("first_text"),
     )
 
 
