@@ -49,11 +49,13 @@ def _spark(master: str, input_path: str | None = None):
 
     spark = get_spark(master=master, app_name="bench")
     if input_path:
-        # Split sizing: compressed html expands ~10-50× in memory, and the
-        # extraction stage's fan-out equals the number of scan splits — so
-        # size splits to spread the corpus over every core (at 100 TB the
-        # default 128 MB gives ample splits; this sandbox corpus is tiny).
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4096 * 1024))
+        # Split sizing: the extraction stage's fan-out equals the number of
+        # scan splits. The fixture shards carry ONE row group each, so any
+        # split below a file is empty and any packing above a file caps
+        # fan-out — force exactly one file per split (at 100 TB the default
+        # 128 MB gives ample splits; this knob is the sandbox equivalent of
+        # sizing maxPartitionBytes so decompressed blobs fit memory).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(192 * 1024))
         spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     return spark
 
@@ -239,8 +241,20 @@ def run_scaling(rounds: int = 3) -> dict:
     import statistics
 
     masters = ("local[2]", "local[8]", "local[32]")
+    # accumulate across invocations: every interleaved round ever measured
+    # contributes to the medians (more data beats lucky/unlucky windows)
+    hist_path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     samples: dict[str, list[float]] = {m: [] for m in masters}
     ctl_samples: dict[int, list[float]] = {2: [], 8: [], 32: []}
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for m in masters:
+                    samples[m].append(rec["spark"][m])
+                for k in (2, 8, 32):
+                    ctl_samples[k].append(rec["control"][str(k)])
+    new_rounds = []
     for _ in range(rounds):
         for master in masters:
             out = subprocess.run(
@@ -250,8 +264,19 @@ def run_scaling(rounds: int = 3) -> dict:
             )
             line = out.stdout.strip().splitlines()[-1]
             samples[master].append(json.loads(line)["docs_per_sec"])
-        for k, v in _mp_control((2, 8, 32)).items():
+        ctl = _mp_control((2, 8, 32))
+        for k, v in ctl.items():
             ctl_samples[k].append(v)
+        new_rounds.append(
+            {
+                "spark": {m: samples[m][-1] for m in masters},
+                "control": {str(k): ctl[k] for k in (2, 8, 32)},
+            }
+        )
+    os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+    with open(hist_path, "a") as f:
+        for rec in new_rounds:
+            f.write(json.dumps(rec) + "\n")
     tp2 = round(statistics.median(samples["local[2]"]), 1)
     tp8 = round(statistics.median(samples["local[8]"]), 1)
     tp32 = round(statistics.median(samples["local[32]"]), 1)
