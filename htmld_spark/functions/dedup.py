@@ -11,6 +11,11 @@ Design for 100 TB:
   verification joins token sets only for candidate pairs;
 - SimHash is 64 conditional-sum aggregations over exploded token hashes —
   all JVM-side, no Python.
+
+The banding/blocking shape follows the public LSH-blocking literature for
+distributed entity resolution (cf. "SparkER: Scaling Entity Resolution in
+Spark", EDBT 2019 — PAPERS.md); the implementation here is written from
+scratch against the DataFrame API.
 """
 
 from __future__ import annotations
