@@ -23,9 +23,8 @@ import pyarrow as pa
 from htmld_spark import ENGINE_VERSION
 from htmld_spark.engine.dom import parse_document
 from htmld_spark.engine.extract import (
-    element_span_columns,
     MAIN_TEXT_RULES_VERSION,
-    element_spans,
+    element_span_columns,
     main_text,
 )
 
