@@ -15,8 +15,10 @@ ICEBERG_PREFIX = "iceberg:"
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.org.apache.iceberg.Table` never raises — py4j
+    # hands back a JavaPackage for unknown names — so force a classload.
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

@@ -183,3 +183,34 @@ def test_select_extract_max_matches(spark):
     df = spark.createDataFrame([("u", html)], "url string, html binary")
     r = select_extract_df(df, ["li"], max_matches=5).collect()[0]
     assert r.n_matches == 5 and r.texts == ["0", "1", "2", "3", "4"]
+
+
+def test_iceberg_gate_raises_without_jars(spark):
+    """R1: the Iceberg source is capability-gated — offline sandbox must get
+    a clear error, not a ClassNotFound blowup mid-job."""
+    import pytest as _pytest
+
+    from htmld_spark.pipeline.io import read_pages
+
+    with _pytest.raises(RuntimeError, match="Iceberg runtime not on classpath"):
+        read_pages(spark, "iceberg:warehouse.pages")
+
+
+def test_byte_budget_slicing():
+    """R4: oversized html rows are re-chunked by byte budget inside the UDF
+    (pure function — no Spark needed)."""
+    import pyarrow as pa
+
+    from htmld_spark.functions.udfs import _slice_offsets
+
+    small = [b"x" * 100] * 10
+    big = [b"y" * 1000]
+    col = pa.array(small + big + small, pa.binary())
+    slices = _slice_offsets(col, byte_budget=500)
+    # every slice under budget (except unavoidable single-row slices)
+    assert slices[0] == (0, 5)
+    total = sum(hi - lo for lo, hi in slices)
+    assert total == len(col)
+    for lo, hi in slices:
+        size = sum(len(col[i].as_py()) for i in range(lo, hi))
+        assert size <= 1000 or hi - lo == 1
