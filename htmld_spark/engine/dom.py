@@ -515,12 +515,17 @@ class DOMBuilder:
         d.total_text_len = self._text_len
 
 
-def parse_document(html: bytes) -> Document:
+def parse_document(html: bytes, options=None) -> Document:
     """Parse raw html bytes into a Document. Never raises on malformed input.
 
     The end-to-end analog of the reference's ``createDocument(source)``
     (src/html/dom.d [recalled]): single pass, tokenizer callbacks feed the
-    builder directly — no intermediate token list."""
+    builder directly — no intermediate token list. ``options`` is a
+    tokenizer.ParserOptions (entity/comment/CDATA/raw-text gating — the
+    DOMCreateOptions analog)."""
     builder = DOMBuilder(html)
-    tokenize(html, builder)
+    if options is None:
+        tokenize(html, builder)
+    else:
+        tokenize(html, builder, options=options)
     return builder.doc

@@ -351,6 +351,9 @@ def main_text_node(doc: Document, root: int) -> bytes:
 
 
 def _find_container(doc: Document) -> int:
+    # NOTE: a fused single-walk rank scan was A/B'd against this and was
+    # not faster (the "main" selector early-exits almost immediately on
+    # real pages); keeping the selector-engine form.
     for sel in _CONTAINER_SELECTORS:
         hit = query_select(doc, sel)
         if hit != NULL:

@@ -74,11 +74,49 @@ RCDATA_TAGS = frozenset((b"title", b"textarea"))
 _RAW_OR_RCDATA = RAW_TEXT_TAGS | RCDATA_TAGS
 
 
-def tokenize(html: bytes, handler, low: bytes | None = None) -> None:
+class ParserOptions:
+    """Runtime analog of the reference's compile-time ``ParserOptions``
+    template flags (src/html/parser.d [recalled]: bit-flags gating
+    comments/CDATA/entities/raw-text — SURVEY.md §2.A.1/§4.1). Flags only
+    add branches on already-branchy dispatch points, so the default path
+    costs nothing extra.
+
+    - ``entities``: decode character references (off → ``&amp;`` stays text)
+    - ``comments``: emit on_comment (off → comments silently skipped)
+    - ``cdata``: emit on_cdata (off → CDATA sections silently skipped)
+    - ``raw_text``: treat script/style/xmp as opaque raw text (off → their
+      content is tokenized like normal markup)
+    """
+
+    __slots__ = ("entities", "comments", "cdata", "raw_text")
+
+    def __init__(
+        self,
+        entities: bool = True,
+        comments: bool = True,
+        cdata: bool = True,
+        raw_text: bool = True,
+    ):
+        self.entities = entities
+        self.comments = comments
+        self.cdata = cdata
+        self.raw_text = raw_text
+
+
+DEFAULT_OPTIONS = ParserOptions()
+
+
+def tokenize(
+    html: bytes,
+    handler,
+    low: bytes | None = None,
+    options: ParserOptions = DEFAULT_OPTIONS,
+) -> None:
     """Single-pass tokenize of ``html``, emitting TokenSink callbacks.
 
     ``low`` is the pre-lowercased copy of ``html`` (computed once here if not
     supplied); it enables O(1)-allocation case-insensitive tag matching.
+    ``options`` gates entities/comments/CDATA/raw-text (ParserOptions).
     Never raises on any input byte string.
     """
     if low is None:
@@ -88,15 +126,16 @@ def tokenize(html: bytes, handler, low: bytes | None = None) -> None:
     find = html.find
     on_text = handler.on_text
     on_entity = handler.on_entity
+    ent = options.entities
 
     while pos < n:
         lt = find(b"<", pos)
         if lt < 0:
-            _emit_text(html, pos, n, on_text, on_entity)
+            _emit_text(html, pos, n, on_text, on_entity, entities=ent)
             pos = n
             break
         if lt > pos:
-            _emit_text(html, pos, lt, on_text, on_entity)
+            _emit_text(html, pos, lt, on_text, on_entity, entities=ent)
         nxt = lt + 1
         if nxt >= n:
             # trailing '<' at EOF → literal text
@@ -105,7 +144,7 @@ def tokenize(html: bytes, handler, low: bytes | None = None) -> None:
             break
         c = html[nxt]
         if c in _LETTERS:
-            pos = _scan_open_tag(html, low, lt, n, handler)
+            pos = _scan_open_tag(html, low, lt, n, handler, options)
         elif c == 0x2F:  # '/'
             if nxt + 1 < n and html[nxt + 1] in _LETTERS:
                 pos = _scan_close_tag(html, low, lt, n, handler)
@@ -114,7 +153,7 @@ def tokenize(html: bytes, handler, low: bytes | None = None) -> None:
                 gt = find(b">", nxt)
                 pos = n if gt < 0 else gt + 1
         elif c == 0x21:  # '!'
-            pos = _scan_markup_decl(html, low, lt, n, handler)
+            pos = _scan_markup_decl(html, low, lt, n, handler, options)
         elif c == 0x3F:  # '?'
             pos = _scan_pi(html, lt, n, handler)
         else:
@@ -148,7 +187,10 @@ def _emit_text(
         on_text(pos, end)
 
 
-def _scan_open_tag(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
+def _scan_open_tag(
+    html: bytes, low: bytes, lt: int, n: int, handler,
+    options: ParserOptions = DEFAULT_OPTIONS,
+) -> int:
     """Parse ``<name attr=... >`` starting at ``lt``. Returns resume pos.
 
     On EOF inside the construct the whole tag is dropped (returns n,
@@ -195,11 +237,13 @@ def _scan_open_tag(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
             attrs.append((attr_name, decode_entities(val)))
         i = m.end()
     handler.on_open(name, raw_name, attrs, lt, end, self_closing)
-    if not self_closing:
+    if not self_closing and options.raw_text:
         if name in RAW_TEXT_TAGS:
             return _scan_raw_text(html, low, name, end, n, handler, rcdata=False)
         if name in RCDATA_TAGS:
-            return _scan_raw_text(html, low, name, end, n, handler, rcdata=True)
+            return _scan_raw_text(
+                html, low, name, end, n, handler, rcdata=options.entities
+            )
     return end
 
 
@@ -240,21 +284,28 @@ def _scan_close_tag(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
     return gt + 1
 
 
-def _scan_markup_decl(html: bytes, low: bytes, lt: int, n: int, handler) -> int:
+def _scan_markup_decl(
+    html: bytes, low: bytes, lt: int, n: int, handler,
+    options: ParserOptions = DEFAULT_OPTIONS,
+) -> int:
     """``<!`` constructs: comment, CDATA, doctype, other declarations."""
     if html.startswith(b"--", lt + 2):
         close = html.find(b"-->", lt + 4)
         if close < 0:
-            handler.on_comment(lt + 4, n)
+            if options.comments:
+                handler.on_comment(lt + 4, n)
             return n
-        handler.on_comment(lt + 4, close)
+        if options.comments:
+            handler.on_comment(lt + 4, close)
         return close + 3
     if html.startswith(b"[CDATA[", lt + 2):
         close = html.find(b"]]>", lt + 9)
         if close < 0:
-            handler.on_cdata(lt + 9, n)
+            if options.cdata:
+                handler.on_cdata(lt + 9, n)
             return n
-        handler.on_cdata(lt + 9, close)
+        if options.cdata:
+            handler.on_cdata(lt + 9, close)
         return close + 3
     gt = html.find(b">", lt + 2)
     end = n if gt < 0 else gt

@@ -273,3 +273,49 @@ def test_never_throws_on_markup_soup(data):
     for ev in r.events:
         if ev[0] == "text":
             assert ev[1] == data[ev[2] : ev[3]]
+
+
+# --- ParserOptions (the reference's compile-time flag analog) -----------------
+
+
+def tok_opts(b: bytes, **kw):
+    from htmld_spark.engine.tokenizer import ParserOptions
+
+    r = Rec(b)
+    tokenize(b, r, options=ParserOptions(**kw))
+    return [ev for ev in r.events if ev[0] != "done"]
+
+
+def test_options_entities_off():
+    ev = tok_opts(b"a&amp;b", entities=False)
+    assert ev == [("text", b"a&amp;b", 0, 7)]
+
+
+def test_options_comments_off():
+    assert tok_opts(b"x<!--hidden-->y", comments=False) == [
+        ("text", b"x", 0, 1),
+        ("text", b"y", 14, 15),
+    ]
+
+
+def test_options_cdata_off():
+    assert tok_opts(b"x<![CDATA[gone]]>y", cdata=False) == [
+        ("text", b"x", 0, 1),
+        ("text", b"y", 17, 18),
+    ]
+
+
+def test_options_raw_text_off():
+    # script content tokenized as normal markup when raw_text disabled
+    ev = tok_opts(b"<script><b>x</b></script>", raw_text=False)
+    assert [e[0] for e in ev] == ["open", "open", "text", "close", "close"]
+
+
+def test_options_rcdata_entities_follow_entity_flag():
+    ev = tok_opts(b"<title>a&amp;b</title>", entities=False)
+    assert [e[0] for e in ev] == ["open", "text", "close"]
+    assert ev[1][1] == b"a&amp;b"
+
+
+def test_options_default_unchanged():
+    assert tok_opts(b"a&amp;b") == tok(b"a&amp;b")
