@@ -284,7 +284,7 @@ def _compile_pseudo(kind: str, arg, ctx: str):
         "root",
     ):
         return (_PSEUDO, kind, None)
-    if kind in ("nth-child", "nth-of-type", "nth-last-child"):
+    if kind in ("nth-child", "nth-of-type", "nth-last-child", "nth-last-of-type"):
         if arg is None:
             raise SelectorError(f":{kind} needs an argument in {ctx!r}")
         return (_PSEUDO, kind, _parse_nth(arg, ctx))
@@ -394,6 +394,15 @@ def _match_pseudo(doc: Document, nid: int, kind: str, arg) -> bool:
         return _nth_matches(arg[0], arg[1], idx)
     if kind == "nth-of-type":
         return _nth_matches(arg[0], arg[1], _of_type_index(doc, nid))
+    if kind == "nth-last-of-type":
+        tag = doc.tag[nid]
+        idx = 1
+        p = _next_element(doc, nid)
+        while p != NULL:
+            if doc.tag[p] == tag:
+                idx += 1
+            p = _next_element(doc, p)
+        return _nth_matches(arg[0], arg[1], idx)
     if kind == "not":
         return not _match_seq(doc, nid, arg)
     if kind == "root":

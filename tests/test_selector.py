@@ -219,3 +219,10 @@ def test_compile_once_reuse(doc):
     # same compiled object works across documents
     d2 = parse_document(b"<ul id=b><li class=sel>z</li></ul>")
     assert len(list(query_select_all(d2, sel))) == 1
+
+
+def test_nth_last_child_and_of_type(doc):
+    assert texts(doc, "li:nth-last-child(1)") == ["l4"]
+    assert texts(doc, "li:nth-last-child(odd)") == ["l2", "l4"]
+    assert texts(doc, "#a p:nth-last-of-type(1)") == ["two"]
+    assert texts(doc, "#a p:nth-last-of-type(2)") == ["one"]
