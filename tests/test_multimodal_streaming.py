@@ -109,3 +109,53 @@ def test_streaming_parquet_sink_and_restart(spark, tmp_path_factory):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out + "/data").count() == n1
+
+
+def test_stateful_host_stats_accumulates_across_batches(spark):
+    """applyInPandasWithState: state carries per-host totals across
+    micro-batches; final totals equal the batch ground truth."""
+    from htmld_spark.streaming.stateful import stateful_host_stats
+
+    src = ensure_pages("0.001")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src)
+    )
+    out = stateful_host_stats(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("host_state_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("host_state_test")
+    # multiple triggers → multiple rows per host, totals strictly increasing
+    per_host_rows = got.groupBy("host").count().collect()
+    assert any(r["count"] > 1 for r in per_host_rows)  # state spanned batches
+    # last (max) running total per host == batch-mode ground truth
+    final = {
+        r.host: (r.total_docs, r.total_bytes)
+        for r in got.orderBy("total_docs").collect()
+    }
+    truth = {
+        r.host: (r.n, r.b)
+        for r in spark.read.parquet(src)
+        .groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .agg(F.count("*").alias("n"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    }
+    assert final == truth
+    # batch deltas sum to totals
+    sums = {
+        r.host: (r.sd, r.sb)
+        for r in got.groupBy("host")
+        .agg(F.sum("batch_docs").alias("sd"), F.sum("batch_bytes").alias("sb"))
+        .collect()
+    }
+    assert sums == truth
