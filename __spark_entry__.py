@@ -420,6 +420,11 @@ def _q_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint (rows-only: xxhash64-based)."""
+    return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"))
+
+
 def _q_asof_join_events(spark, sf_dir):
     """As-of join: each click event picks the most recent prior-or-equal
     view event's value per user (functions/relational.py; DuckDB native
@@ -556,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "doc_winnow_fingerprint": _q_winnow_fingerprint,  # rows-only (xxhash64)
         # multimodal plumbing (stub codecs; rows-only — no SQL equivalent)
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,

@@ -106,6 +106,59 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprint via winnowing (the classic
+    local-fingerprinting scheme): hash every character k-gram, keep the
+    minimum hash of each w-window of consecutive positions, and reduce the
+    selected set to one 64-bit digest. Shared substrings of length ≥ k+w-1
+    produce shared selected hashes, so near-identical documents get close
+    fingerprint sets. All JVM-side: substring k-grams via transform/
+    sequence, per-window minima via a sliding row window, xxhash64 digest
+    of the sorted distinct selection.
+
+    Returns (id, n_grams, n_selected, winnow_fp)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.xxhash64(F.substring(norm, i, k)),
+            )
+        ).alias("pos", "gh"),
+    ).filter(F.col("n_grams") > 0)
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.withColumn("wmin", F.min("gh").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)  # full windows only
+        .select(id_col, "n_grams", "wmin")
+        .distinct()
+    )
+    return (
+        selected.groupBy(id_col, "n_grams")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.xxhash64(
+                F.concat_ws(",", F.array_sort(F.collect_list("wmin")))
+            ).alias("winnow_fp"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — catches whitespace/punctuation-only edits."""

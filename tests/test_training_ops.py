@@ -139,3 +139,26 @@ def test_lang_id_and_quality_shapes(spark):
     assert q[1].n_tokens == 8 and q[1].stopword_ratio > 0.3
     ts = token_stats(df).collect()
     assert sum(r.total_tokens for r in ts) == 8 + 8 + 5 + 6
+
+
+def test_winnow_fingerprint(spark):
+    from htmld_spark.functions.text import winnow_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # identical → identical fingerprint
+            (3, BASE.replace("garden", "meadow")),  # local edit → shared grams
+            (4, "entirely different material with no overlap whatsoever here"),
+            (5, ""),  # empty text → no rows (no k-grams)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprint(df).collect()}
+    assert 5 not in rows  # empty doc yields no fingerprint row
+    assert rows[1].winnow_fp == rows[2].winnow_fp
+    assert rows[1].winnow_fp != rows[4].winnow_fp
+    assert rows[1].n_selected > 0 and rows[1].n_grams > 0
+    # determinism
+    again = {r.doc_id: r.winnow_fp for r in winnow_fingerprint(df).collect()}
+    assert again[1] == rows[1].winnow_fp and again[3] == rows[3].winnow_fp
