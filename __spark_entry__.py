@@ -404,6 +404,14 @@ def _q_embed_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_embed_ann_ivf(spark, sf_dir):
+    """IVF (k-means coarse quantizer) ANN scale path (rows-only)."""
+    return S.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20,
+        n_cells=16, n_probe=4,
+    )
+
+
 def _q_text_token_stats(spark, sf_dir):
     return TX.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -557,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,  # rows-only (xxhash64)
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # rows-only (numpy planes)
+        "embed_ann_ivf": _q_embed_ann_ivf,  # rows-only (kmeans cells)
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,

@@ -96,6 +96,70 @@ def with_lsh_bucket(
     return df.withColumn(out_col, _make_bucket_udf(n_planes, dim, seed)(F.col(vec_col)))
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+):
+    """IVF coarse quantizer: k-means (pyspark.ml) over the embedding column;
+    returns (df_with_cell, centroids) where centroids is a small local list
+    (the index metadata a 100 TB deployment would persist with the table).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol=out_col)
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("_v")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to a k-means cell, probe
+    only the ``n_probe`` cells whose centroids are nearest the query, exact
+    cosine re-rank inside the probed cells. At scale the cell column is
+    precomputed at ingest (and used as a partition/bucket key), so a query
+    scans n_probe/n_cells of the data."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(df, n_cells, seed, vec_col)
+    # cache: the assignment feeds the centroid probe AND the re-rank scan
+    # (at real scale the cell column is a persisted table column instead)
+    assigned = assigned.cache()
+    qrow = (
+        assigned.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col, "ivf_cell")
+        .head()
+    )
+    q = np.asarray(qrow[vec_col], dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    cands = assigned.filter(
+        F.col("ivf_cell").isin(probe) & (F.col(id_col) != query_vec_id)
+    )
+    qdf = assigned.filter(F.col(id_col) == query_vec_id).select(vec_col)
+    scored = with_cosine(cands, qdf, vec_col)
+    return (
+        scored.select(F.col(id_col), F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_id: int,

@@ -162,3 +162,22 @@ def test_winnow_fingerprint(spark):
     # determinism
     again = {r.doc_id: r.winnow_fp for r in winnow_fingerprint(df).collect()}
     assert again[1] == rows[1].winnow_fp and again[3] == rows[3].winnow_fp
+
+
+def test_ann_ivf_recall(vectors):
+    """IVF coarse-quantized ANN: probe nearest cells, exact re-rank inside."""
+    exact = [r.vec_id for r in S.cosine_topk(vectors, 0, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ann_ivf_topk(
+            vectors, 0, k=5, n_cells=4, n_probe=2
+        ).collect()
+    ]
+    assert 1 in approx  # the near-copy shares the query's cell
+    assert len(set(exact) & set(approx)) >= 3
+    # determinism (seeded kmeans)
+    again = [
+        r.vec_id
+        for r in S.ann_ivf_topk(vectors, 0, k=5, n_cells=4, n_probe=2).collect()
+    ]
+    assert approx == again
