@@ -16,8 +16,10 @@ Query families (SURVEY.md §2 inventory → entries here):
 - ``dedup_*`` / ``embed_*`` / ``text_*`` / ``lang_*`` / ``fp_*``:
   training-data operators (exact/MinHash/SimHash/Jaccard dedup, ANN,
   text analysis). SQL-oracled where both engines can express identical
-  math; otherwise rows-only (MinHash/SimHash use xxhash64, which DuckDB
-  lacks — they are pinned by tests/test_training_ops.py instead).
+  math; the xxhash64/hyperplane family (MinHash, SimHash, winnow,
+  ANN-LSH) is oracled against golden parquet composed by an independent
+  pure-Python implementation (fixtures/gen_golden.py + fixtures/xxh64.py)
+  that DuckDB reads via read_parquet.
 - ``stream_*``: Structured Streaming variant (R16), oracled via the
   floor-epoch window equivalence.
 
@@ -429,7 +431,8 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_winnow_fingerprint(spark, sf_dir):
-    """Rolling-hash winnowing fingerprint (rows-only: xxhash64-based)."""
+    """Rolling-hash winnowing fingerprint (zero-shuffle array expressions;
+    golden-oracled via fixtures/gen_golden.py pure-Python winnowing)."""
     return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"))
 
 
@@ -561,16 +564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (xxhash64)
-        "dedup_simhash": _q_dedup_simhash,  # rows-only (xxhash64)
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
+        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         "embed_cosine_topk": _q_embed_cosine_topk,
-        "embed_ann_lsh": _q_embed_ann_lsh,  # rows-only (numpy planes)
+        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_ann_ivf": _q_embed_ann_ivf,  # rows-only (kmeans cells)
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
-        "doc_winnow_fingerprint": _q_winnow_fingerprint,  # rows-only (xxhash64)
+        "doc_winnow_fingerprint": _q_winnow_fingerprint,  # golden (pure-py xxh64)
         # multimodal plumbing (stub codecs; rows-only — no SQL equivalent)
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
@@ -582,6 +585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     fx = _FIX_01
+    # golden parquet for the xxhash64/hyperplane family, composed by the
+    # independent pure-Python implementation (fixtures/gen_golden.py);
+    # the driver compares at sf=0.01
+    from fixtures.gen_golden import ensure_golden
+
+    gold = ensure_golden("/root/testdata/sf0.01")
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -819,4 +828,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
         """,
+        # golden oracles: expected outputs composed by the independent
+        # pure-Python xxh64/winnow/minhash/simhash/LSH implementations in
+        # fixtures/gen_golden.py (public algorithms, no Spark involved)
+        "dedup_minhash_lsh": (
+            f"SELECT id_a, id_b, jaccard FROM "
+            f"read_parquet('{os.path.join(gold, 'minhash_lsh_pairs.parquet')}')"
+        ),
+        "dedup_simhash": (
+            f"SELECT id_a, id_b, hamming FROM "
+            f"read_parquet('{os.path.join(gold, 'simhash_pairs.parquet')}')"
+        ),
+        "doc_winnow_fingerprint": (
+            f"SELECT doc_id, n_grams, n_selected, winnow_fp FROM "
+            f"read_parquet('{os.path.join(gold, 'winnow_fingerprint.parquet')}')"
+        ),
+        "embed_ann_lsh": (
+            f"SELECT vec_id, cosine FROM "
+            f"read_parquet('{os.path.join(gold, 'ann_lsh_topk.parquet')}')"
+        ),
     }

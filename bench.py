@@ -334,8 +334,9 @@ def _write_bench_md(report: dict) -> None:
         "cluster here — same flagship job, same input, several parallelism",
         "levels; see BASELINE.md). Flagship job = scan → mapInArrow parse +",
         "main-content extraction + spans → url-hash shuffle of the extracted",
-        f"output, over 2× the sf={report['sf']} pages corpus",
-        "(fixtures/gen_pages.py).",
+        f"output, over the sf={report['sf']} pages corpus",
+        "(fixtures/gen_pages.py; --extract-only takes --copies N for an",
+        "in-plan N× union when a larger corpus is wanted).",
         "",
         "| parallelism | Spark job docs/s | no-Spark control docs/s |",
         "|---|---|---|",
@@ -372,11 +373,12 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--master", default=f"local[{CPUS}]")
+    ap.add_argument("--copies", type=int, default=1)
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling()))
     elif args.extract_only:
-        print(json.dumps(run_extract_only(args.master)))
+        print(json.dumps(run_extract_only(args.master, copies=args.copies)))
     else:
         print(json.dumps(run_headline(args.master)))
 

@@ -239,8 +239,16 @@ def _find_close(s: str, start: int, op: str, cl: str) -> int:
 def _parse_attr(body: str, ctx: str):
     """S6–S10: [a], [a=v], [a~=v], [a|=v], [a^=v], [a$=v], [a*=v]."""
     body = body.strip()
+    # Operator search must stop at the first quote: in [href="a*=b"] the
+    # '*=' inside the quoted value is data, not the comparison operator.
+    qpos = len(body)
+    for q in "'\"":
+        i = body.find(q)
+        if 0 <= i < qpos:
+            qpos = i
+    head = body[:qpos]
     for op in ("~=", "|=", "^=", "$=", "*=", "="):
-        idx = body.find(op)
+        idx = head.find(op)
         if idx > 0:
             name = body[:idx].strip().lower()
             val = body[idx + len(op) :].strip()

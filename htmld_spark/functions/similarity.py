@@ -96,19 +96,21 @@ def with_lsh_bucket(
     return df.withColumn(out_col, _make_bucket_udf(n_planes, dim, seed)(F.col(vec_col)))
 
 
-def ivf_assign(
+def ivf_build(
     df: DataFrame,
     n_cells: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
 ):
-    """IVF coarse quantizer: k-means (pyspark.ml) over the embedding column;
-    returns (df_with_cell, centroids) where centroids is a small local list
-    (the index metadata a 100 TB deployment would persist with the table).
-    """
+    """IVF index BUILD (run once at ingest, not per query): k-means
+    (pyspark.ml) coarse quantizer over the embedding column. Returns
+    (assigned_df, centroids) — the assigned frame carries the cell column
+    (at 100 TB it is written back as a table column / partition key), and
+    ``centroids`` is the small driver-side index metadata persisted with
+    the table. ``ann_ivf_query`` then runs with NO fit in its plan."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol=out_col)
@@ -116,6 +118,54 @@ def ivf_assign(
     assigned = model.transform(vecs).drop("_v")
     centroids = [list(c) for c in model.clusterCenters()]
     return assigned, centroids
+
+
+# Back-compat alias for the round-1 name.
+ivf_assign = ivf_build
+
+
+def ann_ivf_query(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec_id: int,
+    k: int = 20,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF approximate top-k QUERY over a prebuilt index (``ivf_build``
+    output): pick the ``n_probe`` cells whose centroids are nearest the
+    query vector (driver-side math over the tiny centroid list), filter the
+    assigned table to those cells, exact cosine re-rank inside them. The
+    query plan is a selective filter + broadcast re-rank — no KMeans fit,
+    no full scan: it touches ~n_probe/n_cells of the data (with the cell
+    column as a partition/bucket key at scale, that is partition pruning).
+
+    Raises ``ValueError`` when ``query_vec_id`` is absent."""
+    import numpy as np
+
+    qrow = (
+        assigned.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col, cell_col)
+        .head()
+    )
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found in index")
+    q = np.asarray(qrow[vec_col], dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    cands = assigned.filter(
+        F.col(cell_col).isin(probe) & (F.col(id_col) != query_vec_id)
+    )
+    qdf = assigned.filter(F.col(id_col) == query_vec_id).select(vec_col)
+    scored = with_cosine(cands, qdf, vec_col)
+    return (
+        scored.select(F.col(id_col), F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def ann_ivf_topk(
@@ -128,36 +178,22 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: assign every vector to a k-means cell, probe
-    only the ``n_probe`` cells whose centroids are nearest the query, exact
-    cosine re-rank inside the probed cells. At scale the cell column is
-    precomputed at ingest (and used as a partition/bucket key), so a query
-    scans n_probe/n_cells of the data."""
-    import numpy as np
-
-    assigned, centroids = ivf_assign(df, n_cells, seed, vec_col)
-    # cache: the assignment feeds the centroid probe AND the re-rank scan
-    # (at real scale the cell column is a persisted table column instead)
+    """Convenience wrapper: build-then-query in one call (small-scale/test
+    path). The cache backs the assignment for both the probe and the
+    re-rank; it is unpersisted once the (small, LIMIT k) result is
+    materialized. Production path: ``ivf_build`` once, persist the cell
+    column + centroids, then ``ann_ivf_query`` per query."""
+    assigned, centroids = ivf_build(df, n_cells, seed, vec_col)
     assigned = assigned.cache()
-    qrow = (
-        assigned.filter(F.col(id_col) == query_vec_id)
-        .select(vec_col, "ivf_cell")
-        .head()
-    )
-    q = np.asarray(qrow[vec_col], dtype=np.float64)
-    cents = np.asarray(centroids, dtype=np.float64)
-    d = ((cents - q) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d)[:n_probe]]
-    cands = assigned.filter(
-        F.col("ivf_cell").isin(probe) & (F.col(id_col) != query_vec_id)
-    )
-    qdf = assigned.filter(F.col(id_col) == query_vec_id).select(vec_col)
-    scored = with_cosine(cands, qdf, vec_col)
-    return (
-        scored.select(F.col(id_col), F.round("cosine", 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    try:
+        result = ann_ivf_query(
+            assigned, centroids, query_vec_id, k, n_probe, id_col, vec_col
+        )
+        rows = result.collect()
+    finally:
+        assigned.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, schema=result.schema)
 
 
 def ann_lsh_topk(

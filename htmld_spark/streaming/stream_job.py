@@ -5,7 +5,10 @@ DataFrames, so the §2.A engine runs per micro-batch. Late data is governed
 by a watermark on ``warc_ts``; duplicate crawls within the watermark are
 dropped with ``dropDuplicatesWithinWatermark``; tumbling-window per-language
 counts aggregate the extracted output. The parquet sink goes through
-``foreachBatch`` for exactly-once-per-epoch appends (idempotent by epoch id).
+``foreachBatch`` writing each epoch into its own ``epoch_id=N`` partition
+with dynamic partition overwrite: a re-executed epoch (crash between the
+parquet write and the checkpoint commit) overwrites its own partition
+instead of appending duplicates — idempotent, exactly-once per epoch.
 """
 
 from __future__ import annotations
@@ -64,6 +67,20 @@ def windowed_lang_counts(
     )
 
 
+def write_epoch(batch_df: DataFrame, epoch_id: int, data_dir: str) -> None:
+    """Idempotent epoch write: partition by epoch_id + dynamic partition
+    overwrite, so a replayed epoch (crash between parquet write and
+    checkpoint commit) replaces its own partition instead of appending
+    duplicates — exactly-once per epoch."""
+    (
+        batch_df.withColumn("epoch_id", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(data_dir)
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_dir: str,
@@ -77,11 +94,7 @@ def run_stream_to_parquet(
     extracted = streaming_extract(read_pages_stream(spark, source_dir), watermark)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "data"))
-        )
+        write_epoch(batch_df, epoch_id, os.path.join(out_dir, "data"))
 
     return (
         extracted.writeStream.foreachBatch(sink)

@@ -111,6 +111,28 @@ def test_streaming_parquet_sink_and_restart(spark, tmp_path_factory):
     assert spark.read.parquet(out + "/data").count() == n1
 
 
+def test_epoch_write_is_idempotent_on_replay(spark, tmp_path_factory):
+    """Crash-replay of an epoch (foreachBatch re-invoked with the same
+    epoch_id after the parquet write but before the checkpoint commit)
+    must not duplicate rows: write_epoch overwrites its own epoch_id
+    partition (ADVICE r01)."""
+    from htmld_spark.streaming.stream_job import write_epoch
+
+    out = str(tmp_path_factory.mktemp("epoch_sink")) + "/data"
+    df = spark.range(100).withColumnRenamed("id", "v")
+    write_epoch(df, 0, out)
+    write_epoch(df, 1, out)
+    assert spark.read.parquet(out).count() == 200
+    # replay epoch 1 (same rows) — count unchanged
+    write_epoch(df, 1, out)
+    assert spark.read.parquet(out).count() == 200
+    # replay epoch 1 with FEWER rows (e.g. source trimmed): replaces, not appends
+    write_epoch(df.limit(40), 1, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 140
+    assert got.filter("epoch_id = 1").count() == 40
+
+
 def test_stateful_host_stats_accumulates_across_batches(spark):
     """applyInPandasWithState: state carries per-host totals across
     micro-batches; final totals equal the batch ground truth."""

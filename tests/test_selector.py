@@ -213,6 +213,21 @@ def test_selector_errors():
             compile_selector(bad)
 
 
+def test_attr_operator_inside_quoted_value():
+    """Operator search must be quote-aware: in [href="a*=b"] the '*=' is
+    data, so the selector is an EXACT match on the literal value
+    (ADVICE r01)."""
+    d = parse_document(b'<a href="a*=b">x</a><a href="ab">y</a>')
+    from htmld_spark.engine.extract import inner_text
+
+    sel = compile_selector('[href="a*=b"]')
+    hits = list(query_select_all(d, sel))
+    assert [inner_text(d, n) for n in hits] == [b"x"]
+    # and a real substring operator still works alongside quoted values
+    sel2 = compile_selector('[href*="*="]')
+    assert [inner_text(d, n) for n in query_select_all(d, sel2)] == [b"x"]
+
+
 def test_compile_once_reuse(doc):
     sel = compile_selector("#b li.sel")
     assert [doc.attr(n, b"class") for n in query_select_all(doc, sel)] == [b"sel"]

@@ -150,12 +150,16 @@ def test_winnow_fingerprint(spark):
             (2, BASE),  # identical → identical fingerprint
             (3, BASE.replace("garden", "meadow")),  # local edit → shared grams
             (4, "entirely different material with no overlap whatsoever here"),
-            (5, ""),  # empty text → no rows (no k-grams)
+            (5, ""),  # empty text → whole-text-hash fallback
+            (6, "tiny doc"),  # < k+w-1 chars of grams → min-gram fallback
         ],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in winnow_fingerprint(df).collect()}
-    assert 5 not in rows  # empty doc yields no fingerprint row
+    # every input id appears (short-doc fallbacks; ADVICE r01)
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[5].n_grams == 0 and rows[5].n_selected == 1
+    assert rows[6].n_selected == 1  # n_grams < w → single min-gram select
     assert rows[1].winnow_fp == rows[2].winnow_fp
     assert rows[1].winnow_fp != rows[4].winnow_fp
     assert rows[1].n_selected > 0 and rows[1].n_grams > 0
