@@ -106,46 +106,71 @@ def _q_extract_metrics_by_lang(spark, sf_dir):
 
 
 def _q_spans_tag_histogram(spark, sf_dir):
-    pages = _pages(spark, sf_dir).limit(2000)
+    """R7: posexplode of the spans column — the UDTF-equivalent relational
+    view of the DOM. Golden-oracled per tag against the fixture's
+    hand-composed tc_* counts (fixtures/gen_pages.py TAG_BATTERY)."""
+    from fixtures.gen_pages import TAG_BATTERY
+
+    pages = _pages(spark, sf_dir)
     out = extract_df(pages.select("url", "html"), with_spans=True)
-    # R7: posexplode — the UDTF-equivalent relational view of the DOM
     return (
-        out.select(F.posexplode("spans").alias("pos", "s"))
+        out.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.tag").isin(TAG_BATTERY))
         .groupBy(F.col("s.tag").alias("tag"))
-        .agg(F.count("*").alias("n"), F.min("pos").alias("first_pos"))
+        .agg(F.count("*").alias("n"))
         .orderBy("tag")
     )
 
 
 def _q_select_counts(spark, sf_dir):
-    pages = _pages(spark, sf_dir).limit(2000)
-    counted = select_count_df(
-        pages.select("url", "html"),
-        ["main p", "nav a[href]", "table td", "ul > li", "h1, h2, h3"],
-    )
-    return counted.agg(
-        F.sum("c0").alias("n_main_p"),
-        F.sum("c1").alias("n_nav_links"),
-        F.sum("c2").alias("n_cells"),
-        F.sum("c3").alias("n_list_items"),
-        F.sum("c4").alias("n_headings"),
+    """Per-document match counts for the full selector battery (S3, S6,
+    S8–S16 — every attr operator, combinator and pseudo), golden-oracled
+    row-by-row against the fixture's independently composed sel_* columns."""
+    from fixtures.gen_pages import SELECTOR_BATTERY
+
+    pages = _pages(spark, sf_dir)
+    return select_count_df(
+        pages.select("url", "warc_ts", "html"),
+        [s for _, s in SELECTOR_BATTERY],
+        names=[k for k, _ in SELECTOR_BATTERY],
     )
 
 
 def _q_select_extract(spark, sf_dir):
     """querySelectorAll → innerText, relationally (the reference's primary
-    workflow; S18/S19 + X1 over the corpus)."""
+    workflow; S18/S19 + X1 over the corpus). Golden-oracled per
+    (url, warc_ts, selector) against the fixture's se_* columns."""
+    from fixtures.gen_pages import SELECT_EXTRACT_SELECTORS
     from htmld_spark.functions.udfs import select_extract_df
 
-    pages = _pages(spark, sf_dir).limit(1000)
+    pages = _pages(spark, sf_dir)
     out = select_extract_df(
-        pages.select("url", "html"), ["main h1", "table td", ".wrap p"]
+        pages.select("url", "warc_ts", "html"), SELECT_EXTRACT_SELECTORS
     )
     return out.select(
         "url",
+        "warc_ts",
         "selector",
         "n_matches",
         F.try_element_at("texts", F.lit(1)).alias("first_text"),
+    )
+
+
+def _q_outer_html_main(spark, sf_dir):
+    """X2/X3: outerHTML serialization of the <main> element per page —
+    requiresQuotes quoting, entity re-escape, implied-end-tag explicitation,
+    void '/>' — golden-oracled against the fixture's hand-composed
+    main_outer_html column."""
+    from htmld_spark.functions.udfs import select_extract_df
+
+    pages = _pages(spark, sf_dir)
+    out = select_extract_df(
+        pages.select("url", "warc_ts", "html"), ["main"], with_html=True
+    )
+    return out.select(
+        "url",
+        "warc_ts",
+        F.try_element_at("htmls", F.lit(1)).alias("outer_html"),
     )
 
 
@@ -370,6 +395,43 @@ def _q_stream_window_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_stream_session_counts(spark, sf_dir):
+    """R16: Structured Streaming SESSION windows (F.session_window with a
+    30-minute gap per user), driven to completion on the batch parquet via
+    the file-stream source + memory sink. Oracled by the equivalent
+    gap-sessionization SQL (new session when the inter-event gap ≥ gap;
+    window end = last_ts + gap)."""
+    from htmld_spark.streaming.stream_job import session_window_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    import hashlib
+
+    link_dir = os.path.join(
+        "/tmp", "htmld_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:8]
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(link_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = session_window_counts(stream, gap="30 minutes", watermark="365 days")
+    name = "stream_session_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # --- training-data ops -------------------------------------------------------------------
 
 
@@ -498,37 +560,57 @@ def _q_topk_parts_per_brand(spark, sf_dir):
 
 
 def _q_spans_array_ops(spark, sf_dir):
-    """Array functions over the spans column (R13): size / filter /
-    transform+aggregate without leaving the JVM."""
-    pages = _pages(spark, sf_dir).limit(1500)
+    """Array functions over the spans column (R13): size / filter without
+    leaving the JVM. Golden-oracled per row: n_elements == the fixture's
+    hand-composed sel_all (total element count), n_p == tc_p. (The
+    max-span-width transform/aggregate form is pinned by the span-invariant
+    pytest instead — raw offsets are not independently composable.)"""
+    pages = _pages(spark, sf_dir)
     out = extract_df(pages.select("url", "warc_ts", "html"), with_spans=True)
-    widths = F.transform("spans", lambda s: s["end"] - s["start"])
     return out.select(
         "url",
         "warc_ts",
         F.size("spans").alias("n_elements"),
         F.size(F.filter("spans", lambda s: s["tag"] == F.lit("p"))).alias("n_p"),
-        F.aggregate(
-            widths, F.lit(0).cast("long"), lambda acc, x: F.greatest(acc, x)
-        ).alias("max_span_width"),
     )
 
 
+def _media(spark):
+    from fixtures.gen_media import ensure_media
+
+    return spark.read.parquet(os.path.join(ensure_media(), "media.parquet"))
+
+
 def _q_multimodal_image_features(spark, sf_dir):
+    """REAL pure-Python BMP decode (codecs.py): channel means + aHash.
+    Golden-oracled against closed-form expectations composed from the draw
+    parameters (fixtures/gen_media.py); the decoder column pins that the
+    real path ran, not the stub."""
     from htmld_spark.functions import multimodal as MM
 
-    media = spark.createDataFrame(MM.gen_media_rows(300), MM.MEDIA_SCHEMA)
-    return MM.image_features_df(media).select(
-        "media_id", "width", "height", "mean_r", "phash"
+    return MM.image_features_df(_media(spark)).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+        "phash", "decoder",
+    )
+
+
+def _q_multimodal_audio_features(spark, sf_dir):
+    """REAL pure-Python PCM-16 WAV decode: sample rate, count, RMS."""
+    from htmld_spark.functions import multimodal as MM
+
+    return MM.audio_features_df(_media(spark)).select(
+        "media_id", "sample_rate", "n_samples", "rms", "decoder"
     )
 
 
 def _q_multimodal_frame_sample(spark, sf_dir):
+    """REAL RAWV frame decode: 1 video row → k frame rows with per-frame
+    mean; golden-oracled against the generator's fill-byte closed form."""
+    from fixtures.gen_media import FRAME_EVERY_N
     from htmld_spark.functions import multimodal as MM
 
-    media = spark.createDataFrame(MM.gen_media_rows(300), MM.MEDIA_SCHEMA)
-    return MM.frame_sample_df(media, every_n=25).select(
-        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    return MM.frame_sample_df(_media(spark), every_n=FRAME_EVERY_N).select(
+        "media_id", "frame_idx", "frame_mean", "frame_bytes"
     )
 
 
@@ -537,9 +619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction engine + pipeline (golden oracles on the pages fixture)
         "extract_main_text": _q_extract_main_text,
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
-        "spans_tag_histogram": _q_spans_tag_histogram,  # rows-only
-        "select_counts": _q_select_counts,  # rows-only
-        "select_extract": _q_select_extract,  # rows-only (selector engine)
+        "spans_tag_histogram": _q_spans_tag_histogram,  # golden (tc_*)
+        "select_counts": _q_select_counts,  # golden (sel_* battery)
+        "select_extract": _q_select_extract,  # golden (se_*)
+        "outer_html_main": _q_outer_html_main,  # golden (main_outer_html)
         "pages_dedup_latest": _q_pages_dedup_latest,
         "pages_host_counts": _q_pages_host_counts,
         # relational operators over driver tables
@@ -554,11 +637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "sessionize": _q_sessionize,
         "stream_window_counts": _q_stream_window_counts,
+        "stream_session_counts": _q_stream_session_counts,  # R16 session windows
         "asof_join_events": _q_asof_join_events,
         "set_ops_hosts": _q_set_ops_hosts,
         "pivot_orders": _q_pivot_orders,
         "topk_parts_per_brand": _q_topk_parts_per_brand,
-        "spans_array_ops": _q_spans_array_ops,  # rows-only (spans source)
+        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
         # training-data ops
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -574,8 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "doc_winnow_fingerprint": _q_winnow_fingerprint,  # golden (pure-py xxh64)
-        # multimodal plumbing (stub codecs; rows-only — no SQL equivalent)
+        # multimodal: REAL pure-Python decodes, golden-oracled vs the
+        # closed-form expectations of fixtures/gen_media.py
         "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
     }
 
@@ -589,8 +675,10 @@ def oracle_sql() -> dict[str, str]:
     # independent pure-Python implementation (fixtures/gen_golden.py);
     # the driver compares at sf=0.01
     from fixtures.gen_golden import ensure_golden
+    from fixtures.gen_media import ensure_media
 
     gold = ensure_golden("/root/testdata/sf0.01")
+    media_gold = ensure_media()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -601,9 +689,38 @@ def oracle_sql() -> dict[str, str]:
         k: f"len(regexp_extract_all(lower(text), '{p}'))"
         for k, p in lang_scores.items()
     }
+    from fixtures.gen_pages import SELECT_EXTRACT_SELECTORS, SELECTOR_BATTERY, TAG_BATTERY
+
+    sel_cols = ", ".join(k for k, _ in SELECTOR_BATTERY)
+    tag_hist = " UNION ALL ".join(
+        f"SELECT '{t}' AS tag, CAST(sum(tc_{t}) AS BIGINT) AS n "
+        f"FROM read_parquet('{fx}')"
+        for t in TAG_BATTERY
+    )
+    se_parts = []
+    for sel, key in zip(
+        SELECT_EXTRACT_SELECTORS, ("se_mainh1", "se_tabletd", "se_wrapp")
+    ):
+        se_parts.append(
+            f"SELECT url, warc_ts, '{sel}' AS selector, {key}_n AS n_matches, "
+            f"{key}_first AS first_text FROM read_parquet('{fx}')"
+        )
     return {
         # golden oracles: the fixture's text column IS the expected output
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
+        # selector battery / spans / serialization goldens — all composed
+        # independently at fixture-gen time (fixtures/gen_pages.py)
+        "select_counts": f"SELECT url, warc_ts, {sel_cols} FROM read_parquet('{fx}')",
+        "spans_tag_histogram": tag_hist,
+        "select_extract": " UNION ALL ".join(se_parts),
+        "outer_html_main": (
+            f"SELECT url, warc_ts, main_outer_html AS outer_html "
+            f"FROM read_parquet('{fx}')"
+        ),
+        "spans_array_ops": (
+            f"SELECT url, warc_ts, sel_all AS n_elements, tc_p AS n_p "
+            f"FROM read_parquet('{fx}')"
+        ),
         "extract_metrics_by_lang": (
             f"SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM read_parquet('{fx}') GROUP BY lang"
@@ -707,6 +824,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stream_session_counts": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS ss,
+                   CAST(floor(max(epoch(ts))) + 1800 AS BIGINT) AS se,
+                   count(*) AS n
+            FROM s GROUP BY user_id, sid
         """,
         "asof_join_events": """
             WITH clicks AS (
@@ -846,5 +982,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_lsh": (
             f"SELECT vec_id, cosine FROM "
             f"read_parquet('{os.path.join(gold, 'ann_lsh_topk.parquet')}')"
+        ),
+        "multimodal_image_features": (
+            f"SELECT media_id, width, height, mean_r, mean_g, mean_b, "
+            f"phash, decoder FROM read_parquet('{os.path.join(media_gold, 'image_features_expected.parquet')}')"
+        ),
+        "multimodal_audio_features": (
+            f"SELECT media_id, sample_rate, n_samples, rms, decoder FROM "
+            f"read_parquet('{os.path.join(media_gold, 'audio_features_expected.parquet')}')"
+        ),
+        "multimodal_frame_sample": (
+            f"SELECT media_id, frame_idx, frame_mean, frame_bytes FROM "
+            f"read_parquet('{os.path.join(media_gold, 'frames_expected.parquet')}')"
         ),
     }

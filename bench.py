@@ -322,6 +322,95 @@ def run_scaling(rounds: int = 3) -> dict:
     return report
 
 
+def run_weak_scaling(rounds: int = 3) -> dict:
+    """Weak-scaling probe (VERDICT r01 next-round #10): pin the worker
+    count, vary the data 1× vs 4× (in-plan union, distinct urls). If
+    docs/sec stays flat as data grows at FIXED parallelism, the job has no
+    per-job fixed-overhead term that the strong-scaling numbers could be
+    blaming on Spark — any 8→32 strong-scaling drop is then attributable
+    to the VM's oversubscribed cores (which the no-Spark control already
+    shows stop scaling), not to residual Spark overhead."""
+    import statistics
+
+    masters = ("local[8]", "local[32]")
+    copies_levels = (1, 4)
+    hist_path = os.path.join(REPO, "BENCH", "weak_scaling_history.jsonl")
+    samples: dict[str, list[float]] = {
+        f"{m}|x{c}": [] for m in masters for c in copies_levels
+    }
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for k, v in rec.items():
+                    samples.setdefault(k, []).append(v)
+    new_rec = {}
+    for _ in range(rounds):
+        for m in masters:
+            for c in copies_levels:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--extract-only",
+                     "--master", m, "--copies", str(c)],
+                    capture_output=True, text=True, check=True, cwd=REPO,
+                )
+                tp = json.loads(out.stdout.strip().splitlines()[-1])["docs_per_sec"]
+                key = f"{m}|x{c}"
+                samples[key].append(tp)
+                new_rec[key] = tp
+        os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(new_rec) + "\n")
+    flat = {}
+    for m in masters:
+        pairs = zip(samples[f"{m}|x4"], samples[f"{m}|x1"])
+        flat[m] = round(statistics.median([a / b for a, b in pairs]), 3)
+    report = {
+        "metric": "weak-scaling flatness tp(4x data)/tp(1x data) at fixed "
+        "parallelism (1.0 = zero per-job overhead)",
+        "value": flat["local[8]"],
+        "unit": "ratio",
+        "flatness": flat,
+        "docs_per_sec": {k: round(statistics.median(v), 1) for k, v in samples.items() if v},
+        "rounds": rounds,
+    }
+    _write_weak_scaling_md(report)
+    return report
+
+
+def _write_weak_scaling_md(report: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    tp = report["docs_per_sec"]
+    lines = [
+        "# BENCH — weak-scaling probe (fixed workers, 1× vs 4× data)",
+        "",
+        "Separates VM oversubscription from residual Spark overhead in the",
+        "strong-scaling numbers (BENCH/BASELINE.md): at a FIXED parallelism,",
+        "4× the corpus (in-plan union, distinct urls) should give ~1.0×",
+        "docs/sec if the job has no per-job fixed-overhead term. Medians of",
+        "paired per-round ratios over the accumulated history",
+        "(BENCH/weak_scaling_history.jsonl).",
+        "",
+        "| parallelism | docs/s @1× | docs/s @4× | flatness tp4x/tp1x |",
+        "|---|---|---|---|",
+    ]
+    for m in ("local[8]", "local[32]"):
+        lines.append(
+            f"| {m} | {tp.get(m + '|x1', '—')} | {tp.get(m + '|x4', '—')} | "
+            f"**{report['flatness'][m]}** |"
+        )
+    lines += [
+        "",
+        "Reading: flatness ≈ 1.0 at both parallelism levels means throughput",
+        "is data-size-independent once workers are pinned — the job is",
+        "compute-bound with fully amortized fixed costs. Combined with the",
+        "no-Spark control (which shows the VM itself stops scaling past",
+        "~8–16 procs), the strong-scaling 8→32 gap is attributable to the",
+        "oversubscribed host, not to Spark-side per-task or driver overhead.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "WEAK_SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def _write_bench_md(report: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -371,12 +460,15 @@ def _write_bench_md(report: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--weak-scaling", action="store_true")
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--copies", type=int, default=1)
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling()))
+    elif args.weak_scaling:
+        print(json.dumps(run_weak_scaling()))
     elif args.extract_only:
         print(json.dumps(run_extract_only(args.master, copies=args.copies)))
     else:

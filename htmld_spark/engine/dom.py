@@ -77,6 +77,37 @@ for _t in _P_CLOSERS:
 _EMPTY: frozenset[bytes] = frozenset()
 
 
+class DOMOptions:
+    """Runtime analog of the reference's compile-time ``DOMCreateOptions``
+    template options (``createDocument!(...)``, src/html/dom.d [recalled —
+    the exact upstream flag set is unverifiable with the empty reference
+    mount; this pins a documented approximation]). Gates what the BUILDER
+    keeps/does, independently of the tokenizer's ParserOptions:
+
+    - ``keep_comments``: False → Comment nodes are not allocated (the
+      tokenizer still sees them; they simply don't enter the DOM);
+    - ``keep_pi_decl``: False → ProcessingInstruction / Declaration /
+      DocType nodes are not allocated;
+    - ``implied_end_tags``: False → disable the D5 lenient table (strict
+      nesting: an open tag never auto-closes a prior element).
+    """
+
+    __slots__ = ("keep_comments", "keep_pi_decl", "implied_end_tags")
+
+    def __init__(
+        self,
+        keep_comments: bool = True,
+        keep_pi_decl: bool = True,
+        implied_end_tags: bool = True,
+    ):
+        self.keep_comments = keep_comments
+        self.keep_pi_decl = keep_pi_decl
+        self.implied_end_tags = implied_end_tags
+
+
+DEFAULT_DOM_OPTIONS = DOMOptions()
+
+
 class Document:
     """Arena of nodes in flat parallel lists; id 0 is the synthetic root."""
 
@@ -350,10 +381,16 @@ class DOMBuilder:
         "_rel",
         "_tsl",
         "_tel",
+        "_keep_comments",
+        "_keep_pi_decl",
+        "_implied",
     )
 
-    def __init__(self, source: bytes):
+    def __init__(self, source: bytes, dom_options: DOMOptions = DEFAULT_DOM_OPTIONS):
         self.doc = Document(source)
+        self._keep_comments = dom_options.keep_comments
+        self._keep_pi_decl = dom_options.keep_pi_decl
+        self._implied = dom_options.implied_end_tags
         self.stack: list[int] = [0]  # open element ids; [0] = root
         self._buf: list[bytes] = []  # pending text pieces (D8 folding)
         self._buf_start = 0
@@ -435,8 +472,8 @@ class DOMBuilder:
             self._flush_text()
         stack = self.stack
         tagl = self._tagl
-        # D5: implied end tags
-        closes = IMPLIED_END.get(name)
+        # D5: implied end tags (gated by DOMOptions.implied_end_tags)
+        closes = IMPLIED_END.get(name) if self._implied else None
         if closes:
             while len(stack) > 1 and tagl[stack[-1]] in closes:
                 top = stack.pop()
@@ -481,7 +518,9 @@ class DOMBuilder:
         d.content[nid] = d.source[s:e]
 
     def on_comment(self, s, e):
-        self._simple(COMMENT, s, e)
+        if self._keep_comments:
+            self._simple(COMMENT, s, e)
+        # dropped comment: no flush — adjacent text runs fold together
 
     def on_cdata(self, s, e):
         # CDATA contributes to innerText (it is character data)
@@ -494,13 +533,16 @@ class DOMBuilder:
         d.text_end[nid] = self._text_len
 
     def on_doctype(self, s, e):
-        self._simple(DOCTYPE, s, e)
+        if self._keep_pi_decl:
+            self._simple(DOCTYPE, s, e)
 
     def on_decl(self, s, e):
-        self._simple(DECL, s, e)
+        if self._keep_pi_decl:
+            self._simple(DECL, s, e)
 
     def on_pi(self, s, e):
-        self._simple(PI, s, e)
+        if self._keep_pi_decl:
+            self._simple(PI, s, e)
 
     # --- D7: EOF -----------------------------------------------------------------
     def on_done(self, e: int) -> None:
@@ -515,15 +557,15 @@ class DOMBuilder:
         d.total_text_len = self._text_len
 
 
-def parse_document(html: bytes, options=None) -> Document:
+def parse_document(html: bytes, options=None, dom_options=None) -> Document:
     """Parse raw html bytes into a Document. Never raises on malformed input.
 
     The end-to-end analog of the reference's ``createDocument(source)``
     (src/html/dom.d [recalled]): single pass, tokenizer callbacks feed the
     builder directly — no intermediate token list. ``options`` is a
-    tokenizer.ParserOptions (entity/comment/CDATA/raw-text gating — the
-    DOMCreateOptions analog)."""
-    builder = DOMBuilder(html)
+    tokenizer.ParserOptions (tokenizer-side flags); ``dom_options`` is a
+    DOMOptions (builder-side flags — the DOMCreateOptions analog)."""
+    builder = DOMBuilder(html, dom_options or DEFAULT_DOM_OPTIONS)
     if options is None:
         tokenize(html, builder)
     else:

@@ -7,8 +7,11 @@ X1 inner_text: document-order concatenation of descendant Text/CDATA bytes —
 X2/X3 inner_html/outer_html: markup reconstruction with HTML escaping of
     text (``& < >``) and attribute values (``& "``), quoting semantics of the
     reference's writeHTMLEscaped/requiresQuotes (src/html/utils.d [recalled]):
-    attribute values are always double-quoted; valueless attributes are
-    emitted bare; original tag case is preserved.
+    attribute values are emitted UNQUOTED when legal — non-empty and free of
+    whitespace, quotes, ``=``, ``<``, ``>`` and backtick — else double-quoted
+    (requiresQuotes); valueless attributes are emitted bare; original tag
+    case is preserved. Pinned by tests/test_extract.py and the fixture's
+    ``main_outer_html`` golden column.
 X5 element_spans: per element node, byte offsets into the raw html
     (raw_start/raw_end) and into the full-document innerText
     (text_start/text_end) — mandated by BASELINE.json "per-node span offsets".
@@ -74,6 +77,16 @@ def _escape_attr(b: bytes) -> bytes:
     return b
 
 
+# Chars whose presence (or an empty value) forces quoting — the analog of
+# the reference's requiresQuotes (src/html/utils.d [recalled]): HTML5
+# unquoted attribute values exclude whitespace, quotes, '=', '<', '>', '`'.
+_QUOTE_FORCING = frozenset(b"\t\n\f\r \"'=<>`")
+
+
+def _requires_quotes(value: bytes) -> bool:
+    return len(value) == 0 or any(c in _QUOTE_FORCING for c in value)
+
+
 _NO_ESCAPE_CONTENT = frozenset((b"script", b"style", b"xmp"))
 
 
@@ -100,8 +113,10 @@ def _serialize(doc: Document, nid: int, out: list[bytes]) -> None:
                 for name, value in a.items():
                     if value is None:
                         out.append(b" " + name)
-                    else:
+                    elif _requires_quotes(value):
                         out.append(b" " + name + b'="' + _escape_attr(value) + b'"')
+                    else:
+                        out.append(b" " + name + b"=" + _escape_attr(value))
             t = tag[cur]
             if t in VOID_ELEMENTS and doc.first_child[cur] == NULL:
                 out.append(b"/>")
@@ -234,21 +249,32 @@ def fast_inner_text(html: bytes) -> bytes:
     return sink.text()
 
 
+_TAG_STR_MEMO: dict[bytes, str] = {}
+
+
 def element_span_columns(doc: Document, cols: tuple[list, ...]) -> int:
     """Append this document's element spans into 7 caller-owned column lists
     (node_id, parent_id, tag, start, end, text_start, text_end) — the
     columnar fast path for Arrow batch construction. Returns the number of
-    spans appended."""
+    spans appended. Tag-name str decoding is memoized across documents (the
+    tag vocabulary is tiny; one decode per distinct tag per worker)."""
     kind = doc.kind
     c_nid, c_pid, c_tag, c_s, c_e, c_ts, c_te = cols
     tag, parent = doc.tag, doc.parent
     rs, re_, ts, te = doc.raw_start, doc.raw_end, doc.text_start, doc.text_end
+    memo = _TAG_STR_MEMO
     n = 0
     for nid in range(1, len(kind)):
         if kind[nid] == ELEM:
             c_nid.append(nid)
             c_pid.append(parent[nid])
-            c_tag.append(tag[nid].decode("utf-8", "replace"))
+            t = tag[nid]
+            s = memo.get(t)
+            if s is None:
+                s = t.decode("utf-8", "replace")
+                if len(memo) < 4096:  # adversarial unique-tag soup: no growth
+                    memo[t] = s
+            c_tag.append(s)
             c_s.append(rs[nid])
             c_e.append(re_[nid])
             c_ts.append(ts[nid])

@@ -199,6 +199,17 @@ def _scan_open_tag(
     while i < n and html[i] not in _NAME_END:
         i += 1
     name = low[lt + 1 : i]
+    # fast path: `<name>` with no attributes — the dominant real-page shape
+    if i < n and html[i] == 0x3E:
+        handler.on_open(name, html[lt + 1 : i], (), lt, i + 1, False)
+        if options.raw_text:
+            if name in RAW_TEXT_TAGS:
+                return _scan_raw_text(html, low, name, i + 1, n, handler, rcdata=False)
+            if name in RCDATA_TAGS:
+                return _scan_raw_text(
+                    html, low, name, i + 1, n, handler, rcdata=options.entities
+                )
+        return i + 1
     raw_name = html[lt + 1 : i]
     attrs: list[tuple[bytes, bytes | None]] = []
     self_closing = False

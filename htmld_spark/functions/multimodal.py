@@ -1,20 +1,21 @@
 """Multimodal columns for training-data pipelines (task mandate).
 
 Image/audio/video payloads are opaque ``binary`` columns plus typed
-metadata. The Spark-side plumbing — schemas, Arrow batch shapes, byte-budget
-re-chunking, deterministic routing — is real and tested; the codec calls are
-STUBBED because this container has no image/audio libraries: each decoder
-first tries the real library (Pillow/soundfile) behind an import-guard and
-otherwise produces a DETERMINISTIC FAKE decode derived from the payload
-bytes (so tests pin exact values). Swap ``_decode_image_real`` /
-``_decode_audio_real`` in a full environment; nothing else changes.
+metadata. Since round 2 the decode paths are REAL for three self-contained
+formats (htmld_spark/functions/codecs.py — pure-Python uncompressed 24-bit
+BMP, PCM-16 WAV, and the RAWV fixture video container), so the operators
+compute actual channel means / aHash / RMS / frame slices. Precedence per
+payload: Pillow/soundfile when importable (absent in this container) →
+pure-Python codec → deterministic stub derived from the payload digest
+(exotic formats never kill a task; the ``decoder`` column says which path
+ran).
 
 Schemas:
     media(media_id long, kind string, payload binary,
           meta struct<width:int, height:int, sample_rate:int, n_frames:int>)
     image_features(media_id, width, height, mean_r/g/b double, phash bigint)
     audio_features(media_id, sample_rate, n_samples, rms double)
-    frames(media_id, frame_idx int, frame binary)
+    frames(media_id, frame_idx int, frame_mean double, frame_bytes int)
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ import hashlib
 from collections.abc import Iterator
 
 import pyarrow as pa
+
+from htmld_spark.functions import codecs
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
@@ -35,11 +38,13 @@ IMAGE_FEATURES_SCHEMA = (
 AUDIO_FEATURES_SCHEMA = (
     "media_id bigint, sample_rate int, n_samples int, rms double, decoder string"
 )
-FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_mean double, frame_bytes int"
+)
 
 
 def _decode_image_real(payload: bytes):
-    """Real decode path (absent in this container — import-guarded)."""
+    """Pillow path (absent in this container — import-guarded)."""
     try:
         import io
 
@@ -52,8 +57,8 @@ def _decode_image_real(payload: bytes):
 
 
 def _fake_image_stats(payload: bytes, width: int, height: int):
-    """Deterministic fake decode: channel means and a 64-bit perceptual-hash
-    stand-in derived from the payload digest. Pure function of the bytes."""
+    """Deterministic stub for undecodable payloads: channel means and a
+    64-bit hash stand-in derived from the payload digest."""
     d = hashlib.sha256(payload).digest()
     mean_r = d[0] / 255.0 * 255
     mean_g = d[1] / 255.0 * 255
@@ -87,8 +92,14 @@ def make_image_features_fn(byte_budget: int = 64 << 20):
                     ph = 0
                     dec = "pillow"
                 else:
-                    r, g, b, ph = _fake_image_stats(payload, w, h)
-                    dec = "stub"
+                    try:
+                        w, h, mr, mg, mb = codecs.bmp_channel_means(payload)
+                        r, g, b = round(mr, 4), round(mg, 4), round(mb, 4)
+                        ph = codecs.bmp_ahash(payload)
+                        dec = "bmp"
+                    except ValueError:
+                        r, g, b, ph = _fake_image_stats(payload, w, h)
+                        dec = "stub"
                 out_id.append(mid)
                 out_w.append(w)
                 out_h.append(h)
@@ -133,11 +144,60 @@ def image_features_df(media_df):
     )
 
 
+def make_audio_features_fn():
+    """mapInArrow: media batches (kind='audio') → audio_features rows.
+    PCM-16 WAV decode (codecs.decode_wav); digest stub for exotic formats."""
+
+    def audio_features(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_pylist()
+            payloads = batch.column(names.index("payload")).to_pylist()
+            metas = batch.column(names.index("meta")).to_pylist()
+            out_id, out_sr, out_n, out_rms, out_dec = [], [], [], [], []
+            for mid, payload, meta in zip(ids, payloads, metas):
+                payload = payload or b""
+                try:
+                    sr, n, rms = codecs.wav_rms(payload)
+                    dec = "wav"
+                except ValueError:
+                    d = hashlib.sha256(payload).digest()
+                    sr = (meta or {}).get("sample_rate") or 0
+                    n = len(payload) // 2
+                    rms = d[0] / 255.0
+                    dec = "stub"
+                out_id.append(mid)
+                out_sr.append(sr)
+                out_n.append(n)
+                out_rms.append(round(rms, 6))
+                out_dec.append(dec)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_sr, pa.int32()),
+                    pa.array(out_n, pa.int32()),
+                    pa.array(out_rms, pa.float64()),
+                    pa.array(out_dec, pa.string()),
+                ],
+                names=["media_id", "sample_rate", "n_samples", "rms", "decoder"],
+            )
+
+    return audio_features
+
+
+def audio_features_df(media_df):
+    from pyspark.sql import functions as F
+
+    return media_df.filter(F.col("kind") == "audio").mapInArrow(
+        make_audio_features_fn(), AUDIO_FEATURES_SCHEMA
+    )
+
+
 def make_frame_sample_fn(every_n: int = 10):
-    """mapInArrow: video media → one fake frame row per ``every_n`` frames.
-    The frame payload is a deterministic slice of the video payload (stub
-    for a real keyframe decode); the EXPLODING row shape (1 video row → k
-    frame rows) is the part that matters for pipeline correctness."""
+    """mapInArrow: video media → one row per ``every_n``-th frame with the
+    REAL frame slice decoded from the RAWV container (1 video row → k frame
+    rows; the exploding shape + the decode). Undecodable payloads fall back
+    to a digest stub with n_frames from metadata."""
 
     def frame_sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -145,22 +205,36 @@ def make_frame_sample_fn(every_n: int = 10):
             ids = batch.column(names.index("media_id")).to_pylist()
             payloads = batch.column(names.index("payload")).to_pylist()
             metas = batch.column(names.index("meta")).to_pylist()
-            out_id, out_idx, out_frame = [], [], []
+            out_id, out_idx, out_mean, out_nb = [], [], [], []
             for mid, payload, meta in zip(ids, payloads, metas):
                 payload = payload or b""
-                n_frames = (meta or {}).get("n_frames") or 0
-                for idx in range(0, n_frames, every_n):
-                    lo = (idx * 37) % max(1, len(payload) - 16)
-                    out_id.append(mid)
-                    out_idx.append(idx)
-                    out_frame.append(payload[lo : lo + 16])
+                try:
+                    w, h, n_frames, frame_size = codecs.decode_rawv_header(payload)
+                    for idx in range(0, n_frames, every_n):
+                        frame = codecs.rawv_frame(payload, idx)
+                        out_id.append(mid)
+                        out_idx.append(idx)
+                        out_mean.append(round(sum(frame) / len(frame), 4))
+                        out_nb.append(len(frame))
+                except ValueError:
+                    n_frames = (meta or {}).get("n_frames") or 0
+                    for idx in range(0, n_frames, every_n):
+                        lo = (idx * 37) % max(1, len(payload) - 16)
+                        frame = payload[lo : lo + 16]
+                        out_id.append(mid)
+                        out_idx.append(idx)
+                        out_mean.append(
+                            round(sum(frame) / len(frame), 4) if frame else 0.0
+                        )
+                        out_nb.append(len(frame))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_id, pa.int64()),
                     pa.array(out_idx, pa.int32()),
-                    pa.array(out_frame, pa.binary()),
+                    pa.array(out_mean, pa.float64()),
+                    pa.array(out_nb, pa.int32()),
                 ],
-                names=["media_id", "frame_idx", "frame"],
+                names=["media_id", "frame_idx", "frame_mean", "frame_bytes"],
             )
 
     return frame_sample
@@ -175,19 +249,14 @@ def frame_sample_df(media_df, every_n: int = 10):
 
 
 def gen_media_rows(n: int, seed: int = 42):
-    """Deterministic synthetic media table rows (no external data)."""
+    """Deterministic synthetic media rows with REAL payloads (no external
+    data): two-tone BMP images, square-wave PCM WAV audio, RAWV video with
+    constant-fill frames. Kept for tests; the contract queries use the
+    parquet fixture from fixtures/gen_media.py (which also composes the
+    expected features independently from these same draw parameters)."""
+    from fixtures.gen_media import draw_media_row
+
     import random
 
     rng = random.Random(seed)
-    rows = []
-    for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-        meta = {
-            "width": rng.randint(16, 1920) if kind == "image" else None,
-            "height": rng.randint(16, 1080) if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": rng.randint(30, 300) if kind == "video" else None,
-        }
-        rows.append((i, kind, payload, meta))
-    return rows
+    return [draw_media_row(i, rng)[0] for i in range(n)]

@@ -202,20 +202,28 @@ def extract_df(df, with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUDG
     return df.mapInArrow(make_extract_fn(with_spans, byte_budget), schema)
 
 
-def make_select_count_fn(selectors: list[str], byte_budget: int = DEFAULT_BYTE_BUDGET):
+def make_select_count_fn(
+    selectors: list[str],
+    names: list[str] | None = None,
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+):
     """mapInArrow function counting CSS-selector matches per document
     (S18 surfaced relationally). Selectors are compiled ONCE here on the
     driver and shipped in the closure — compile-once/match-many, the analog
-    of the reference's Selector.parse reuse (SURVEY.md §3.2)."""
+    of the reference's Selector.parse reuse (SURVEY.md §3.2). ``warc_ts``
+    passes through when present (duplicate urls need it as a tiebreaker)."""
     from htmld_spark.engine.selector import compile_selector, query_select_all
 
-    compiled = [(f"c{i}", compile_selector(s)) for i, s in enumerate(selectors)]
+    if names is None:
+        names = [f"c{i}" for i in range(len(selectors))]
+    compiled = [(n, compile_selector(s)) for n, s in zip(names, selectors)]
 
     def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            names = batch.schema.names
-            url_col = batch.column(names.index("url"))
-            html_col = batch.column(names.index("html"))
+            bnames = batch.schema.names
+            url_col = batch.column(bnames.index("url"))
+            html_col = batch.column(bnames.index("html"))
+            ts_col = batch.column(bnames.index("warc_ts")) if "warc_ts" in bnames else None
             for lo, hi in _slice_offsets(html_col, byte_budget):
                 counts: list[list[int]] = [[] for _ in compiled]
                 for raw in html_col.slice(lo, hi - lo).to_pylist():
@@ -224,25 +232,40 @@ def make_select_count_fn(selectors: list[str], byte_budget: int = DEFAULT_BYTE_B
                         counts[slot].append(
                             sum(1 for _ in query_select_all(doc, sel))
                         )
-                arrays = [url_col.slice(lo, hi - lo)] + [
-                    pa.array(c, pa.int32()) for c in counts
-                ]
-                fields = [("url", arrays[0].type)] + [
-                    (name, pa.int32()) for name, _ in compiled
-                ]
+                arrays = [url_col.slice(lo, hi - lo)]
+                fields = [("url", arrays[0].type)]
+                if ts_col is not None:
+                    arrays.append(ts_col.slice(lo, hi - lo))
+                    fields.append(("warc_ts", arrays[-1].type))
+                arrays += [pa.array(c, pa.int32()) for c in counts]
+                fields += [(name, pa.int32()) for name, _ in compiled]
                 yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     return count_batches
 
 
-def select_count_df(df, selectors: list[str], byte_budget: int = DEFAULT_BYTE_BUDGET):
-    """Count selector matches per document: returns (url, c0..cN int)."""
-    schema = "url string, " + ", ".join(f"c{i} int" for i in range(len(selectors)))
-    return df.mapInArrow(make_select_count_fn(selectors, byte_budget), schema)
+def select_count_df(
+    df,
+    selectors: list[str],
+    names: list[str] | None = None,
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+):
+    """Count selector matches per document: (url[, warc_ts], <name> int...)."""
+    if names is None:
+        names = [f"c{i}" for i in range(len(selectors))]
+    cols = "url string, "
+    if "warc_ts" in df.columns:
+        cols += "warc_ts timestamp, "
+    schema = cols + ", ".join(f"{n} int" for n in names)
+    return df.mapInArrow(make_select_count_fn(selectors, names, byte_budget), schema)
 
 
 SELECT_EXTRACT_SCHEMA = (
     "url string, selector string, n_matches int, "
+    "texts array<string>, htmls array<string>"
+)
+SELECT_EXTRACT_SCHEMA_TS = (
+    "url string, warc_ts timestamp, selector string, n_matches int, "
     "texts array<string>, htmls array<string>"
 )
 
@@ -267,11 +290,13 @@ def make_select_extract_fn(
             names = batch.schema.names
             url_col = batch.column(names.index("url"))
             html_col = batch.column(names.index("html"))
+            ts_col = batch.column(names.index("warc_ts")) if "warc_ts" in names else None
             for lo, hi in _slice_offsets(html_col, byte_budget):
                 urls = url_col.slice(lo, hi - lo).to_pylist()
                 raws = html_col.slice(lo, hi - lo).to_pylist()
-                o_url, o_sel, o_n, o_texts, o_htmls = [], [], [], [], []
-                for url, raw in zip(urls, raws):
+                tss = ts_col.slice(lo, hi - lo) if ts_col is not None else None
+                o_url, o_ts, o_sel, o_n, o_texts, o_htmls = [], [], [], [], [], []
+                for ri, (url, raw) in enumerate(zip(urls, raws)):
                     doc = parse_document(raw or b"")
                     for sel_str, sel in compiled:
                         nodes = []
@@ -280,6 +305,8 @@ def make_select_extract_fn(
                             if len(nodes) >= max_matches:
                                 break
                         o_url.append(url)
+                        if tss is not None:
+                            o_ts.append(ri)
                         o_sel.append(sel_str)
                         o_n.append(len(nodes))
                         o_texts.append(
@@ -296,16 +323,19 @@ def make_select_extract_fn(
                             if with_html
                             else None
                         )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(o_url, pa.string()),
-                        pa.array(o_sel, pa.string()),
-                        pa.array(o_n, pa.int32()),
-                        pa.array(o_texts, pa.list_(pa.string())),
-                        pa.array(o_htmls, pa.list_(pa.string())),
-                    ],
-                    names=["url", "selector", "n_matches", "texts", "htmls"],
-                )
+                arrays = [pa.array(o_url, pa.string())]
+                out_names = ["url"]
+                if tss is not None:
+                    arrays.append(tss.take(pa.array(o_ts, pa.int32())))
+                    out_names.append("warc_ts")
+                arrays += [
+                    pa.array(o_sel, pa.string()),
+                    pa.array(o_n, pa.int32()),
+                    pa.array(o_texts, pa.list_(pa.string())),
+                    pa.array(o_htmls, pa.list_(pa.string())),
+                ]
+                out_names += ["selector", "n_matches", "texts", "htmls"]
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     return select_extract
 
@@ -318,10 +348,14 @@ def select_extract_df(
     byte_budget: int = DEFAULT_BYTE_BUDGET,
 ):
     """querySelectorAll + extract over a pages DataFrame: one row per
-    (url, selector) with matched texts (and markup when ``with_html``)."""
+    (url[, warc_ts], selector) with matched texts (and markup when
+    ``with_html``)."""
+    schema = (
+        SELECT_EXTRACT_SCHEMA_TS if "warc_ts" in df.columns else SELECT_EXTRACT_SCHEMA
+    )
     return df.mapInArrow(
         make_select_extract_fn(selectors, max_matches, with_html, byte_budget),
-        SELECT_EXTRACT_SCHEMA,
+        schema,
     )
 
 

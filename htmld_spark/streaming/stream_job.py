@@ -67,6 +67,32 @@ def windowed_lang_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """R16 session windows: ``F.session_window`` groups per-key events into
+    dynamic sessions — a new event extends the session while it starts
+    strictly before previous_ts + gap; window end = last_ts + gap. Works on
+    batch AND streaming inputs (streaming requires the watermark).
+    Returns (key, ss, se, n) with unix-epoch session bounds."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col(key),
+            F.unix_timestamp(F.col("session_window.start")).alias("ss"),
+            F.unix_timestamp(F.col("session_window.end")).alias("se"),
+            "n",
+        )
+    )
+
+
 def write_epoch(batch_df: DataFrame, epoch_id: int, data_dir: str) -> None:
     """Idempotent epoch write: partition by epoch_id + dynamic partition
     overwrite, so a replayed epoch (crash between parquet write and

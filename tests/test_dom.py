@@ -239,3 +239,31 @@ def test_markup_soup_invariants(data):
         if d.kind[nid] == ELEM:
             assert 0 <= d.raw_start[nid] <= d.raw_end[nid] <= len(data)
             assert 0 <= d.text_start[nid] <= d.text_end[nid]
+
+
+def test_dom_options_analog():
+    """DOMOptions — the DOMCreateOptions analog (builder-side gating)."""
+    from htmld_spark.engine.dom import COMMENT, DOMOptions, PI, parse_document
+
+    src = b"<div>a<!--c-->b<?pi?><ul><li>x<li>y</ul></div>"
+    d = parse_document(src)
+    kinds = [d.kind[n] for n in d.descendants(0)]
+    assert COMMENT in kinds and PI in kinds
+    # drop comments + PI: adjacent text folds, nodes absent
+    d2 = parse_document(src, dom_options=DOMOptions(keep_comments=False,
+                                                    keep_pi_decl=False))
+    kinds2 = [d2.kind[n] for n in d2.descendants(0)]
+    assert COMMENT not in kinds2 and PI not in kinds2
+    from htmld_spark.engine.extract import inner_text
+
+    assert inner_text(d2, 0) == b"abxy"
+    # text folding across the dropped comment: "a" + "b" is ONE text node
+    texts = [d2.content[n] for n in d2.descendants(0) if d2.kind[n] == 2]
+    assert b"ab" in texts
+    # strict nesting: without implied end tags, <li>y nests inside <li>x
+    d3 = parse_document(src, dom_options=DOMOptions(implied_end_tags=False))
+    lis = [n for n in d3.descendants(0) if d3.kind[n] == 1 and d3.tag[n] == b"li"]
+    assert d3.parent[lis[1]] == lis[0]  # nested, not sibling
+    d4 = parse_document(src)
+    lis4 = [n for n in d4.descendants(0) if d4.kind[n] == 1 and d4.tag[n] == b"li"]
+    assert d4.parent[lis4[1]] == d4.parent[lis4[0]]  # default: siblings

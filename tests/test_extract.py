@@ -40,11 +40,11 @@ def test_inner_text_subtree():
 # --- X2/X3: innerHTML / outerHTML --------------------------------------------------
 
 
-def test_outer_html_roundtrip_simple():
-    src = b'<div id="a"><p>hi</p></div>'
-    d = parse_document(src)
+def test_outer_html_simple():
+    d = parse_document(b'<div id="a"><p>hi</p></div>')
     div = next(d.descendant_elements())
-    assert outer_html(d, div) == src
+    # safe value -> unquoted on output (requiresQuotes)
+    assert outer_html(d, div) == b"<div id=a><p>hi</p></div>"
 
 
 def test_inner_html():
@@ -63,19 +63,42 @@ def test_escaping_on_serialize():
 def test_attr_quoting():
     d = parse_document(b"<a href=x title='s\"q'>t</a>")
     a = next(d.descendant_elements())
-    assert outer_html(d, a) == b'<a href="x" title="s&quot;q">t</a>'
+    # href=x is quote-free -> bare; title contains a quote -> quoted+escaped
+    assert outer_html(d, a) == b'<a href=x title="s&quot;q">t</a>'
 
 
 def test_valueless_attr_serialized_bare():
     d = parse_document(b"<input disabled type=text>")
     a = next(d.descendant_elements())
-    assert outer_html(d, a) == b'<input disabled type="text"/>'
+    assert outer_html(d, a) == b"<input disabled type=text/>"
 
 
 def test_void_serialization():
     d = parse_document(b"<div><br>x<img src=y></div>")
     div = next(d.descendant_elements())
-    assert outer_html(d, div) == b'<div><br/>x<img src="y"/></div>'
+    assert outer_html(d, div) == b"<div><br/>x<img src=y/></div>"
+
+
+def test_requires_quotes_matrix():
+    """requiresQuotes (src/html/utils.d [recalled]): quote iff empty or
+    contains whitespace, a quote char, '=', '<', '>' or backtick."""
+    cases = [
+        (b"v", b"<p a=v>x</p>"),
+        (b"/deep/path/", b"<p a=/deep/path/>x</p>"),
+        (b"", b'<p a="">x</p>'),
+        (b"two words", b'<p a="two words">x</p>'),
+        (b"a=b", b'<p a="a=b">x</p>'),
+        (b"a<b", b'<p a="a<b">x</p>'),
+        (b"a>b", b'<p a="a>b">x</p>'),
+        (b"a`b", b'<p a="a`b">x</p>'),
+        (b"d'q", b"<p a=\"d'q\">x</p>"),
+        (b"a&b", b"<p a=a&amp;b>x</p>"),  # & escapes but needs no quotes
+    ]
+    for val, expected in cases:
+        d = parse_document(b"<p>x</p>")
+        n = next(d.descendant_elements())
+        d.set_attr(n, b"a", val)
+        assert outer_html(d, n) == expected, val
 
 
 def test_raw_text_not_escaped():
@@ -94,7 +117,7 @@ def test_comment_cdata_doctype_roundtrip():
 def test_tag_case_preserved():
     d = parse_document(b"<DiV CLASS=x>t</dIv>")
     n = next(d.descendant_elements())
-    assert outer_html(d, n) == b'<DiV class="x">t</DiV>'
+    assert outer_html(d, n) == b"<DiV class=x>t</DiV>"
 
 
 # --- X5: spans ------------------------------------------------------------------------

@@ -13,7 +13,7 @@ def test_create_and_append():
     p = d.create_element(b"p")
     d.append_child(div, p)
     d.append_child(p, d.create_text(b"hi"))
-    assert outer_html(d, div) == b'<div id="a"><p>hi</p></div>'
+    assert outer_html(d, div) == b"<div id=a><p>hi</p></div>"
 
 
 def test_insert_before():
@@ -47,7 +47,7 @@ def test_set_inner_html_fragment_reparse():
     d = parse_document(b"<div>old</div>")
     div = next(d.descendant_elements())
     d.set_inner_html(div, b"<p class=x>a<p>b")  # implied end tags apply
-    assert outer_html(d, div) == b'<div><p class="x">a</p><p>b</p></div>'
+    assert outer_html(d, div) == b"<div><p class=x>a</p><p>b</p></div>"
 
 
 def test_set_attr_remove_attr():
