@@ -498,6 +498,51 @@ def _q_winnow_fingerprint(spark, sf_dir):
     return TX.winnow_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails + intl phone numbers → redaction tokens).
+    Synthetic PII is injected identically on both engines so the scrub
+    demonstrably fires on every row."""
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-a.mple.org call +44 555 "),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return TX.pii_scrub(injected)
+
+
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization: lowercase scheme://host, strip :80/:443, drop
+    fragment, strip one trailing slash — over messied fixture urls (the
+    messying is applied identically on both engines)."""
+    pages = _pages(spark, sf_dir).select("url").distinct()
+    messy = F.concat(
+        F.lit("HTTP://"),
+        F.upper(F.regexp_extract("url", r"https?://([^/]+)", 1)),
+        F.lit(":80"),
+        F.regexp_extract("url", r"https?://[^/]+(/.*)$", 1),
+        F.lit("/#frag"),
+    )
+    return TX.url_normalize(pages.select(messy.alias("url")), url_col="url")
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup over the pages corpus: text blocks
+    appearing in ≥2 distinct urls (boilerplate discovery)."""
+    pages = _pages(spark, sf_dir)
+    return TX.paragraph_dedup(pages, id_col="url", text_col="text")
+
+
+def _q_bigram_topk(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams over the documents table."""
+    return TX.bigram_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def _q_asof_join_events(spark, sf_dir):
     """As-of join: each click event picks the most recent prior-or-equal
     view event's value per user (functions/relational.py; DuckDB native
@@ -656,6 +701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "pii_scrub": _q_pii_scrub,
+        "url_normalize": _q_url_normalize,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "bigram_topk": _q_bigram_topk,
         "doc_fingerprint": _q_fingerprint,
         "doc_winnow_fingerprint": _q_winnow_fingerprint,  # golden (pure-py xxh64)
         # multimodal: REAL pure-Python decodes, golden-oracled vs the
@@ -963,6 +1012,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "pii_scrub": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     concat(text, ' mail user', CAST(doc_id AS VARCHAR),
+                            '@ex-a.mple.org call +44 555 ',
+                            lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS text
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS s1,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails
+              FROM inj
+            )
+            SELECT doc_id,
+                   regexp_replace(s1, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,6}',
+                                  '<PHONE>', 'g') AS scrubbed,
+                   CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(s1,
+                     '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,6}')) AS BIGINT)
+                     AS n_phones
+            FROM e
+        """,
+        "url_normalize": f"""
+            WITH u AS (SELECT DISTINCT url FROM read_parquet('{fx}')),
+            m AS (
+              SELECT concat('HTTP://',
+                            upper(regexp_extract(url, 'https?://([^/]+)', 1)),
+                            ':80',
+                            regexp_extract(url, 'https?://[^/]+(/.*)$', 1),
+                            '/#frag') AS url
+              FROM u
+            ), s AS (
+              SELECT url, regexp_replace(url, '#.*$', '') AS nf FROM m
+            ), h AS (
+              SELECT url, nf,
+                     regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)
+                       AS head
+              FROM s
+            )
+            SELECT url,
+                   concat(regexp_replace(lower(head), ':(80|443)$', ''),
+                          regexp_replace(substring(nf, length(head) + 1),
+                                         '/$', '')) AS norm_url
+            FROM h
+        """,
+        "paragraph_dedup": f"""
+            WITH e AS (
+              SELECT url, unnest(string_split(text, chr(10))) AS para
+              FROM read_parquet('{fx}')
+            )
+            SELECT md5(para) AS para_hash,
+                   count(DISTINCT url) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM e WHERE length(para) > 0
+            GROUP BY 1 HAVING count(DISTINCT url) >= 2
+        """,
+        "bigram_topk": r"""
+            WITH toks AS (
+              SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM documents
+            ), b AS (
+              SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+              FROM toks, unnest(range(1, len(ts))) AS u(i)
+              WHERE len(ts) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
         """,
         # golden oracles: expected outputs composed by the independent
         # pure-Python xxh64/winnow/minhash/simhash/LSH implementations in

@@ -172,3 +172,87 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     non-alphanumerics removed — catches whitespace/punctuation-only edits."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# Patterns shared verbatim with the DuckDB oracle — keep them in the common
+# Java/RE2 subset (no lookbehind, no backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,6}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Training-data PII scrubbing: replace emails / international-format
+    phone numbers with redaction tokens, and count what was removed. Pure
+    JVM regexp — scan speed at 100 TB; patterns restricted to the common
+    Java/RE2 subset so the DuckDB oracle runs them verbatim."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE))
+    scrubbed1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(scrubbed1, F.lit(PHONE_RE))
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(scrubbed1, PHONE_RE, "<PHONE>").alias("scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase scheme+host, drop
+    the fragment, drop a default port, strip one trailing slash from the
+    path. Regexp-only (identical semantics in the DuckDB oracle)."""
+    staged = df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_replace(F.col(url_col), r"#.*$", "").alias("_nf"),
+    ).withColumn(
+        "_head", F.regexp_extract("_nf", r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    )
+    tail = F.expr("substring(_nf, length(_head) + 1)")
+    norm = F.concat(
+        F.regexp_replace(F.lower(F.col("_head")), r":(80|443)$", ""),
+        F.regexp_replace(tail, r"/$", ""),
+    )
+    return staged.select("url", norm.alias("norm_url"))
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """Paragraph-level exact dedup (boilerplate discovery): explode the
+    newline-separated blocks of every document, hash each non-empty block,
+    and report blocks appearing in ≥ min_docs distinct documents. One
+    shuffle on a 32-byte hash key with map-side partial aggregation."""
+    para = F.explode(F.split(F.col(text_col), r"\n")).alias("para")
+    exploded = df.select(F.col(id_col), para).filter(F.length("para") > 0)
+    return (
+        exploded.groupBy(F.md5("para").alias("para_hash"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def bigram_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k word bigrams: explode per-doc bigram arrays,
+    count, deterministic (count desc, bigram asc) top-k. Shuffle carries
+    (bigram, partial count) — map-side combined."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    nb = F.size(toks) - 1
+    bigrams = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(k)
+    )

@@ -185,3 +185,73 @@ def test_ann_ivf_recall(vectors):
         for r in S.ann_ivf_topk(vectors, 0, k=5, n_cells=4, n_probe=2).collect()
     ]
     assert approx == again
+
+
+def test_pii_scrub(spark):
+    from htmld_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@ex-a.mple.org or call +44 555 0199 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.co c@d.org one phone +1 800 123456"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].scrubbed and "<PHONE>" in rows[1].scrubbed
+    assert "alice" not in rows[1].scrubbed and "0199" not in rows[1].scrubbed
+    assert rows[2].n_emails == 0 and rows[2].scrubbed == "no pii here at all"
+    assert rows[3].n_emails == 2 and rows[3].n_phones == 1
+
+
+def test_url_normalize(spark):
+    from htmld_spark.functions.text import url_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Example.COM:443/Path/Sub/#frag",),
+            ("http://a.b:80",),
+            ("https://x.y/p",),
+            ("https://x.y/p/q/#a#b",),
+        ],
+        "url string",
+    )
+    got = dict(url_normalize(df).collect())
+    assert got["HTTPS://Example.COM:443/Path/Sub/#frag"] == "https://example.com/Path/Sub"
+    assert got["http://a.b:80"] == "http://a.b"
+    assert got["https://x.y/p"] == "https://x.y/p"
+    assert got["https://x.y/p/q/#a#b"] == "https://x.y/p/q"
+
+
+def test_paragraph_dedup(spark):
+    from htmld_spark.functions.text import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "alpha\nshared block\nbeta"),
+            ("u2", "gamma\nshared block"),
+            ("u3", "delta\n\nshared block"),
+            ("u4", "unique only"),
+        ],
+        "url string, text string",
+    )
+    rows = paragraph_dedup(df).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 3 and rows[0].n_occurrences == 3
+
+
+def test_bigram_topk(spark):
+    from htmld_spark.functions.text import bigram_topk
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the cat"), (2, "THE CAT sat"), (3, ""), (4, "one")],
+        "doc_id long, text string",
+    )
+    rows = bigram_topk(df, k=3).collect()
+    assert (rows[0].bigram, rows[0].n) == ("the cat", 3)
+    # deterministic tie-break: count desc, bigram asc
+    assert [r.bigram for r in rows] == sorted(
+        [r.bigram for r in rows], key=lambda b: (-dict((x.bigram, x.n) for x in rows)[b], b)
+    )
