@@ -122,3 +122,30 @@ def test_extraction_plan_has_single_python_stage(spark):
     p = plan_of(df)
     assert p.count("MapInArrow") == 1
     assert "BatchEvalPython" not in p  # no row-at-a-time Python anywhere
+
+def test_new_text_ops_stay_in_codegen(spark):
+    """pii_scrub / url_normalize / paragraph_dedup / bigram_topk are pure
+    JVM expressions — no Python eval nodes; the aggregating ones must show
+    map-side partial aggregation (partial_count before the exchange)."""
+    from htmld_spark.functions.text import (
+        bigram_topk,
+        paragraph_dedup,
+        pii_scrub,
+        url_normalize,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    for df in (
+        pii_scrub(docs),
+        url_normalize(pages.select("url")),
+        paragraph_dedup(pages, id_col="url"),
+        bigram_topk(docs, k=10),
+    ):
+        p = plan_of(df)
+        assert "EvalPython" not in p and "ArrowEval" not in p
+    # bigram counting combines map-side: partial aggregate below the shuffle
+    p = plan_of(bigram_topk(docs, k=10))
+    assert "partial_count" in p
+    # top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p
