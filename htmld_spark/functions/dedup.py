@@ -86,17 +86,26 @@ def minhash_lsh_pairs(
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
     rows_per_band = num_perms // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
-    band_tables = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_tables.append(
-            sigs.select(
-                F.col(id_col), F.xxhash64(*cols, F.lit(b)).alias("band_key")
-            ).withColumn("band", F.lit(b))
-        )
-    banded = band_tables[0]
-    for t in band_tables[1:]:
-        banded = banded.unionByName(t)
+    # ALL band keys in one projection + one explode — NOT a bands-way union:
+    # each union branch is its own subplan, so at scale the expensive
+    # shingle-explode aggregation would run `bands` times per join side
+    # (measured: 15 scans / 32 aggregates in the post-AQE plan of the union
+    # form vs one sig pass here; exchange reuse only partially rescued it)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
+                    F.lit(b),
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
     a = banded.alias("a")
     bb = banded.alias("b")
     cand = (
@@ -203,20 +212,27 @@ def simhash_near_pairs(
     agrees on ≥1 chunk → equi-join per chunk, then exact popcount filter."""
     sims = simhash64(df, id_col, text_col)
     width = 64 // n_blocks
-    chunks = []
-    for c in range(n_blocks):
-        chunks.append(
-            sims.select(
-                F.col(id_col),
-                F.col("simhash"),
+    # one projection + one explode (see minhash_lsh_pairs: an n_blocks-way
+    # union would recompute the 64-vote aggregation per branch at scale)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
                 F.shiftrightunsigned(F.col("simhash"), c * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk"),
-            ).withColumn("chunk_id", F.lit(c))
-        )
-    all_chunks = chunks[0]
-    for t in chunks[1:]:
-        all_chunks = all_chunks.unionByName(t)
+            )
+            for c in range(n_blocks)
+        ]
+    )
+    all_chunks = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("ck")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.chunk_id").alias("chunk_id"),
+    )
     a = all_chunks.alias("a")
     b = all_chunks.alias("b")
     cand = (
