@@ -543,6 +543,24 @@ def _q_bigram_topk(spark, sf_dir):
     return TX.bigram_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _q_repetition_features(spark, sf_dir):
+    """Gopher/FineWeb repetition filters over the pages corpus: duplicate-
+    line fraction and duplicate-line character mass — per-document-local
+    array expressions, zero shuffle."""
+    pages = _pages(spark, sf_dir)
+    return TX.repetition_features(pages, id_col="url", text_col="text").select(
+        "url", "n_lines", "dup_line_frac", "dup_line_char_frac"
+    ).distinct()
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (Arrow-batched pandas UDF; no
+    JVM zlib exists). Golden parquet oracle: computed by
+    fixtures/gen_golden.py — NOTE both sides use Python's zlib, so this
+    oracle pins plumbing + determinism, not an independent compressor."""
+    return TX.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 def _q_asof_join_events(spark, sf_dir):
     """As-of join: each click event picks the most recent prior-or-equal
     view event's value per user (functions/relational.py; DuckDB native
@@ -701,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "repetition_features": _q_repetition_features,
+        "compression_ratio": _q_compression_ratio,
         "pii_scrub": _q_pii_scrub,
         "url_normalize": _q_url_normalize,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1013,6 +1033,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
         """,
+        "repetition_features": f"""
+            WITH base AS (
+              SELECT url, text, string_split(text, chr(10)) AS lines
+              FROM read_parquet('{fx}')
+            ), f AS (
+              SELECT url,
+                     CAST(len(lines) AS INTEGER) AS n_lines,
+                     round(1 - len(list_distinct(lines))::DOUBLE / len(lines), 4)
+                       AS dup_line_frac,
+                     round(CASE WHEN length(text) > 0 THEN
+                       coalesce(list_sum(list_transform(
+                         list_filter(lines,
+                           L -> len(list_filter(lines, x -> x = L)) >= 2),
+                         L2 -> length(L2))), 0)::DOUBLE / length(text)
+                       ELSE 0 END, 4) AS dup_line_char_frac
+              FROM base
+            )
+            SELECT DISTINCT url, n_lines, dup_line_frac, dup_line_char_frac
+            FROM f
+        """,
+        "compression_ratio": (
+            f"SELECT doc_id, n_chars, zlib_ratio FROM "
+            f"read_parquet('{os.path.join(gold, 'compression_ratio.parquet')}')"
+        ),
         "pii_scrub": r"""
             WITH inj AS (
               SELECT doc_id,

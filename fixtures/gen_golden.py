@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+GOLDEN_VERSION = "2"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -243,7 +244,9 @@ def ensure_golden(sf_dir: str) -> str:
     out_dir = golden_dir(sf_dir)
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read().strip() == GOLDEN_VERSION:
+                return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     dt = pq.read_table(
@@ -304,7 +307,29 @@ def ensure_golden(sf_dir: str) -> str:
         os.path.join(out_dir, "ann_lsh_topk.parquet"),
     )
 
-    open(marker, "w").close()
+    # zlib compression ratio (shares Python's zlib with the Spark-side
+    # pandas UDF — the oracle pins determinism + plumbing, documented in
+    # __spark_entry__; the ratio math itself is trivial)
+    import zlib
+
+    cr_rows = []
+    for doc_id, text in docs:
+        raw = (text or "").encode("utf-8")
+        ratio = round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else 0.0
+        cr_rows.append((doc_id, len(text or ""), ratio))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in cr_rows], pa.int64()),
+                "n_chars": pa.array([r[1] for r in cr_rows], pa.int64()),
+                "zlib_ratio": pa.array([r[2] for r in cr_rows], pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "compression_ratio.parquet"),
+    )
+
+    with open(marker, "w") as f:
+        f.write(GOLDEN_VERSION)
     return out_dir
 
 

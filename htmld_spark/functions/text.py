@@ -1,9 +1,11 @@
 """Text-analysis operators for training-data pipelines (task mandate:
 language-ID, quality scoring, token counting, document fingerprinting).
 
-Everything here is pure ``pyspark.sql.functions`` expressions — JVM-side,
-whole-stage-codegen'd, zero Python UDFs — so these run at scan speed over
-100 TB. Each has an exactly-equivalent DuckDB SQL form used as the driver
+Everything here except ``compression_ratio`` is pure ``pyspark.sql``
+expressions — JVM-side, whole-stage-codegen'd, zero Python UDFs — so they
+run at scan speed over 100 TB (compression_ratio needs zlib, which has no
+JVM built-in: one mapInArrow crossing per batch). Each operator has an
+exactly-equivalent DuckDB SQL form or golden parquet used as the driver
 oracle (see __spark_entry__.oracle_sql); keep the two in lockstep.
 """
 
@@ -231,6 +233,83 @@ def paragraph_dedup(
             F.count("*").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/FineWeb-style repetition quality signals, per document:
+    number of newline-separated lines, fraction of lines that are
+    duplicates, and fraction of characters living in duplicated lines.
+    Per-document-local → pure array expressions, zero shuffle, zero
+    Python. Docs with high duplicate-line mass are boilerplate/listing
+    pages that repetition filters drop before training."""
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.length(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        lines.alias("_lines"),
+        n_lines.alias("n_lines"),
+        (1 - n_distinct / n_lines).alias("_dlf"),
+        total_chars.alias("_tc"),
+    )
+    # chars in lines occurring more than once (count each occurrence):
+    # sum over lines L of len(L) where L appears ≥2 times in the doc
+    dup_chars = F.aggregate(
+        F.filter(
+            "_lines",
+            lambda line: F.size(F.filter("_lines", lambda x: x == line)) >= 2,
+        ),
+        F.lit(0),
+        lambda acc, line: acc + F.length(line),
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        F.round("_dlf", 4).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("_tc") > 0, dup_chars / F.col("_tc")).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes, level 6)
+    — the classic cheap redundancy signal in web-text quality filtering
+    (highly repetitive pages compress far below ~0.4). No JVM built-in
+    exists, so this runs as one mapInArrow crossing per batch (C-side zlib
+    inside; n_chars counts characters, matching F.length)."""
+
+    def ratio_batches(batches):
+        import zlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index(id_col))
+            texts = batch.column(names.index(text_col)).to_pylist()
+            n_chars, ratios = [], []
+            for t in texts:
+                t = t or ""
+                raw = t.encode("utf-8")
+                n_chars.append(len(t))
+                ratios.append(
+                    round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else 0.0
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_chars, pa.int64()), pa.array(ratios, pa.float64())],
+                names=[id_col, "n_chars", "zlib_ratio"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        ratio_batches, f"{id_col} bigint, n_chars bigint, zlib_ratio double"
     )
 
 

@@ -255,3 +255,40 @@ def test_bigram_topk(spark):
     assert [r.bigram for r in rows] == sorted(
         [r.bigram for r in rows], key=lambda b: (-dict((x.bigram, x.n) for x in rows)[b], b)
     )
+
+
+def test_repetition_features(spark):
+    from htmld_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\nccc"),   # 'aaa' duplicated: 2/4 lines, 6/15 chars
+            (2, "x\ny\nz"),              # all unique
+            (3, ""),                     # single empty line
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].dup_line_frac == 0.25
+    assert rows[1].dup_line_char_frac == round(6 / 15, 4)
+    assert rows[2].dup_line_frac == 0.0 and rows[2].dup_line_char_frac == 0.0
+    assert rows[3].dup_line_char_frac == 0.0
+    # zero shuffle, zero Python (per-document-local)
+    p = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_compression_ratio(spark):
+    from htmld_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "abc " * 500), (2, ""), (3, "q8#kz!m2@Lw9^")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert rows[1].zlib_ratio < 0.05  # highly repetitive → compresses hard
+    assert rows[2].zlib_ratio == 0.0 and rows[2].n_chars == 0
+    assert rows[3].zlib_ratio > 0.9  # short high-entropy → incompressible
+    # deterministic
+    again = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert {k: v.zlib_ratio for k, v in rows.items()} == again
