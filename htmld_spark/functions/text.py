@@ -83,11 +83,13 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """N-gram/stopword-heuristic language ID with fixed tie-break order."""
-    low = F.lower(F.col(text_col))
-    scores = {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_PROBES.items()}
-    pred = (
+def _lang_scores(text_col):
+    low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    return {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_PROBES.items()}
+
+
+def _lang_pred(scores):
+    return (
         F.when(
             (scores["en"] >= scores["de"])
             & (scores["en"] >= scores["fr"])
@@ -98,6 +100,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         .when(scores["fr"] >= scores["es"], "fr")
         .otherwise("es")
     )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-heuristic language ID with fixed tie-break order."""
+    scores = _lang_scores(text_col)
+    pred = _lang_pred(scores)
     return df.select(
         F.col(id_col),
         scores["en"].cast("long").alias("s_en"),
@@ -106,6 +114,53 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         scores["es"].cast("long").alias("s_es"),
         pred.alias("pred_lang"),
     )
+
+
+def enrich_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass enrichment for the flagship pipeline: append pred_lang,
+    n_tokens, quality_bucket and winnow_fp columns to an extracted frame —
+    all per-row JVM expressions sharing the operator formulas (no extra
+    shuffle, no Python; composes with extract_df's narrow stage so the
+    training-data signals are written in the same job that extracted the
+    text)."""
+    text = F.col(text_col)
+    toks = token_count(text)
+    stop_hits = F.regexp_count(F.lower(text), F.lit(STOPWORDS_EN))
+    stop_ratio = F.round(
+        F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)), 4
+    )
+    bucket = (
+        F.when((toks >= 50) & (stop_ratio >= 0.05), "high")
+        .when(toks >= 10, "mid")
+        .otherwise("low")
+    )
+    out = df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "pred_lang", _lang_pred(_lang_scores(text_col))
+    ).withColumn("quality_bucket", bucket)
+    # winnow fingerprint, staged like winnow_fingerprint (zero shuffle)
+    k, w = 8, 4
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.xxhash64(F.substring(norm, i, k)),
+    )
+    out = out.withColumn("_ng", n_grams).withColumn(
+        "_gh", F.when(n_grams > 0, gram_hashes).otherwise(F.array(F.xxhash64(norm)))
+    )
+    n_windows = F.col("_ng") - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice("_gh", i, w)),
+    )
+    selected = F.array_sort(
+        F.array_distinct(
+            F.when(n_windows >= 1, mins).otherwise(F.array(F.array_min("_gh")))
+        )
+    )
+    return out.withColumn(
+        "winnow_fp", F.xxhash64(F.concat_ws(",", selected))
+    ).drop("_ng", "_gh")
 
 
 def winnow_fingerprint(

@@ -65,6 +65,7 @@ class JobConfig:
     salt_threshold: int = 256 << 10  # html larger than this gets salted
     dedup_latest: bool = False  # keep only latest warc_ts per url (R10)
     lang_filter: list[str] | None = None  # R2 pushdown demo
+    enrich: bool = False  # append pred_lang/n_tokens/quality_bucket/winnow_fp
     shuffle_partitions: int | None = None
     extra: dict = field(default_factory=dict)
 
@@ -169,6 +170,12 @@ def run_extract_job(
         ).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
         )
+        if cfg.enrich:
+            # one-pass training-data signals: per-row JVM expressions over
+            # the extracted text, still inside the narrow pre-shuffle stage
+            from htmld_spark.functions.text import enrich_features
+
+            extracted = enrich_features(extracted)
         write_output(_salted(extracted, cfg), os.path.join(cfg.output, "data"), ["bucket"])
         wall_ms = int((time.monotonic() - t0) * 1000)
         # Lineage stats from the (small) written output — html is never re-read.

@@ -292,3 +292,36 @@ def test_compression_ratio(spark):
     # deterministic
     again = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
     assert {k: v.zlib_ratio for k, v in rows.items()} == again
+
+
+def test_enrich_features_consistent_with_operators(spark):
+    """enrich_features (the flagship job's one-pass enrichment) must agree
+    column-for-column with the standalone operators on the same input, and
+    stay shuffle- and Python-free."""
+    from htmld_spark.functions.text import (
+        enrich_features,
+        lang_id,
+        quality_features,
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house " * 10),
+            (2, "der hund und die katze und der vogel"),
+            (3, ""),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    enriched = {r.doc_id: r for r in enrich_features(df).collect()}
+    langs = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    quals = {r.doc_id: r for r in quality_features(df).collect()}
+    fps = {r.doc_id: r.winnow_fp for r in winnow_fingerprint(df).collect()}
+    for d in (1, 2, 3, 4):
+        assert enriched[d].pred_lang == langs[d]
+        assert enriched[d].n_tokens == quals[d].n_tokens
+        assert enriched[d].quality_bucket == quals[d].quality_bucket
+        assert enriched[d].winnow_fp == fps[d]
+    p = enrich_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
