@@ -580,6 +580,24 @@ def _q_asof_join_events(spark, sf_dir):
     return joined.select("event_id", "user_id", "click_value", "view_value")
 
 
+def _q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: each click picks the NEXT view at-or-after its
+    timestamp per user (direction='forward'; DuckDB ASOF with `<=`)."""
+    from htmld_spark.functions.relational import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("view_value"))
+    )
+    joined = asof_join(clicks, views, on="ts", by="user_id", direction="forward")
+    return joined.select("event_id", "user_id", "click_value", "view_value")
+
+
 def _q_set_ops_hosts(spark, sf_dir):
     """Set ops (R12): hosts crawled in BOTH en and de, and en-only hosts."""
     pages = _pages(spark, sf_dir).select(
@@ -702,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": _q_stream_window_counts,
         "stream_session_counts": _q_stream_session_counts,  # R16 session windows
         "asof_join_events": _q_asof_join_events,
+        "asof_join_forward": _q_asof_join_forward,
         "set_ops_hosts": _q_set_ops_hosts,
         "pivot_orders": _q_pivot_orders,
         "topk_parts_per_brand": _q_topk_parts_per_brand,
@@ -924,6 +943,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id, c.click_value, v.view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "asof_join_forward": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id, round(value, 4) AS click_value
+              FROM events WHERE event_type = 'click'
+            ), views AS (
+              SELECT user_id, ts, round(max(value), 4) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.click_value, v.view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts <= v.ts
         """,
         "set_ops_hosts": f"""
             WITH p AS (

@@ -45,7 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-FIXTURE_VERSION = "2"  # bump on ANY golden-composition change
+FIXTURE_VERSION = "3"  # bump on ANY golden-composition change
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 ROWS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
@@ -493,10 +493,11 @@ def fam_void(rng):
         f"<main><p>{w1}<br>{w2}</p><hr>"
         f'<p>{w3}<img src="i.png"><input type=text disabled><wbr></p></main>'
     )
-    # voids serialize as <tag …/>; src=i.png loses its quotes
+    # voids serialize as <tag …/>; src=i.png loses its quotes; an unquoted
+    # value directly before /> gets a separating space (fixed-point rule)
     ser = (
         f"<main><p>{w1}<br/>{w2}</p><hr/>"
-        f"<p>{w3}<img src=i.png/><input type=text disabled/><wbr/></p></main>"
+        f"<p>{w3}<img src=i.png /><input type=text disabled/><wbr/></p></main>"
     )
     st = _stats(
         ser,

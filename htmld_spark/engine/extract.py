@@ -109,17 +109,24 @@ def _serialize(doc: Document, nid: int, out: list[bytes]) -> None:
         if k == ELEM:
             out.append(b"<" + tag_raw[cur])
             a = attrs[cur]
+            last_unquoted = False
             if a:
                 for name, value in a.items():
                     if value is None:
                         out.append(b" " + name)
+                        last_unquoted = False
                     elif _requires_quotes(value):
                         out.append(b" " + name + b'="' + _escape_attr(value) + b'"')
+                        last_unquoted = False
                     else:
                         out.append(b" " + name + b"=" + _escape_attr(value))
+                        last_unquoted = True
             t = tag[cur]
             if t in VOID_ELEMENTS and doc.first_child[cur] == NULL:
-                out.append(b"/>")
+                # an unquoted value directly followed by "/>" would absorb
+                # the "/" into the value on re-parse — separate with a space
+                # (serialization fixed point, pinned by the round-trip test)
+                out.append(b" />" if last_unquoted else b"/>")
                 continue
             out.append(b">")
             stack.append((cur, True))

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-factor", type=int, default=8)
     p.add_argument("--byte-budget", type=int, default=32 << 20)
     p.add_argument("--show-metrics", action="store_true")
+    p.add_argument("--enrich", action="store_true",
+                   help="append pred_lang/n_tokens/quality_bucket/winnow_fp "
+                        "to the written output (one-pass, no extra shuffle)")
     return p
 
 
@@ -63,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
         salt_threshold=args.salt_threshold,
         dedup_latest=args.dedup_latest,
         lang_filter=args.lang,
+        enrich=args.enrich,
     )
     stats = run_extract_job(spark, cfg, resume=not args.no_resume)
     print(json.dumps({"job": "extract", **stats}))

@@ -70,13 +70,14 @@ def test_attr_quoting():
 def test_valueless_attr_serialized_bare():
     d = parse_document(b"<input disabled type=text>")
     a = next(d.descendant_elements())
-    assert outer_html(d, a) == b"<input disabled type=text/>"
+    assert outer_html(d, a) == b"<input disabled type=text />"
 
 
 def test_void_serialization():
     d = parse_document(b"<div><br>x<img src=y></div>")
     div = next(d.descendant_elements())
-    assert outer_html(d, div) == b"<div><br/>x<img src=y/></div>"
+    # unquoted value + void close gets a separating space (fixed point)
+    assert outer_html(d, div) == b"<div><br/>x<img src=y /></div>"
 
 
 def test_requires_quotes_matrix():
@@ -206,3 +207,23 @@ def test_main_text_nested_list():
     src = b"<main><ul><li>a</li><li>b<ul><li>b1</li></ul></li></ul></main>"
     d = parse_document(src)
     assert main_text(d) == b"a\nb\nb1"
+
+
+def test_serializer_fixed_point_on_fixture_corpus():
+    """outerHTML is a serialization fixed point: parse→serialize→parse→
+    serialize must be byte-identical to the first serialization (the DOM of
+    serialized output re-parses to the same DOM). Run over a fixture slice
+    covering every template family."""
+    import pyarrow.parquet as pq
+
+    from fixtures.gen_pages import ensure_pages
+
+    htmls = (
+        pq.read_table(ensure_pages("0.001"), columns=["html"])
+        .column("html")
+        .to_pylist()[:60]
+    )
+    for h in htmls:
+        once = outer_html(parse_document(h), 0)
+        twice = outer_html(parse_document(once), 0)
+        assert once == twice

@@ -325,3 +325,30 @@ def test_enrich_features_consistent_with_operators(spark):
         assert enriched[d].winnow_fp == fps[d]
     p = enrich_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_url_normalize_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) over the fixture urls
+    (messied): canonicalization must be a fixed point."""
+    from htmld_spark.functions.text import url_normalize
+    from fixtures.gen_pages import ensure_pages
+
+    pages = spark.read.parquet(ensure_pages("0.001")).select("url").distinct()
+    once = url_normalize(pages).select(F.col("norm_url").alias("url"))
+    twice = dict(url_normalize(once).collect())
+    assert all(u == n for u, n in twice.items())
+
+
+def test_pii_scrub_removes_every_email(spark):
+    """Property: no EMAIL_RE match survives scrubbing (over fixture texts
+    with injected addresses at varied positions)."""
+    from htmld_spark.functions.text import EMAIL_RE, pii_scrub
+
+    docs = spark.createDataFrame(
+        [(i, f"x{'a' * (i % 7)}@{'b' * (i % 5 + 1)}.com padding {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = pii_scrub(docs)
+    survivors = out.filter(F.regexp_count("scrubbed", F.lit(EMAIL_RE)) > 0).count()
+    assert survivors == 0
+    assert out.filter(F.col("n_emails") == 0).count() == 0
