@@ -214,3 +214,27 @@ def test_byte_budget_slicing():
     for lo, hi in slices:
         size = sum(len(col[i].as_py()) for i in range(lo, hi))
         assert size <= 1000 or hi - lo == 1
+
+
+def test_job_with_enrichment(spark, pages_path, tmp_path_factory):
+    """JobConfig(enrich=True): written output carries the one-pass
+    training-data columns, and they agree with the standalone operator on
+    the written text."""
+    out = str(tmp_path_factory.mktemp("job_enriched"))
+    cfg = JobConfig(
+        source=pages_path, output=out, n_buckets=4, buckets_per_round=4,
+        with_spans=False, enrich=True,
+    )
+    stats = run_extract_job(spark, cfg)
+    assert stats["errors"] == 0
+    data = spark.read.parquet(out + "/data")
+    for col in ("pred_lang", "n_tokens", "quality_bucket", "winnow_fp"):
+        assert col in data.columns
+    from htmld_spark.functions.text import winnow_fingerprint
+
+    sample = data.select("url", "text", "winnow_fp").limit(50)
+    recomputed = winnow_fingerprint(
+        sample.select("url", "text"), id_col="url"
+    ).select("url", F.col("winnow_fp").alias("fp2"))
+    joined = sample.join(recomputed, "url")
+    assert joined.filter(F.col("winnow_fp") != F.col("fp2")).count() == 0
