@@ -189,6 +189,11 @@ def winnow_fingerprint(
     - n_grams == 0 (normalized text shorter than k): select the hash of
       the whole normalized text.
 
+    Memory bound: the per-row gram-hash array is transient ~8 bytes per
+    input character (a 1 MB outlier doc peaks ~16 MB during its row) —
+    bounded per row, never accumulated, no spill pressure; cheap next to
+    the old version's per-corpus shuffle.
+
     Returns (id, n_grams, n_selected, winnow_fp)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
