@@ -480,6 +480,12 @@ def _q_text_token_stats(spark, sf_dir):
     return TX.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex token counting vs whitespace (the task mandate's
+    'token counting (whitespace + a BPE-ish regex)')."""
+    return TX.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_quality(spark, sf_dir):
     return TX.quality_features(_t(spark, sf_dir, "documents"))
 
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_ann_ivf": _q_embed_ann_ivf,  # rows-only (kmeans cells)
         "text_token_stats": _q_text_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "repetition_features": _q_repetition_features,
@@ -1021,6 +1028,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 4) AS avg_tokens
             FROM t GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS ws_tokens,
+                     len(regexp_extract_all(text,
+                       '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+'))
+                       AS bpe_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+                   CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+                   round(CASE WHEN ws_tokens > 0
+                         THEN bpe_tokens::DOUBLE / ws_tokens ELSE 0 END, 4)
+                     AS pieces_per_word
+            FROM t
         """,
         "text_quality": r"""
             WITH t AS (

@@ -38,6 +38,38 @@ def token_count(col):
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style piece classes, reduced to
+# the common Java/RE2 regex subset: no lookahead). Pieces: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Shared verbatim with the DuckDB oracle.
+BPE_PIECE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def bpe_token_count(col):
+    """Approximate LLM token count: number of BPE-ish pre-tokenization
+    pieces (the standard cheap proxy for budgeting training tokens —
+    whitespace counting undercounts punctuation-heavy text)."""
+    return F.regexp_count(col, F.lit(BPE_PIECE_RE))
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document whitespace vs BPE-ish token counts + their ratio (a
+    fertility-style signal: prose ≈ 1.2-1.4 pieces/word, code and
+    punctuation-dense text much higher)."""
+    ws = token_count(F.col(text_col))
+    bpe = bpe_token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(
+            F.when(ws > 0, bpe / ws).otherwise(F.lit(0.0)), 4
+        ).alias("pieces_per_word"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
     """Per-group token statistics."""
     toks = token_count(F.col(text_col))

@@ -352,3 +352,23 @@ def test_pii_scrub_removes_every_email(spark):
     survivors = out.filter(F.regexp_count("scrubbed", F.lit(EMAIL_RE)) > 0).count()
     assert survivors == 0
     assert out.filter(F.col("n_emails") == 0).count() == 0
+
+
+def test_bpe_token_stats(spark):
+    from htmld_spark.functions.text import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),            # 2 ws, 2 bpe
+            (2, "it's 2026, really!!"),    # contraction + digits + punct runs
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(df).collect()}
+    assert rows[1].ws_tokens == 2 and rows[1].bpe_tokens == 2
+    assert rows[1].pieces_per_word == 1.0
+    # "it" + "'s" + " 2026" + "," + " really" + "!!" = 6 pieces vs 3 words
+    assert rows[2].ws_tokens == 3 and rows[2].bpe_tokens == 6
+    assert rows[2].pieces_per_word == 2.0
+    assert rows[3].bpe_tokens == 0 and rows[3].pieces_per_word == 0.0
