@@ -462,6 +462,16 @@ def _q_embed_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
 
 
+def _q_embed_near_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup pairs at scale: LSH-bucketed candidates + exact
+    cosine verify (the scale path behind the quadratic
+    dedup_embedding_pairs baseline). Golden-oracled via the replayed-planes
+    pure-Python replica."""
+    return S.lsh_near_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, cosine_threshold=0.3
+    )
+
+
 def _q_embed_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(
         _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, dim=64
@@ -740,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
+        "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
         "embed_ann_ivf": _q_embed_ann_ivf,  # rows-only (kmeans cells)
         "text_token_stats": _q_text_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1203,6 +1214,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_lsh": (
             f"SELECT vec_id, cosine FROM "
             f"read_parquet('{os.path.join(gold, 'ann_lsh_topk.parquet')}')"
+        ),
+        "embed_near_pairs_lsh": (
+            f"SELECT id_a, id_b, cosine FROM "
+            f"read_parquet('{os.path.join(gold, 'lsh_near_pairs.parquet')}')"
         ),
         "multimodal_image_features": (
             f"SELECT media_id, width, height, mean_r, mean_g, mean_b, "

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "2"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "3"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -230,6 +230,59 @@ def golden_ann_lsh(
     return scored[:k]
 
 
+def golden_lsh_near_pairs(
+    vec_ids: list[int],
+    embeddings: list[list[float]],
+    dim: int = 64,
+    cosine_threshold: float = 0.3,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> list[tuple[int, int, float]]:
+    """Replicates functions/similarity.lsh_near_pairs: same-bucket
+    candidate pairs + exact left-to-right float64 cosine ≥ threshold."""
+    import math
+
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    m = np.stack([np.asarray(v, dtype=np.float32) for v in embeddings])
+    bits = (m @ planes.T) > 0
+    buckets = np.zeros(len(vec_ids), dtype=np.int64)
+    for i in range(n_planes):
+        buckets |= bits[:, i].astype(np.int64) << i
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    by_bucket: dict[int, list[int]] = {}
+    for idx, vid in enumerate(vec_ids):
+        by_bucket.setdefault(int(buckets[idx]), []).append(idx)
+    vecs64 = [
+        [float(np.float64(np.float32(x))) for x in v] for v in embeddings
+    ]
+    norms = [fold_norm(v) for v in vecs64]
+    out = []
+    for idxs in by_bucket.values():
+        idxs = sorted(idxs, key=lambda i: vec_ids[i])
+        for i, ia in enumerate(idxs):
+            for ib in idxs[i + 1 :]:
+                cos = fold_dot(vecs64[ia], vecs64[ib]) / (norms[ia] * norms[ib])
+                cos = _round_half_up(cos, 6)
+                if cos >= cosine_threshold:
+                    out.append((vec_ids[ia], vec_ids[ib], cos))
+    out.sort()
+    return out
+
+
 # ------------------------------------------------------------------ ensure/write
 
 
@@ -305,6 +358,20 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "ann_lsh_topk.parquet"),
+    )
+
+    np_pairs = golden_lsh_near_pairs(
+        et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in np_pairs], pa.int64()),
+                "id_b": pa.array([r[1] for r in np_pairs], pa.int64()),
+                "cosine": pa.array([r[2] for r in np_pairs], pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "lsh_near_pairs.parquet"),
     )
 
     # zlib compression ratio (shares Python's zlib with the Spark-side

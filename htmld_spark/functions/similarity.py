@@ -196,6 +196,45 @@ def ann_ivf_topk(
     return spark.createDataFrame(rows, schema=result.schema)
 
 
+def lsh_near_pairs(
+    df: DataFrame,
+    dim: int,
+    cosine_threshold: float = 0.3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: bucket every vector once by
+    random-hyperplane signs, generate candidate pairs only within a bucket
+    (equi-join — never all-pairs), exact float64 cosine verify ≥ threshold.
+    Returns (id_a, id_b, cosine) with id_a < id_b. Candidate recall is
+    bounded by bucket collisions (tested vs the exact quadratic baseline);
+    raise n_planes for precision, lower for recall. At 100 TB the bucket
+    column is precomputed at ingest and doubles as a partition key, so the
+    self-join shuffles (id, bucket, vec) once on an 8-bit key."""
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col), F.col("bucket"), F.col(vec_col)
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    va = F.col("a." + vec_col).cast("array<double>")
+    vb = F.col("b." + vec_col).cast("array<double>")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_id: int,

@@ -372,3 +372,27 @@ def test_bpe_token_stats(spark):
     assert rows[2].ws_tokens == 3 and rows[2].bpe_tokens == 6
     assert rows[2].pieces_per_word == 2.0
     assert rows[3].bpe_tokens == 0 and rows[3].pieces_per_word == 0.0
+
+
+def test_lsh_near_pairs_vs_exact(vectors):
+    """Bucketed near-dup pairs: every reported pair must carry the exact
+    cosine (subset of the quadratic baseline's pairs), and the constructed
+    near-copy pair (0,1) must be found."""
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.lsh_near_pairs(
+            vectors, dim=16, cosine_threshold=0.5, n_planes=4
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.999
+    # verify pair cosines against the exact formula (with_cosine baseline)
+    from pyspark.sql import functions as F2
+
+    for (a, b), c in list(got.items())[:10]:
+        qdf = vectors.filter(F2.col("vec_id") == a).select("embedding")
+        exact_c = (
+            S.with_cosine(vectors.filter(F2.col("vec_id") == b), qdf)
+            .select(F2.round("cosine", 6).alias("c"))
+            .collect()[0].c
+        )
+        assert c == exact_c, (a, b)
