@@ -559,6 +559,21 @@ def _q_bigram_topk(spark, sf_dir):
     return TX.bigram_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def _q_hash_split(spark, sf_dir):
+    """Deterministic content-stable train/val/test assignment
+    (pmod(xxhash64(key), 100) percentage buckets); golden-oracled via the
+    pure-Python xxh64 replica."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return TX.hash_split(d, key_col="doc_id")
+
+
+def _q_host_quota(spark, sf_dir):
+    """Per-host document quota: keep ≤300 docs per host, oldest-first
+    (anti-domination policy; cuts the fixture's hot host)."""
+    pages = _pages(spark, sf_dir).select("url", "warc_ts")
+    return TX.host_quota(pages, max_per_host=300)
+
+
 def _q_repetition_features(spark, sf_dir):
     """Gopher/FineWeb repetition filters over the pages corpus: duplicate-
     line fraction and duplicate-line character mass — per-document-local
@@ -756,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "hash_split": _q_hash_split,
+        "host_quota": _q_host_quota,
         "repetition_features": _q_repetition_features,
         "compression_ratio": _q_compression_ratio,
         "pii_scrub": _q_pii_scrub,
@@ -1099,6 +1116,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "hash_split": (
+            f"SELECT doc_id, split FROM "
+            f"read_parquet('{os.path.join(gold, 'hash_split.parquet')}')"
+        ),
+        "host_quota": f"""
+            SELECT url, warc_ts FROM (
+              SELECT url, warc_ts,
+                     row_number() OVER (
+                       PARTITION BY regexp_extract(url, 'https?://([^/]+)', 1)
+                       ORDER BY warc_ts, url) AS rn
+              FROM read_parquet('{fx}')
+            ) WHERE rn <= 300
         """,
         "repetition_features": f"""
             WITH base AS (

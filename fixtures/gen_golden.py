@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "3"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "4"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -169,6 +169,20 @@ def golden_winnow(
         selected = sorted(set(mins))
         fp = spark_xxhash64(",".join(str(v) for v in selected))
         out.append((doc_id, n_grams, len(selected), fp))
+    return out
+
+
+def golden_hash_split(
+    doc_ids: list[int], train_pct: int = 90, val_pct: int = 5
+) -> list[tuple[int, str]]:
+    """Replicates functions/text.hash_split over a bigint key:
+    pmod(xxhash64(id), 100) → train/val/test percentage buckets."""
+    out = []
+    for d in doc_ids:
+        h = spark_xxhash64(Long(d))
+        b = ((h % 100) + 100) % 100
+        split = "train" if b < train_pct else ("val" if b < train_pct + val_pct else "test")
+        out.append((d, split))
     return out
 
 
@@ -372,6 +386,17 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "lsh_near_pairs.parquet"),
+    )
+
+    hs = golden_hash_split([d for d, _ in docs])
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in hs], pa.int64()),
+                "split": pa.array([r[1] for r in hs], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "hash_split.parquet"),
     )
 
     # zlib compression ratio (shares Python's zlib with the Spark-side

@@ -328,6 +328,48 @@ def paragraph_dedup(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str = "url",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic, content-stable train/val/test assignment:
+    ``pmod(xxhash64(key), 100)`` buckets rows into train/val/test by
+    percentage. Unlike seeded Bernoulli sampling this is reproducible
+    across runs, cluster sizes AND data re-partitioning — the same key
+    always lands in the same split (the only sound way to keep held-out
+    data held out when a 100 TB corpus is re-crawled or re-sharded)."""
+    h = F.pmod(F.xxhash64(key_col), F.lit(100))
+    split = (
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def host_quota(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    max_per_host: int = 1000,
+) -> DataFrame:
+    """Per-host document quota (anti-domination policy): keep at most
+    ``max_per_host`` documents per host, oldest-first deterministic order.
+    One shuffle on the host key; at 100 TB combine with salting for
+    mega-hosts or pre-aggregate counts to short-circuit small hosts."""
+    from pyspark.sql.window import Window
+
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    w = Window.partitionBy(host).orderBy(ts_col, url_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

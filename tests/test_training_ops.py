@@ -396,3 +396,32 @@ def test_lsh_near_pairs_vs_exact(vectors):
             .collect()[0].c
         )
         assert c == exact_c, (a, b)
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from htmld_spark.functions.text import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(df, key_col="doc_id").collect()}
+    # repartitioning must not change assignments (content-stable)
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(13), key_col="doc_id").collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 <= c["train"] / 2000 <= 0.95
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_host_quota(spark):
+    from htmld_spark.functions.text import host_quota
+
+    rows = [(f"https://h{i % 3}.x/p{j}", j) for i in range(3) for j in range(50)]
+    df = spark.createDataFrame(rows, "url string, warc_ts long")
+    kept = host_quota(df, ts_col="warc_ts", max_per_host=10)
+    assert kept.count() == 30
+    # oldest-first: the kept rows per host are warc_ts 0..9
+    assert kept.agg(F.max("warc_ts")).collect()[0][0] == 9
