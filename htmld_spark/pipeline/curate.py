@@ -1,0 +1,108 @@
+"""End-to-end training-data curation over raw pages — the composition the
+individual operators exist for (task mandate: "the operations a
+large-scale training-data pipeline would need"), one declarative plan:
+
+    raw pages
+      → parse + main-content extraction + one-pass enrichment   (narrow,
+        single mapInArrow crossing: text, n_tokens, pred_lang,
+        quality_bucket, winnow_fp)
+      → re-crawl dedup (latest warc_ts per url)                 [shuffle 1]
+      → quality gate (token count / quality bucket / language /
+        duplicate-line mass — all row-local)
+      → exact content dedup (md5, keep first url)               [shuffle 2]
+      → near-dup dedup (winnow fingerprint, keep first url)     [shuffle 3]
+      → per-host quota (anti-domination)                        [shuffle 4]
+      → deterministic train/val/test split (row-local)
+
+Every shuffle carries extracted text (≈¼ of raw html), never raw pages;
+each stage is a standard groupBy/window on one key, so the plan scales
+exactly like the flagship extraction job. All steps reuse the oracled
+operators — curate() adds composition, not new math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from htmld_spark.functions.text import enrich_features, host_quota, hash_split
+from htmld_spark.functions.udfs import extract_df
+
+
+def curate(
+    pages: DataFrame,
+    min_tokens: int = 5,
+    langs: list[str] | None = None,
+    max_dup_line_frac: float = 0.6,
+    max_per_host: int = 100_000,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
+    Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
+    winnow_fp, split)."""
+    extracted = extract_df(
+        pages.select(*[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]),
+        with_spans=False,
+    )
+    enriched = enrich_features(extracted)
+
+    # re-crawl dedup: latest capture per url
+    w_url = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    latest = (
+        enriched.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # quality gate (row-local)
+    lines = F.split(F.col("text"), r"\n")
+    dup_line_frac = 1 - F.size(F.array_distinct(lines)) / F.size(lines)
+    gated = latest.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_bucket") != "low")
+        & (dup_line_frac <= max_dup_line_frac)
+    )
+    if langs:
+        gated = gated.filter(F.col("pred_lang").isin(langs))
+
+    # exact content dedup: md5(text), keep deterministic first (url, ts)
+    w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w_md5))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # near-dup dedup on the winnow fingerprint (already computed, no rework)
+    w_fp = Window.partitionBy("winnow_fp").orderBy("url", "warc_ts")
+    near = (
+        exact.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    quota = host_quota(near, max_per_host=max_per_host)
+    split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)
+    return split.select(
+        "url",
+        "warc_ts",
+        "text",
+        "n_tokens",
+        "pred_lang",
+        "quality_bucket",
+        "winnow_fp",
+        "split",
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-(split, pred_lang) corpus report: docs, tokens, mean quality."""
+    return (
+        curated.groupBy("split", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "pred_lang")
+    )

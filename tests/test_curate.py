@@ -1,0 +1,51 @@
+"""End-to-end curation pipeline (pipeline/curate.py): extraction +
+enrichment + re-crawl/exact/near dedup + quality gate + host quota +
+deterministic split, composed over the fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_pages import ensure_pages
+from htmld_spark.pipeline.curate import curate, curation_report
+from htmld_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_curate")
+    yield s
+    s.stop()
+
+
+def test_curate_end_to_end(spark):
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    curated = curate(pages, min_tokens=3, max_per_host=200).cache()
+    n = curated.count()
+    assert 0 < n < pages.count()  # something survived, something was cut
+    # invariants
+    assert curated.select("url").distinct().count() == n  # re-crawl dedup
+    assert curated.select("winnow_fp").distinct().count() == n  # near-dedup
+    assert curated.filter(F.col("quality_bucket") == "low").count() == 0
+    host = F.parse_url("url", F.lit("HOST"))
+    assert (
+        curated.groupBy(host).count().agg(F.max("count")).collect()[0][0] <= 200
+    )
+    splits = {r.split for r in curated.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    # deterministic end to end: two runs produce identical output
+    again = curate(pages, min_tokens=3, max_per_host=200)
+    assert (
+        curated.exceptAll(again).count() == 0
+        and again.exceptAll(curated).count() == 0
+    )
+    rep = curation_report(curated).collect()
+    assert sum(r.n_docs for r in rep) == n
+    curated.unpersist()
+
+
+def test_curate_plan_shape(spark):
+    """One Python crossing; no Python in any post-extraction stage."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    p = curate(pages)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in p
