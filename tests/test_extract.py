@@ -227,3 +227,57 @@ def test_serializer_fixed_point_on_fixture_corpus():
         once = outer_html(parse_document(h), 0)
         twice = outer_html(parse_document(once), 0)
         assert once == twice
+
+
+def test_mutation_fuzz_invariants():
+    """Seeded mutation fuzz over fixture pages (compact CI version of the
+    6000-trial offline run, 0 failures): never-throw, span nesting + offset
+    invariants, DOM-walk == TextSink innerText, determinism, serializer
+    fixed point."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from fixtures.gen_pages import ensure_pages
+    from htmld_spark.engine.extract import (
+        element_spans,
+        fast_inner_text,
+        inner_text,
+        main_text,
+    )
+
+    htmls = [
+        h
+        for h in pq.read_table(ensure_pages("0.001"), columns=["html"])
+        .column("html")
+        .to_pylist()
+        if len(h) < 50_000
+    ][:120]
+    rng = random.Random(1234)
+    for trial in range(400):
+        base = bytearray(rng.choice(htmls))
+        for _ in range(rng.randint(1, 8)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(base)) if base else 0
+            if op == 0 and base:
+                base[pos] = rng.choice(b'<>&"\'/=! -azAZ09')
+            elif op == 1 and len(base) > 1:
+                del base[pos]
+            else:
+                base[pos:pos] = bytes([rng.choice(b'<>&"\'/=!')])
+        h = bytes(base)
+        d = parse_document(h)
+        spans = element_spans(d)
+        by_id = {s["node_id"]: s for s in spans}
+        for s in spans:
+            assert s["end"] >= s["start"] and s["text_end"] >= s["text_start"]
+            p = s["parent_id"]
+            if p in by_id:
+                ps = by_id[p]
+                assert ps["start"] <= s["start"] and s["end"] <= ps["end"]
+                assert ps["text_start"] <= s["text_start"]
+                assert s["text_end"] <= ps["text_end"]
+        assert inner_text(d, 0) == fast_inner_text(h)
+        assert main_text(d) == main_text(parse_document(h))
+        once = outer_html(d, 0)
+        assert once == outer_html(parse_document(once), 0)
