@@ -458,6 +458,15 @@ def _q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(d, max_hamming=3)
 
 
+def _q_dedup_minhash_keep(spark, sf_dir):
+    """Full near-dup policy: MinHash+LSH pairs → connected-components
+    clustering → keep min id per cluster + all unpaired docs. Oracled by a
+    pure-Python union-find over the golden pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    return D.near_dedup_keep(d, pairs)
+
+
 def _q_embed_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
 
@@ -763,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
+        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
@@ -1236,6 +1246,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": (
             f"SELECT id_a, id_b, hamming FROM "
             f"read_parquet('{os.path.join(gold, 'simhash_pairs.parquet')}')"
+        ),
+        "dedup_minhash_keep": (
+            f"SELECT doc_id FROM "
+            f"read_parquet('{os.path.join(gold, 'minhash_keep.parquet')}')"
         ),
         "doc_winnow_fingerprint": (
             f"SELECT doc_id, n_grams, n_selected, winnow_fp FROM "

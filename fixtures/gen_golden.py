@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "4"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "5"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -170,6 +170,35 @@ def golden_winnow(
         fp = spark_xxhash64(",".join(str(v) for v in selected))
         out.append((doc_id, n_grams, len(selected), fp))
     return out
+
+
+def golden_near_dedup_keep(
+    doc_ids: list[int], pairs: list[tuple[int, int, float]]
+) -> list[int]:
+    """Replicates dedup.near_dedup_keep: union-find over the pair graph,
+    keep min id per component + all unpaired docs."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    paired = set()
+    for a, b, _ in pairs:
+        union(a, b)
+        paired.add(a)
+        paired.add(b)
+    keep = sorted(
+        {find(d) for d in paired} | {d for d in doc_ids if d not in paired}
+    )
+    return keep
 
 
 def golden_hash_split(
@@ -386,6 +415,12 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "lsh_near_pairs.parquet"),
+    )
+
+    keep = golden_near_dedup_keep([d for d, _ in docs], mh)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(keep, pa.int64())}),
+        os.path.join(out_dir, "minhash_keep.parquet"),
     )
 
     hs = golden_hash_split([d for d, _ in docs])

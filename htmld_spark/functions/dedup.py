@@ -144,6 +144,72 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph via iterative
+    hash-min label propagation (each node repeatedly adopts the minimum
+    component id among itself and its neighbors) — the standard
+    DataFrame-only approach for the short, dense clusters near-dup graphs
+    produce (cliques/stars converge in 2-3 rounds; the driver loop only
+    checks a scalar convergence count per round). Returns (node, component)
+    where component = min node id in the component.
+
+    At 100 TB: each round is one groupBy-min over the edge list; for
+    adversarial long-chain graphs switch to the large-star/small-star
+    variant (same primitive, provably O(log n) rounds)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    comp = sym.select("u").distinct().withColumn("c", F.col("u"))
+    for _ in range(max_iter):
+        # candidate label per node: min over self and neighbors' labels
+        neigh = (
+            sym.join(comp.withColumnRenamed("u", "v"), "v")
+            .select("u", "c")
+        )
+        new_comp = (
+            comp.unionByName(neigh)
+            .groupBy("u")
+            .agg(F.min("c").alias("c"))
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "u")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(F.col("u").alias("node"), F.col("c").alias("component"))
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate KEEP set: cluster the pair graph into components and
+    keep the minimum id per component, plus every document that appears in
+    no pair. The composition ``minhash_lsh_pairs → near_dedup_keep`` is the
+    full dedup policy (pairs alone under-specify which copies to drop when
+    clusters overlap transitively)."""
+    comps = connected_components(pairs, src, dst)
+    keepers = comps.groupBy("component").agg(F.min("node").alias(id_col)).select(id_col)
+    unpaired = df.select(id_col).join(
+        comps.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    )
+    return keepers.unionByName(unpaired)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

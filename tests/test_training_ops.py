@@ -425,3 +425,24 @@ def test_host_quota(spark):
     assert kept.count() == 30
     # oldest-first: the kept rows per host are warc_ts 0..9
     assert kept.agg(F.max("warc_ts")).collect()[0][0] == 9
+
+
+def test_connected_components_and_keep(spark, docs):
+    """Clustering: {0,1,2} form one near-dup component via (0,1),(0,2);
+    {3,4} another; 5 unpaired → keep = {0, 3, 5}."""
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    comps = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert comps[0] == comps[1] == comps[2] == 0
+    assert comps[3] == comps[4] == 3
+    keep = sorted(r.doc_id for r in D.near_dedup_keep(docs, pairs).collect())
+    assert keep == [0, 3, 5]
+
+
+def test_connected_components_chain(spark):
+    """A 6-node path graph (worst diameter for hash-min) still converges to
+    a single component."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    comps = {r.node: r.component for r in D.connected_components(edges).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 6
