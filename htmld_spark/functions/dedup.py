@@ -165,18 +165,22 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()  # re-joined every round: materialize once
     )
-    comp = sym.select("u").distinct().withColumn("c", F.col("u"))
+    # localCheckpoint (executor-side materialization + lineage truncation)
+    # after every round — without it the k-th round re-executes all k-1
+    # previous rounds (iterative-DataFrame lineage blowup, O(k²) work),
+    # and nothing is ever collected to the driver beyond the scalar
+    # convergence count.
+    comp = sym.select("u").distinct().withColumn("c", F.col("u")).localCheckpoint()
     for _ in range(max_iter):
         # candidate label per node: min over self and neighbors' labels
-        neigh = (
-            sym.join(comp.withColumnRenamed("u", "v"), "v")
-            .select("u", "c")
-        )
+        neigh = sym.join(comp.withColumnRenamed("u", "v"), "v").select("u", "c")
         new_comp = (
             comp.unionByName(neigh)
             .groupBy("u")
             .agg(F.min("c").alias("c"))
+            .localCheckpoint()
         )
         changed = (
             new_comp.alias("n")
