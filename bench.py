@@ -124,9 +124,16 @@ def run_headline(master: str) -> dict:
         "lang_id",
     ]
     for name in bench_queries:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best of 2 (plan REBUILT per run — shuffle-file reuse would flatter
+        # a repeat of the same DataFrame object): damps the host VM's 2-3×
+        # minute-scale load drift without hiding real cost
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            t = time.monotonic() - t0
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
