@@ -2,9 +2,7 @@
 upstream htmld user ports to — createDocument → querySelector/All →
 .text/.outerHTML — as thin views over the arena engine."""
 
-import pytest
-
-from htmld_spark.engine.api import Node, create_document
+from htmld_spark.engine.api import create_document
 from htmld_spark.engine.selector import SelectorError, compile_selector
 
 
