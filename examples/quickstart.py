@@ -1,0 +1,64 @@
+"""Quickstart — the three ways to use htmld-spark.
+
+Run:  python examples/quickstart.py
+(uses the deterministic sf0.001 fixture corpus; no external data)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def demo_engine_api() -> None:
+    """1. Single-document, reference-shaped API (no Spark): port code
+    written against the upstream library line-for-line."""
+    from htmld_spark.engine.api import create_document
+
+    doc = create_document(
+        b'<div id="post"><h1>Title</h1><p class="lead">Hello <b>world</b>.'
+        b"<p>Second paragraph</div>"
+    )
+    lead = doc.query_selector("#post p.lead")
+    print("innerText :", lead.text)
+    print("outerHTML :", lead.outer_html)
+    print("all p     :", [n.text for n in doc.query_selector_all("p")])
+
+
+def demo_distributed_extraction(spark) -> None:
+    """2. Corpus-scale extraction: the same engine inside one mapInArrow
+    crossing, DataFrame/Catalyst everywhere else."""
+    from fixtures.gen_pages import ensure_pages
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    extracted = extract_df(pages.select("url", "warc_ts", "html", "lang"))
+    extracted.select("url", "text", "n_spans").show(3, truncate=50)
+
+
+def demo_curation(spark) -> None:
+    """3. Training-data curation: extract → enrich → dedup (exact + near)
+    → quality gate → host quota → deterministic split, one declarative
+    plan."""
+    from fixtures.gen_pages import ensure_pages
+    from htmld_spark.pipeline.curate import curate, curation_report
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    curated = curate(pages, min_tokens=3, max_per_host=500)
+    curation_report(curated).show(20)
+
+
+def main() -> None:
+    demo_engine_api()
+    from htmld_spark.pipeline.session import get_spark
+
+    spark = get_spark(master="local[4]", app_name="quickstart")
+    try:
+        demo_distributed_extraction(spark)
+        demo_curation(spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
