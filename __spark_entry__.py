@@ -488,11 +488,13 @@ def _q_embed_ann_lsh(spark, sf_dir):
 
 
 def _q_embed_ann_ivf(spark, sf_dir):
-    """IVF (k-means coarse quantizer) ANN scale path (rows-only)."""
-    return S.ann_ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20,
-        n_cells=16, n_probe=4,
-    )
+    """IVF ANN, production shape: seeded Lloyd's coarse quantizer fit on a
+    bounded driver sample (FAISS-style train-on-sample), distributed cell
+    assignment against broadcast centroids, fit-free probe+re-rank query.
+    Golden-oracled by the pure-Python replay of the pinned Lloyd spec."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = S.ivf_build_sampled(emb, n_cells=16)
+    return S.ann_ivf_query(assigned, centroids, query_vec_id=0, k=20, n_probe=4)
 
 
 def _q_text_token_stats(spark, sf_dir):
@@ -776,7 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
-        "embed_ann_ivf": _q_embed_ann_ivf,  # rows-only (kmeans cells)
+        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
         "text_token_stats": _q_text_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
         "text_quality": _q_text_quality,
@@ -1258,6 +1260,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_ann_lsh": (
             f"SELECT vec_id, cosine FROM "
             f"read_parquet('{os.path.join(gold, 'ann_lsh_topk.parquet')}')"
+        ),
+        "embed_ann_ivf": (
+            f"SELECT vec_id, cosine FROM "
+            f"read_parquet('{os.path.join(gold, 'ann_ivf_topk.parquet')}')"
         ),
         "embed_near_pairs_lsh": (
             f"SELECT id_a, id_b, cosine FROM "

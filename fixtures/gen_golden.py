@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "5"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "6"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -273,6 +273,79 @@ def golden_ann_lsh(
     return scored[:k]
 
 
+def golden_ann_ivf(
+    vec_ids: list[int],
+    embeddings: list[list[float]],
+    query_vec_id: int = 0,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    n_iter: int = 20,
+) -> list[tuple[int, float]]:
+    """Replays similarity.ivf_build_sampled + ann_ivf_query per the pinned
+    Lloyd's spec (seeded init over the id-sorted sample, per-row
+    ``((cents - v)**2).sum(axis=1)`` assignment, np.mean updates, empty
+    cells frozen, centroids rounded 6dp, stable-argsort probe)."""
+    import math
+
+    import numpy as np
+
+    order = sorted(range(len(vec_ids)), key=lambda i: vec_ids[i])
+    X = np.stack(
+        [np.asarray(embeddings[i], dtype=np.float64) for i in order]
+    )
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=n_cells, replace=False)
+    cents = X[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.array(
+            [int(np.argmin(((cents - v) ** 2).sum(axis=1))) for v in X]
+        )
+        new = cents.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    cents = np.round(cents, 6)
+
+    cell_of = {}
+    for i, vid in enumerate(vec_ids):
+        v = np.asarray(embeddings[i], dtype=np.float64)
+        cell_of[vid] = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+    by_id = {vid: i for i, vid in enumerate(vec_ids)}
+    q64 = np.asarray(embeddings[by_id[query_vec_id]], dtype=np.float64)
+    d = ((cents - q64) ** 2).sum(axis=1)
+    probe = {int(i) for i in np.argsort(d, kind="stable")[:n_probe]}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    qv = [float(np.float64(np.float32(x))) for x in embeddings[by_id[query_vec_id]]]
+    qn = fold_norm(qv)
+    scored = []
+    for i, vid in enumerate(vec_ids):
+        if vid == query_vec_id or cell_of[vid] not in probe:
+            continue
+        v = [float(np.float64(np.float32(x))) for x in embeddings[i]]
+        cos = fold_dot(v, qv) / (fold_norm(v) * qn)
+        scored.append((vid, _round_half_up(cos, 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 def golden_lsh_near_pairs(
     vec_ids: list[int],
     embeddings: list[list[float]],
@@ -401,6 +474,19 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "ann_lsh_topk.parquet"),
+    )
+
+    ivf = golden_ann_ivf(
+        et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in ivf], pa.int64()),
+                "cosine": pa.array([r[1] for r in ivf], pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "ann_ivf_topk.parquet"),
     )
 
     np_pairs = golden_lsh_near_pairs(

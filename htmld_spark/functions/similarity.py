@@ -124,6 +124,89 @@ def ivf_build(
 ivf_assign = ivf_build
 
 
+def _lloyd_fit(X, n_cells: int, seed: int, n_iter: int = 20):
+    """Seeded Lloyd's k-means over a driver-side float64 sample. Pinned
+    deterministic spec (the pure-Python oracle replays it exactly):
+    init = RandomState(seed).choice of distinct rows; per iteration every
+    row joins the cell minimizing ``((cents - v)**2).sum(axis=1)`` (ties →
+    lowest index); centroid update = np.mean over members in input order;
+    empty cells keep their previous centroid; final centroids rounded to
+    6 dp (kills last-ulp sensitivity at cell boundaries)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=n_cells, replace=False)
+    cents = X[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.array(
+            [int(np.argmin(((cents - v) ** 2).sum(axis=1))) for v in X]
+        )
+        new = cents.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return np.round(cents, 6)
+
+
+def ivf_build_sampled(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample_limit: int = 100_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+):
+    """Production-shaped IVF build: fit the coarse quantizer with seeded
+    Lloyd's k-means over a BOUNDED driver-side sample (the FAISS-style
+    train-on-sample pattern — at 10^12 vectors nobody fits k-means on the
+    full table), then assign every vector distributed via one Arrow batch
+    pass against the broadcast centroids. Fully deterministic and
+    replayable by the pure-Python oracle (fixtures/gen_golden.py), unlike
+    the pyspark.ml variant (``ivf_build``), which remains for comparison.
+    Returns (assigned_df, centroids:list[list[float]])."""
+    import numpy as np
+
+    sample_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    )
+    X = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
+    )
+    cents = _lloyd_fit(X, n_cells, seed)
+
+    def assign_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            vecs = batch.column(names.index(vec_col)).to_pylist()
+            cells = [
+                int(
+                    np.argmin(
+                        ((cents - np.asarray(v, dtype=np.float64)) ** 2).sum(
+                            axis=1
+                        )
+                    )
+                )
+                for v in vecs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(cells, pa.int32())],
+                names=names + [out_col],
+            )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    ) + f", {out_col} int"
+    assigned = df.mapInArrow(assign_batches, schema)
+    return assigned, [list(c) for c in cents]
+
+
 def ann_ivf_query(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -155,7 +238,7 @@ def ann_ivf_query(
     q = np.asarray(qrow[vec_col], dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
     d = ((cents - q) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
     cands = assigned.filter(
         F.col(cell_col).isin(probe) & (F.col(id_col) != query_vec_id)
     )

@@ -446,3 +446,22 @@ def test_connected_components_chain(spark):
     )
     comps = {r.node: r.component for r in D.connected_components(edges).collect()}
     assert set(comps.values()) == {0} and len(comps) == 6
+
+
+def test_ivf_sampled_build_and_query(vectors):
+    """Sample-fit Lloyd IVF (the production/oracle path): deterministic,
+    finds the near-copy, fit-free query over the assigned frame."""
+    assigned, cents = S.ivf_build_sampled(vectors, n_cells=4)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    got = [
+        r.vec_id
+        for r in S.ann_ivf_query(assigned, cents, query_vec_id=0, k=5, n_probe=2).collect()
+    ]
+    assert 1 in got
+    assigned2, cents2 = S.ivf_build_sampled(vectors, n_cells=4)
+    assert cents == cents2  # deterministic fit
+    again = [
+        r.vec_id
+        for r in S.ann_ivf_query(assigned2, cents2, query_vec_id=0, k=5, n_probe=2).collect()
+    ]
+    assert got == again
