@@ -385,20 +385,48 @@ def repetition_features(
     total_chars = F.length(F.col(text_col))
     staged = df.select(
         F.col(id_col),
-        lines.alias("_lines"),
+        F.array_sort(lines).alias("_sorted"),
         n_lines.alias("n_lines"),
         (1 - n_distinct / n_lines).alias("_dlf"),
         total_chars.alias("_tc"),
     )
     # chars in lines occurring more than once (count each occurrence):
-    # sum over lines L of len(L) where L appears ≥2 times in the doc
+    # sum over lines L of len(L) where L appears ≥2 times in the doc.
+    # O(n log n): array_sort groups equal lines into runs, then ONE linear
+    # aggregate pass sums len(line)*run_len for runs of length ≥ 2 (the
+    # r01 nested-filter form was O(n_lines²) per row — a straggler factory
+    # on 100k-line pages; same output, linear pass).
+    def _fold(acc, line):
+        run_done = F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0))
+        return F.when(
+            line == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["tot"].alias("tot"),
+            ),
+        ).otherwise(
+            F.struct(
+                line.alias("prev"),
+                F.lit(1).alias("run"),
+                (acc["tot"] + run_done).alias("tot"),
+            )
+        )
+
     dup_chars = F.aggregate(
-        F.filter(
-            "_lines",
-            lambda line: F.size(F.filter("_lines", lambda x: x == line)) >= 2,
+        "_sorted",
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("tot"),
         ),
-        F.lit(0),
-        lambda acc, line: acc + F.length(line),
+        _fold,
+        lambda acc: acc["tot"]
+        + F.when(acc["run"] >= 2, acc["run"] * F.length(acc["prev"])).otherwise(
+            F.lit(0)
+        ),
     )
     return staged.select(
         id_col,
