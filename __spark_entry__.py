@@ -472,12 +472,16 @@ def _q_embed_cosine_topk(spark, sf_dir):
 
 
 def _q_embed_near_pairs_lsh(spark, sf_dir):
-    """Embedding near-dup pairs at scale: LSH-bucketed candidates + exact
-    cosine verify (the scale path behind the quadratic
-    dedup_embedding_pairs baseline). Golden-oracled via the replayed-planes
-    pure-Python replica."""
+    """Embedding near-dup pairs at scale: BANDED LSH candidates (4 bands ×
+    8 planes, OR-amplified like minhash banding — no single-bucket
+    quadratic self-join at 10^12 rows) + exact cosine verify. Golden-
+    oracled via the replayed-planes pure-Python replica."""
     return S.lsh_near_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=64, cosine_threshold=0.3
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        cosine_threshold=0.3,
+        bands=4,
+        rows_per_band=8,
     )
 
 
@@ -489,11 +493,13 @@ def _q_embed_ann_lsh(spark, sf_dir):
 
 def _q_embed_ann_ivf(spark, sf_dir):
     """IVF ANN, production shape: seeded Lloyd's coarse quantizer fit on a
-    bounded driver sample (FAISS-style train-on-sample), distributed cell
-    assignment against broadcast centroids, fit-free probe+re-rank query.
-    Golden-oracled by the pure-Python replay of the pinned Lloyd spec."""
+    bounded UNBIASED hash-threshold driver sample (pmod(xxhash64(id), 2)
+    == 0 — FAISS-style train-on-sample without the id-prefix bias or the
+    TakeOrdered heap), distributed cell assignment against broadcast
+    centroids, fit-free probe+re-rank query. Golden-oracled by the
+    pure-Python replay of the pinned Lloyd spec."""
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, centroids = S.ivf_build_sampled(emb, n_cells=16)
+    assigned, centroids = S.ivf_build_sampled(emb, n_cells=16, sample_mod=2)
     return S.ann_ivf_query(assigned, centroids, query_vec_id=0, k=20, n_probe=4)
 
 

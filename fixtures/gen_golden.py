@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "6"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "7"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -282,16 +282,27 @@ def golden_ann_ivf(
     n_probe: int = 4,
     seed: int = 42,
     n_iter: int = 20,
+    sample_mod: int = 1,
+    sample_limit: int = 100_000,
 ) -> list[tuple[int, float]]:
     """Replays similarity.ivf_build_sampled + ann_ivf_query per the pinned
-    Lloyd's spec (seeded init over the id-sorted sample, per-row
-    ``((cents - v)**2).sum(axis=1)`` assignment, np.mean updates, empty
-    cells frozen, centroids rounded 6dp, stable-argsort probe)."""
+    Lloyd's spec (hash-threshold sample ``pmod(xxhash64(id), sample_mod)
+    == 0`` sorted by id and capped — VERDICT r02 #3's unbiased rule —
+    seeded init, per-row ``((cents - v)**2).sum(axis=1)`` assignment,
+    np.mean updates, empty cells frozen, centroids rounded 6dp,
+    stable-argsort probe)."""
     import math
 
     import numpy as np
 
-    order = sorted(range(len(vec_ids)), key=lambda i: vec_ids[i])
+    sampled = [
+        i
+        for i in range(len(vec_ids))
+        if ((spark_xxhash64(Long(vec_ids[i])) % sample_mod) + sample_mod)
+        % sample_mod
+        == 0
+    ]
+    order = sorted(sampled, key=lambda i: vec_ids[i])[:sample_limit]
     X = np.stack(
         [np.asarray(embeddings[i], dtype=np.float64) for i in order]
     )
@@ -351,21 +362,21 @@ def golden_lsh_near_pairs(
     embeddings: list[list[float]],
     dim: int = 64,
     cosine_threshold: float = 0.3,
-    n_planes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 8,
     seed: int = 42,
 ) -> list[tuple[int, int, float]]:
-    """Replicates functions/similarity.lsh_near_pairs: same-bucket
-    candidate pairs + exact left-to-right float64 cosine ≥ threshold."""
+    """Replicates functions/similarity.lsh_near_pairs (banded form,
+    VERDICT r02 #1): per-band hyperplane keys (planes [b*r,(b+1)*r) of one
+    RandomState(seed) matrix), candidates = same (band, band_key) pairs
+    union'd over bands, exact left-to-right float64 cosine ≥ threshold."""
     import math
 
     import numpy as np
 
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    planes = np.random.RandomState(seed).randn(bands * rows_per_band, dim)
     m = np.stack([np.asarray(v, dtype=np.float32) for v in embeddings])
     bits = (m @ planes.T) > 0
-    buckets = np.zeros(len(vec_ids), dtype=np.int64)
-    for i in range(n_planes):
-        buckets |= bits[:, i].astype(np.int64) << i
 
     def fold_dot(a, b):
         acc = 0.0
@@ -379,22 +390,30 @@ def golden_lsh_near_pairs(
             acc += x * x
         return math.sqrt(acc)
 
-    by_bucket: dict[int, list[int]] = {}
-    for idx, vid in enumerate(vec_ids):
-        by_bucket.setdefault(int(buckets[idx]), []).append(idx)
+    cand: set[tuple[int, int]] = set()
+    for b in range(bands):
+        keys = np.zeros(len(vec_ids), dtype=np.int64)
+        for r in range(rows_per_band):
+            keys |= bits[:, b * rows_per_band + r].astype(np.int64) << r
+        by_key: dict[int, list[int]] = {}
+        for idx, vid in enumerate(vec_ids):
+            by_key.setdefault(int(keys[idx]), []).append(idx)
+        for idxs in by_key.values():
+            idxs = sorted(idxs, key=lambda i: vec_ids[i])
+            for i, ia in enumerate(idxs):
+                for ib in idxs[i + 1 :]:
+                    cand.add((ia, ib))
     vecs64 = [
         [float(np.float64(np.float32(x))) for x in v] for v in embeddings
     ]
     norms = [fold_norm(v) for v in vecs64]
     out = []
-    for idxs in by_bucket.values():
-        idxs = sorted(idxs, key=lambda i: vec_ids[i])
-        for i, ia in enumerate(idxs):
-            for ib in idxs[i + 1 :]:
-                cos = fold_dot(vecs64[ia], vecs64[ib]) / (norms[ia] * norms[ib])
-                cos = _round_half_up(cos, 6)
-                if cos >= cosine_threshold:
-                    out.append((vec_ids[ia], vec_ids[ib], cos))
+    for ia, ib in cand:
+        cos = fold_dot(vecs64[ia], vecs64[ib]) / (norms[ia] * norms[ib])
+        cos = _round_half_up(cos, 6)
+        if cos >= cosine_threshold:
+            pa_, pb_ = sorted((vec_ids[ia], vec_ids[ib]))
+            out.append((pa_, pb_, cos))
     out.sort()
     return out
 
@@ -477,7 +496,9 @@ def ensure_golden(sf_dir: str) -> str:
     )
 
     ivf = golden_ann_ivf(
-        et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()
+        et.column("vec_id").to_pylist(),
+        et.column("embedding").to_pylist(),
+        sample_mod=2,
     )
     pq.write_table(
         pa.table(

