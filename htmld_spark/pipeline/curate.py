@@ -37,10 +37,25 @@ def curate(
     max_per_host: int = 100_000,
     train_pct: int = 90,
     val_pct: int = 5,
+    near_dedup: str = "winnow",
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
-    winnow_fp, split)."""
+    winnow_fp, split).
+
+    ``near_dedup`` selects the near-duplicate policy (VERDICT r02 #5):
+    - ``'winnow'`` (default, cheap): keep first (url, warc_ts) per winnow
+      fingerprint — one window shuffle on an 8-byte key; the fingerprint
+      is already computed in the enrichment pass, zero rework.
+    - ``'minhash'`` (the full clustering policy): MinHash+LSH banded
+      candidate pairs → exact-Jaccard verify → connected components →
+      keep min url per cluster (minhash_lsh_pairs → near_dedup_keep, both
+      value-oracled). Costs 3 extra shuffles (signature agg, banded
+      equi-join, CC rounds on the pair graph — pair graphs are tiny
+      relative to the corpus) + a broadcast-able keep-set semi-join, and
+      catches paraphrase-level duplicates winnow-equality misses."""
+    if near_dedup not in ("winnow", "minhash"):
+        raise ValueError(f"near_dedup must be 'winnow' or 'minhash', got {near_dedup!r}")
     extracted = extract_df(
         pages.select(*[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]),
         with_spans=False,
@@ -74,13 +89,21 @@ def curate(
         .drop("_rn")
     )
 
-    # near-dup dedup on the winnow fingerprint (already computed, no rework)
-    w_fp = Window.partitionBy("winnow_fp").orderBy("url", "warc_ts")
-    near = (
-        exact.withColumn("_rn", F.row_number().over(w_fp))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if near_dedup == "minhash":
+        # full policy: LSH-banded pairs → CC clustering → keep-set semi-join
+        from htmld_spark.functions.dedup import minhash_lsh_pairs, near_dedup_keep
+
+        pairs = minhash_lsh_pairs(exact, id_col="url", text_col="text")
+        keep = near_dedup_keep(exact, pairs, id_col="url")
+        near = exact.join(keep, "url", "left_semi")
+    else:
+        # near-dup dedup on the winnow fingerprint (already computed, no rework)
+        w_fp = Window.partitionBy("winnow_fp").orderBy("url", "warc_ts")
+        near = (
+            exact.withColumn("_rn", F.row_number().over(w_fp))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     quota = host_quota(near, max_per_host=max_per_host)
     split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)

