@@ -521,6 +521,15 @@ def _q_lang_id(spark, sf_dir):
     return TX.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1): word-count and
+    mean-word-length bounds, symbol/word ratio, bullet- and ellipsis-line
+    fractions, alphabetic-word fraction, stopword floor, combined verdict.
+    Row-local JVM expressions; DuckDB twin is the oracle."""
+    out = TX.gopher_rules(_t(spark, sf_dir, "documents"))
+    return out.withColumn("passes", F.col("passes").cast("int"))
+
+
 def _q_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -789,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "gopher_rules": _q_gopher_rules,
         "hash_split": _q_hash_split,
         "host_quota": _q_host_quota,
         "repetition_features": _q_repetition_features,
@@ -1118,6 +1128,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'high'
                         WHEN n_tokens >= 10 THEN 'mid' ELSE 'low' END AS quality_bucket
             FROM t
+        """,
+        "gopher_rules": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_words,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE coalesce(list_sum(list_transform(
+                            string_split_regex(trim(text), '\s+'),
+                            w -> length(w))), 0) END AS word_chars,
+                     string_split(text, chr(10)) AS lines,
+                     len(regexp_extract_all(text, '(#|\.\.\.|…)')) AS syms,
+                     len(regexp_extract_all(lower(text),
+                       '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(list_filter(
+                            string_split_regex(trim(text), '\s+'),
+                            w -> regexp_matches(w, '[A-Za-z]'))) END
+                       AS alpha_words
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_words,
+                     round(CASE WHEN n_words > 0
+                           THEN word_chars::DOUBLE / n_words ELSE 0 END, 4)
+                       AS mean_word_len,
+                     round(CASE WHEN n_words > 0
+                           THEN syms::DOUBLE / n_words ELSE 0 END, 4)
+                       AS symbol_word_ratio,
+                     round(len(list_filter(lines,
+                       l -> regexp_matches(l, '^[\t ]*[-*•]')))::DOUBLE
+                       / len(lines), 4) AS bullet_line_frac,
+                     round(len(list_filter(lines,
+                       l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE
+                       / len(lines), 4) AS ellipsis_line_frac,
+                     round(CASE WHEN n_words > 0
+                           THEN alpha_words::DOUBLE / n_words ELSE 0 END, 4)
+                       AS alpha_word_frac,
+                     stop_hits
+              FROM t
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+                   symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, CAST(stop_hits AS BIGINT) AS stopword_hits,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_word_ratio <= 0.1
+                        AND bullet_line_frac <= 0.9
+                        AND ellipsis_line_frac <= 0.3
+                        AND alpha_word_frac >= 0.8
+                        AND stop_hits >= 2 AS INTEGER) AS passes
+            FROM f
         """,
         "lang_id": f"""
             SELECT doc_id,

@@ -63,6 +63,10 @@ def minhash_signatures(
     """One row per doc with columns mh0..mh{k-1}: min over shingles of
     xxhash64(shingle, perm_seed). Runs as explode → k min-aggs (map-side
     combine keeps the shuffle tiny)."""
+    # NOTE (r3, measured): a hash-once-then-derive-k variant
+    # (xxhash64(xxhash64(shingle), i)) was ABBA-benchmarked at +18% — the
+    # extra hash LAYER costs more than hashing the short shingle string k
+    # times (xxh64 call overhead dominates below ~32 bytes). Kept direct.
     exploded = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
     )
@@ -120,8 +124,17 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification on shingle sets, joined only for candidates
-    sets_df = df.select(
+    # exact verification on shingle sets, computed ONLY for candidate docs
+    # (semi-join first: candidates ≪ corpus, so the second tokenize +
+    # array_distinct pass never touches non-candidate rows).
+    # localCheckpoint materializes the (tiny) candidate set once — without
+    # it the signature-agg + banded-join subplan executes twice (once under
+    # cand_ids, once under the verify join).
+    cand = cand.localCheckpoint()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sets_df = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(_shingles(text_col, shingle_n)).alias("sset"),
     )
@@ -246,7 +259,12 @@ def ngram_jaccard_pairs(
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     (+1/-1) votes from each token's xxhash64 bit. 64 conditional sums, all
-    codegen'd; returns (id, simhash:bigint)."""
+    codegen'd; returns (id, simhash:bigint).
+
+    NOTE (r3, measured): a packed-lane variant (3 bit-counts per 21-bit
+    lane, 22 sums + count) was ABBA-benchmarked at +15% median — fewer
+    aggregate buffers did not pay for ~3× more bitwise ops per row in the
+    codegen'd update loop. Kept the straight 64-sum form."""
     exploded = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("tok"),

@@ -115,6 +115,82 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# Gopher stopword probe (Rae et al. 2021 "Scaling Language Models" §A1.1:
+# a doc must contain ≥2 of a small stopword set). Shared verbatim with the
+# DuckDB oracle.
+GOPHER_STOPWORDS_RE = r"\b(the|be|to|of|and|that|have|with)\b"
+_BULLET_LINE_RE = r"^[\t ]*[-*•]"
+_ELLIPSIS_LINE_RE = r"(\.\.\.|…)$"
+_SYMBOL_RE = r"(#|\.\.\.|…)"
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality gate (Rae et al. 2021 §A1.1,
+    the rule set FineWeb/Dolma descend from), per document: word count
+    bounds, mean word length bounds, symbol-to-word ratio (#/ellipsis),
+    bullet- and ellipsis-line fractions, fraction of words with ≥1
+    alphabetic char, and a stopword floor — plus the combined ``passes``
+    verdict. Pure row-local JVM expressions (split/filter/aggregate over
+    arrays — zero shuffle, zero Python); thresholds are the published
+    defaults. The exactly-equivalent DuckDB form is the driver oracle."""
+    text = F.col(text_col)
+    words = _tokens(text)
+    n_words = token_count(text)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_words > 0, F.regexp_count(text, F.lit(_SYMBOL_RE)) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_LINE_RE))) / n_lines
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_LINE_RE))) / n_lines
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.regexp_count(F.lower(text), F.lit(GOPHER_STOPWORDS_RE))
+    staged = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    return staged.withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits),
+    )
+
+
 def _lang_scores(text_col):
     low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
     return {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_PROBES.items()}

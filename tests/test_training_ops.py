@@ -515,3 +515,32 @@ def test_ivf_sampled_build_and_query(vectors):
         for r in S.ann_ivf_query(assigned2, cents2, query_vec_id=0, k=5, n_probe=2).collect()
     ]
     assert got == again
+
+
+def test_gopher_rules(spark):
+    from htmld_spark.functions.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and"] * 6
+    )  # 72 words, mean len ~4.2, stopword-rich, all alpha
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text"),                        # < 50 words
+            (3, "- a\n- b\n- c"),                     # all bullet lines
+            (4, ""),                                  # empty
+            (5, good + " ###### # # # # # # # # #"),  # symbol-heavy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert rows[1].passes and rows[1].n_words == 72
+    assert rows[1].stopword_hits >= 2 and rows[1].alpha_word_frac == 1.0
+    assert 3.0 <= rows[1].mean_word_len <= 10.0
+    assert not rows[2].passes  # word-count floor
+    assert rows[3].bullet_line_frac == 1.0 and not rows[3].passes
+    assert rows[4].n_words == 0 and not rows[4].passes
+    assert rows[5].symbol_word_ratio > 0.1 and not rows[5].passes
+    # row-local: no shuffle, no Python
+    p = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
