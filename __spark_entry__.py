@@ -485,6 +485,33 @@ def _q_embed_near_pairs_lsh(spark, sf_dir):
     )
 
 
+def _q_embed_batch_topk(spark, sf_dir):
+    """Exact top-10 per query for a 5-query batch: broadcast queries, JVM
+    cosine fold, one window over a skinny (query_id, id, negcos)
+    projection — the exact batch baseline behind the indexed ANN paths."""
+    return S.batch_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+
+
+def _q_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals over the pages corpus: top/dup
+    2- and 3-gram char fractions — per-doc-local array_sort + linear
+    run fold, zero shuffle."""
+    pages = _pages(spark, sf_dir)
+    return (
+        TX.ngram_repetition(pages, id_col="url", text_col="text")
+        .select(
+            "url",
+            "top2_char_frac",
+            "dup2_char_frac",
+            "top3_char_frac",
+            "dup3_char_frac",
+        )
+        .distinct()
+    )
+
+
 def _q_embed_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(
         _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, dim=64
@@ -791,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
         "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_batch_topk": _q_embed_batch_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
         "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
@@ -799,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "gopher_rules": _q_gopher_rules,
+        "ngram_repetition": _q_ngram_repetition,
         "hash_split": _q_hash_split,
         "host_quota": _q_host_quota,
         "repetition_features": _q_repetition_features,
@@ -1073,6 +1102,73 @@ def oracle_sql() -> dict[str, str]:
                                                 q.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings e, q WHERE e.vec_id != 0
             ORDER BY cosine DESC, e.vec_id LIMIT 20
+        """,
+        "embed_batch_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2, 3, 4)
+            )
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings e, q WHERE e.vec_id != q.query_id
+            QUALIFY row_number() OVER (
+              PARTITION BY q.query_id ORDER BY cosine DESC, e.vec_id) <= 10
+        """,
+        "ngram_repetition": f"""
+            WITH base AS (
+              SELECT url, warc_ts, length(text) AS n_chars,
+                     string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM read_parquet('{fx}')
+            ), g2 AS (
+              SELECT url, warc_ts, ts[i] || ' ' || ts[i + 1] AS gram
+              FROM base, unnest(range(1, len(ts))) AS u(i)
+              WHERE len(ts) >= 2
+            ), c2 AS (
+              SELECT url, warc_ts, gram, count(*) AS cnt
+              FROM g2 GROUP BY url, warc_ts, gram
+            ), top2 AS (
+              SELECT url, warc_ts, cnt * length(gram) AS mass FROM c2
+              QUALIFY row_number() OVER (
+                PARTITION BY url, warc_ts ORDER BY cnt DESC, gram) = 1
+            ), dup2 AS (
+              SELECT url, warc_ts, sum(cnt * length(gram)) AS mass FROM c2
+              WHERE cnt >= 2 GROUP BY url, warc_ts
+            ), g3 AS (
+              SELECT url, warc_ts,
+                     ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+              FROM base, unnest(range(1, len(ts) - 1)) AS u(i)
+              WHERE len(ts) >= 3
+            ), c3 AS (
+              SELECT url, warc_ts, gram, count(*) AS cnt
+              FROM g3 GROUP BY url, warc_ts, gram
+            ), top3 AS (
+              SELECT url, warc_ts, cnt * length(gram) AS mass FROM c3
+              QUALIFY row_number() OVER (
+                PARTITION BY url, warc_ts ORDER BY cnt DESC, gram) = 1
+            ), dup3 AS (
+              SELECT url, warc_ts, sum(cnt * length(gram)) AS mass FROM c3
+              WHERE cnt >= 2 GROUP BY url, warc_ts
+            )
+            SELECT DISTINCT base.url,
+                   round(CASE WHEN n_chars > 0
+                         THEN coalesce(top2.mass, 0)::DOUBLE / n_chars
+                         ELSE 0 END, 4) AS top2_char_frac,
+                   round(CASE WHEN n_chars > 0
+                         THEN coalesce(dup2.mass, 0)::DOUBLE / n_chars
+                         ELSE 0 END, 4) AS dup2_char_frac,
+                   round(CASE WHEN n_chars > 0
+                         THEN coalesce(top3.mass, 0)::DOUBLE / n_chars
+                         ELSE 0 END, 4) AS top3_char_frac,
+                   round(CASE WHEN n_chars > 0
+                         THEN coalesce(dup3.mass, 0)::DOUBLE / n_chars
+                         ELSE 0 END, 4) AS dup3_char_frac
+            FROM base
+            LEFT JOIN top2 USING (url, warc_ts)
+            LEFT JOIN dup2 USING (url, warc_ts)
+            LEFT JOIN top3 USING (url, warc_ts)
+            LEFT JOIN dup3 USING (url, warc_ts)
         """,
         "text_token_stats": r"""
             WITH t AS (

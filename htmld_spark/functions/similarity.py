@@ -69,6 +69,53 @@ def cosine_topk(
     )
 
 
+def batch_cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for a BATCH of query vectors in one job: the
+    Q query rows ride a broadcast, every (row, query) pair is scored with
+    the JVM cosine fold, and the per-query top-k is one window over a
+    SKINNY projection — only (query_id, vec_id, negcos) ≈ 24 bytes/row
+    ever reaches the shuffle, never the embeddings. This is the exact
+    BATCH BASELINE (n×Q scored rows — gate the input like the other
+    quadratic baselines); the scale path for many queries is the prebuilt
+    index (``ann_ivf_query`` / ``ann_lsh_topk``) whose probes touch
+    ~n_probe/n_cells of the table per query. Returns (query_id, vec_id,
+    cosine) rounded to 6 dp, ordered (cosine desc, vec_id) per query —
+    the ordering key is the NEGATED rounded value (negation is exact), so
+    k-boundary ties resolve identically to the DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col(id_col),
+            (
+                -F.round(
+                    _dot(v, F.col("_qvec")) / (_norm(v) * _norm(F.col("_qvec"))), 6
+                )
+            ).alias("_negcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("_negcos", id_col)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, (-F.col("_negcos")).alias("cosine"))
+    )
+
+
 def _make_bucket_udf(n_planes: int, dim: int, seed: int):
     planes = np.random.RandomState(seed).randn(n_planes, dim)
 

