@@ -395,8 +395,13 @@ def lsh_near_pairs(
     keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "_keys", _make_band_keys_udf(bands, rows_per_band, dim, seed)(F.col(vec_col))
     )
+    # posexplode_OUTER: the plain posexplode makes InferFiltersFromGenerate
+    # insert a size(_keys) > 0 filter BETWEEN two ArrowEvalPython nodes, so
+    # the band-keys UDF ran twice per row (seen in BENCH/PLANS.md). The UDF
+    # always returns exactly `bands` entries, so outer is semantically
+    # identical — and the plan keeps ONE Python eval per side.
     banded = keyed.select(
-        F.col(id_col), F.posexplode("_keys").alias("band", "band_key")
+        F.col(id_col), F.posexplode_outer("_keys").alias("band", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")

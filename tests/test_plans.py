@@ -164,6 +164,9 @@ def test_lsh_near_pairs_banded_join_shape(spark):
     assert "posexplode" in p.lower() or "Generate" in p
     # the old shape's single `bucket` hash column must be gone
     assert "bucket#" not in p
+    # exactly ONE Python eval per join side: plain posexplode made
+    # InferFiltersFromGenerate re-evaluate the band-keys UDF twice per row
+    assert p.count("ArrowEvalPython") == 2
 
 
 def test_ivf_sample_plan_has_no_takeordered(spark):
