@@ -512,6 +512,24 @@ def _q_ngram_repetition(spark, sf_dir):
     )
 
 
+def _q_embed_near_dedup_keep(spark, sf_dir):
+    """Embedding-level near-dup KEEP set: banded-LSH pairs → connected
+    components → keep min vec_id per cluster + all unpaired vectors (the
+    L30 policy applied to the embedding table). Golden: pure-Python
+    union-find over the golden lsh_near_pairs set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_pairs(emb, dim=64, cosine_threshold=0.3)
+    return D.near_dedup_keep(emb, pairs, id_col="vec_id")
+
+
+def _q_host_top_terms(spark, sf_dir):
+    """Per-host top-5 terms (length ≥ 4) by count — domain-vocabulary /
+    boilerplate probe; one map-side-combined count shuffle + a window
+    over the counted table."""
+    pages = _pages(spark, sf_dir)
+    return TX.host_top_terms(pages, url_col="url", text_col="text", k=5)
+
+
 def _q_embed_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(
         _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, dim=64
@@ -821,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_batch_topk": _q_embed_batch_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
+        "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
+        "host_top_terms": _q_host_top_terms,
         "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
         "text_token_stats": _q_text_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1102,6 +1122,25 @@ def oracle_sql() -> dict[str, str]:
                                                 q.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings e, q WHERE e.vec_id != 0
             ORDER BY cosine DESC, e.vec_id LIMIT 20
+        """,
+        "embed_near_dedup_keep": (
+            f"SELECT vec_id FROM "
+            f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
+        ),
+        "host_top_terms": f"""
+            WITH t AS (
+              SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM read_parquet('{fx}')
+            ), c AS (
+              SELECT host, term, count(*) AS n FROM t
+              WHERE length(term) >= 4 GROUP BY host, term
+            )
+            SELECT host, term, n,
+                   CAST(row_number() OVER (
+                     PARTITION BY host ORDER BY n DESC, term) AS INT) AS rk
+            FROM c QUALIFY rk <= 5
         """,
         "embed_batch_topk": """
             WITH q AS (

@@ -48,6 +48,19 @@ def demo_curation(spark) -> None:
     curation_report(curated).show(20)
 
 
+def demo_quality_filters(spark) -> None:
+    """4. Web-text quality filtering: Gopher rule gate + n-gram repetition
+    signals — row-local JVM expressions, zero shuffle."""
+    from fixtures.gen_pages import ensure_pages
+    from htmld_spark.functions.text import gopher_rules, ngram_repetition
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    text = extract_df(pages.select("url", "warc_ts", "html", "lang"))
+    gopher_rules(text, id_col="url", text_col="text").show(3, truncate=30)
+    ngram_repetition(text, id_col="url", text_col="text").show(3, truncate=30)
+
+
 def main() -> None:
     demo_engine_api()
     from htmld_spark.pipeline.session import get_spark
@@ -56,6 +69,7 @@ def main() -> None:
     try:
         demo_distributed_extraction(spark)
         demo_curation(spark)
+        demo_quality_filters(spark)
     finally:
         spark.stop()
 

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "8"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "9"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -528,6 +528,13 @@ def ensure_golden(sf_dir: str) -> str:
     pq.write_table(
         pa.table({"doc_id": pa.array(keep, pa.int64())}),
         os.path.join(out_dir, "minhash_keep.parquet"),
+    )
+
+    # embedding-level keep set: union-find over the banded-LSH pair golden
+    ekeep = golden_near_dedup_keep(et.column("vec_id").to_pylist(), np_pairs)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ekeep, pa.int64())}),
+        os.path.join(out_dir, "embed_keep.parquet"),
     )
 
     hs = golden_hash_split([d for d, _ in docs])

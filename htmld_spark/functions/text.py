@@ -563,6 +563,34 @@ def host_quota(
     )
 
 
+def host_top_terms(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 4,
+) -> DataFrame:
+    """Per-host top-k terms by raw count (boilerplate/domain vocabulary
+    probe): lowercase whitespace tokens of length ≥ ``min_len``, counted
+    per (host, term) with map-side partial aggregation, deterministic
+    (count desc, term asc) top-k per host via one window over the tiny
+    counted table. Returns (host, term, n, rk)."""
+    from pyspark.sql.window import Window
+
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    ex = df.select(host.alias("host"), F.explode(toks).alias("term")).filter(
+        F.length("term") >= min_len
+    )
+    counts = ex.groupBy("host", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("host", "term", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

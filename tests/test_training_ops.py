@@ -593,3 +593,38 @@ def test_batch_cosine_topk(vectors):
         [(r.vec_id, r.cosine) for r in by_q[0]], key=lambda t: (-t[1], t[0])
     )
     assert batch0 == single
+
+
+def test_host_top_terms(spark):
+    from htmld_spark.functions.text import host_top_terms
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/1", "spark spark spark arrow arrow zzzz"),
+            ("http://a.com/2", "spark parquet"),
+            ("http://b.org/x", "tiny doc here here"),
+        ],
+        "url string, text string",
+    )
+    rows = host_top_terms(df, k=2).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((r.rk, r.term, r.n))
+    assert sorted(by_host["a.com"]) == [(1, "spark", 4), (2, "arrow", 2)]
+    # 'doc' (len 3) filtered by min_len=4; 'here' x2 wins, then 'tiny'
+    assert sorted(by_host["b.org"]) == [(1, "here", 2), (2, "tiny", 1)]
+
+
+def test_embed_near_dedup_keep_composition(vectors):
+    """Keep-set policy over embedding near-pairs: min id per LSH cluster +
+    all unpaired vectors; the constructed near-copy (0,1) collapses to 0."""
+    from htmld_spark.functions.dedup import near_dedup_keep
+
+    pairs = S.lsh_near_pairs(
+        vectors, dim=16, cosine_threshold=0.5, bands=4, rows_per_band=4
+    )
+    keep = sorted(
+        r.vec_id for r in near_dedup_keep(vectors, pairs, id_col="vec_id").collect()
+    )
+    assert 0 in keep and 1 not in keep
+    assert len(keep) < 40 and len(keep) > 10
