@@ -522,6 +522,15 @@ def _q_embed_near_dedup_keep(spark, sf_dir):
     return D.near_dedup_keep(emb, pairs, id_col="vec_id")
 
 
+def _q_boilerplate_line_removal(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level boilerplate removal: drop every
+    line appearing in ≥3 distinct urls, reassemble remaining lines in
+    order. Two passes over the corpus (line doc-freq, then an anti-join
+    against the broadcast frequent-line set) + one ordered reassembly."""
+    pages = _pages(spark, sf_dir).select("url", "warc_ts", "text")
+    return TX.remove_boilerplate_lines(pages, min_doc_freq=3)
+
+
 def _q_host_top_terms(spark, sf_dir):
     """Per-host top-5 terms (length ≥ 4) by count — domain-vocabulary /
     boilerplate probe; one map-side-combined count shuffle + a window
@@ -841,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
         "host_top_terms": _q_host_top_terms,
+        "boilerplate_line_removal": _q_boilerplate_line_removal,
         "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
         "text_token_stats": _q_text_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1127,6 +1137,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "boilerplate_line_removal": f"""
+            WITH base AS (
+              SELECT url, warc_ts, string_split(text, chr(10)) AS lines
+              FROM read_parquet('{fx}')
+            ), ex AS (
+              SELECT url, warc_ts, i AS pos, lines[i] AS line
+              FROM base, unnest(range(1, len(lines) + 1)) AS u(i)
+            ), freq AS (
+              SELECT line FROM ex GROUP BY line
+              HAVING count(DISTINCT url) >= 3
+            ), kept AS (
+              SELECT url, warc_ts, pos, line FROM ex
+              WHERE line NOT IN (SELECT line FROM freq)
+            ), re AS (
+              SELECT url, warc_ts,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS kept
+              FROM kept GROUP BY url, warc_ts
+            )
+            SELECT b.url, b.warc_ts,
+                   coalesce(re.text_clean, '') AS text_clean,
+                   CAST(len(b.lines) - coalesce(re.kept, 0) AS INT)
+                     AS n_removed
+            FROM base b LEFT JOIN re USING (url, warc_ts)
+        """,
         "host_top_terms": f"""
             WITH t AS (
               SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,

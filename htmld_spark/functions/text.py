@@ -591,6 +591,66 @@ def host_top_terms(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level boilerplate removal: a line that
+    appears in ≥ ``min_doc_freq`` DISTINCT documents (nav bars, cookie
+    banners, footers) is dropped from every document; remaining lines are
+    reassembled in their original order. Returns (id, ts, text_clean,
+    n_removed).
+
+    Shape: posexplode lines with positions → line document-frequency
+    (groupBy line, count_distinct id — map-side combined; the shuffle
+    carries (line, partial set) only for lines, not documents) → keep
+    join → per-document ordered reassembly via sort_array(collect_list
+    (struct(pos, line))). At 100 TB group on xxhash64(line) instead of
+    the raw line to shrink the freq shuffle (kept as raw line here for
+    exact DuckDB oracle parity)."""
+    lines = F.split(F.col(text_col), r"\n")
+    ex = df.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    freq = ex.groupBy("line").agg(
+        F.count_distinct(F.col(id_col)).alias("dfreq")
+    )
+    kept = ex.join(
+        F.broadcast(freq.filter(F.col("dfreq") >= min_doc_freq).select("line")),
+        "line",
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col, ts_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.col(ts_col), F.size(lines).alias("_total")
+    )
+    return (
+        totals.join(reassembled, [id_col, ts_col], "left")
+        .select(
+            id_col,
+            ts_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -628,3 +628,37 @@ def test_embed_near_dedup_keep_composition(vectors):
     )
     assert 0 in keep and 1 not in keep
     assert len(keep) < 40 and len(keep) > 10
+
+
+def test_remove_boilerplate_lines(spark):
+    from datetime import datetime
+
+    from htmld_spark.functions.text import remove_boilerplate_lines
+
+    ts = datetime(2026, 1, 1)
+    nav = "HOME | ABOUT | CONTACT"
+    df = spark.createDataFrame(
+        [
+            ("u1", ts, f"{nav}\nunique one\nfooter"),
+            ("u2", ts, f"{nav}\nunique two\nfooter"),
+            ("u3", ts, f"{nav}\nunique three\nfooter"),
+            ("u4", ts, "no shared lines here"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    rows = {r.url: r for r in remove_boilerplate_lines(df, min_doc_freq=3).collect()}
+    # nav + footer appear in 3 distinct urls → removed everywhere
+    assert rows["u1"].text_clean == "unique one" and rows["u1"].n_removed == 2
+    assert rows["u2"].text_clean == "unique two"
+    assert rows["u3"].text_clean == "unique three"
+    assert rows["u4"].text_clean == "no shared lines here"
+    assert rows["u4"].n_removed == 0
+    # order preserved for multi-kept-line docs
+    df2 = spark.createDataFrame(
+        [("a", ts, f"first\n{nav}\nsecond\nthird"),
+         ("b", ts, nav), ("c", ts, nav)],
+        "url string, warc_ts timestamp, text string",
+    )
+    out2 = {r.url: r for r in remove_boilerplate_lines(df2, min_doc_freq=3).collect()}
+    assert out2["a"].text_clean == "first\nsecond\nthird"
+    assert out2["b"].text_clean == "" and out2["b"].n_removed == 1
