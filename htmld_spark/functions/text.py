@@ -597,6 +597,7 @@ def remove_boilerplate_lines(
     ts_col: str = "warc_ts",
     text_col: str = "text",
     min_doc_freq: int = 3,
+    broadcast_freq_set: bool = True,
 ) -> DataFrame:
     """C4/RefinedWeb-style corpus-level boilerplate removal: a line that
     appears in ≥ ``min_doc_freq`` DISTINCT documents (nav bars, cookie
@@ -610,7 +611,10 @@ def remove_boilerplate_lines(
     join → per-document ordered reassembly via sort_array(collect_list
     (struct(pos, line))). At 100 TB group on xxhash64(line) instead of
     the raw line to shrink the freq shuffle (kept as raw line here for
-    exact DuckDB oracle parity)."""
+    exact DuckDB oracle parity), and set ``broadcast_freq_set=False`` if
+    the frequent-line set outgrows executor memory — the anti-join then
+    falls back to a shuffle join on the line key (AQE picks the strategy)
+    instead of forcing a broadcast."""
     lines = F.split(F.col(text_col), r"\n")
     ex = df.select(
         F.col(id_col),
@@ -620,11 +624,10 @@ def remove_boilerplate_lines(
     freq = ex.groupBy("line").agg(
         F.count_distinct(F.col(id_col)).alias("dfreq")
     )
-    kept = ex.join(
-        F.broadcast(freq.filter(F.col("dfreq") >= min_doc_freq).select("line")),
-        "line",
-        "left_anti",
-    )
+    freq_set = freq.filter(F.col("dfreq") >= min_doc_freq).select("line")
+    if broadcast_freq_set:
+        freq_set = F.broadcast(freq_set)
+    kept = ex.join(freq_set, "line", "left_anti")
     reassembled = kept.groupBy(id_col, ts_col).agg(
         F.concat_ws(
             "\n",
