@@ -61,8 +61,24 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_pages(_sf_of(sf_dir)))
 
 
+# Tables whose queries do heavy per-row compute (shingling, hashing,
+# vector folds) — worth rebalancing when the scan can't split.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The driver's testdata tables are single-file/single-row-group
+    # parquet — unsplittable, so every narrow stage over them runs as ONE
+    # task while the other 31 cores idle (measured: the sf0.1 shingle
+    # stage alone was 3.1 s single-task). Rebalance compute-heavy tables
+    # when the scan yields pathologically few splits; at production scale
+    # inputs arrive as many files/row groups and this branch never fires.
+    if name in _COMPUTE_HEAVY:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        if df.rdd.getNumPartitions() < max(2, target // 4):
+            df = df.repartition(target)
+    return df
 
 
 # --------------------------------------------------------------------------- entry

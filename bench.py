@@ -111,6 +111,18 @@ def run_headline(master: str) -> dict:
     t_ex, n_docs = bench_extract(spark, pages_path, with_spans=True)
     timings["extract_full"] = round(t_ex, 3)
 
+    # Per-workload task sizing, as on a real cluster: task.cpus=2 is right
+    # for the Python-heavy extraction stage (JVM feeder + Python worker per
+    # task) but HALVES concurrency for the pure-JVM query suite — measured
+    # 2.8x on dedup_minhash_lsh. Production runs these as separate jobs
+    # with their own submit conf; the bench does the same (session restart
+    # is outside the timed regions).
+    spark.stop()
+    from htmld_spark.pipeline.session import get_spark
+
+    spark = get_spark(master=master, app_name="bench_queries")
+    spark.range(1000).count()
+
     bench_queries = [
         "q1_pricing",
         "revenue_by_nation",
