@@ -147,6 +147,21 @@ def run_headline(master: str) -> dict:
             best = t if best is None else min(best, t)
         timings[name] = round(best, 3)
 
+    # round-3 additions, timed but kept OUT of the headline total so the
+    # suite metric stays comparable across rounds
+    extra = {}
+    for name in (
+        "gopher_rules",
+        "ngram_repetition",
+        "boilerplate_line_removal",
+        "host_top_terms",
+        "embed_batch_topk",
+        "embed_near_pairs_lsh",
+    ):
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).count()
+        extra[name] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "htmld_spark sf-suite wall seconds (extract_full = "
@@ -158,6 +173,7 @@ def run_headline(master: str) -> dict:
         "master": master,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / t_ex, 1),
+        "extra_queries": extra,
     }
     spark.stop()
     return result
