@@ -308,6 +308,67 @@ def gopher_rules(
     )
 
 
+def gopher_passes_expr(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """The combined `gopher_rules` verdict as ONE boolean expression over
+    the text column — for inlining into row-local filter stages
+    (pipeline/curate.py) without a join. Same thresholds/semantics as
+    ``gopher_rules``; curate's e2e test cross-checks the two on the same
+    corpus."""
+    text = F.col(text_col)
+    words = _tokens(text)
+    n_words = token_count(text)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(
+        F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0)), 4
+    )
+    sym_ratio = F.round(
+        F.when(
+            n_words > 0, F.regexp_count(text, F.lit(_SYMBOL_RE)) / n_words
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_LINE_RE))) / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_LINE_RE))) / n_lines, 4
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    stop_hits = F.regexp_count(F.lower(text), F.lit(GOPHER_STOPWORDS_RE))
+    return (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+
+
 def _lang_scores(text_col):
     low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
     return {k: F.regexp_count(low, F.lit(p)) for k, p in LANG_PROBES.items()}

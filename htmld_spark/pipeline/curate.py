@@ -38,6 +38,7 @@ def curate(
     train_pct: int = 90,
     val_pct: int = 5,
     near_dedup: str = "winnow",
+    gopher_gate: bool | dict = False,
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -53,7 +54,15 @@ def curate(
       value-oracled). Costs 3 extra shuffles (signature agg, banded
       equi-join, CC rounds on the pair graph — pair graphs are tiny
       relative to the corpus) + a broadcast-able keep-set semi-join, and
-      catches paraphrase-level duplicates winnow-equality misses."""
+      catches paraphrase-level duplicates winnow-equality misses.
+
+    ``gopher_gate`` additionally applies the full Gopher rule set
+    (functions/text.gopher_rules — word/mean-word-length bounds, symbol
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
+    floor) on the extracted text: ``True`` = published defaults, a dict =
+    threshold overrides forwarded to ``gopher_passes_expr`` (e.g.
+    ``{"min_words": 20}`` for short-doc corpora). Row-local, rides the
+    same quality-gate stage — zero extra shuffles."""
     if near_dedup not in ("winnow", "minhash"):
         raise ValueError(f"near_dedup must be 'winnow' or 'minhash', got {near_dedup!r}")
     extracted = extract_df(
@@ -80,6 +89,11 @@ def curate(
     )
     if langs:
         gated = gated.filter(F.col("pred_lang").isin(langs))
+    if gopher_gate:
+        from htmld_spark.functions.text import gopher_passes_expr
+
+        overrides = gopher_gate if isinstance(gopher_gate, dict) else {}
+        gated = gated.filter(gopher_passes_expr("text", **overrides))
 
     # exact content dedup: md5(text), keep deterministic first (url, ts)
     w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")

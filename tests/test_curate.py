@@ -76,3 +76,34 @@ def test_curate_minhash_mode(spark):
     # invalid mode rejected
     with pytest.raises(ValueError):
         curate(pages, near_dedup="bogus")
+
+
+def test_curate_gopher_gate(spark):
+    """gopher_gate applies the Gopher rule set as an inline row-local
+    filter; the survivors must be exactly the gopher_rules passes-subset
+    of the ungated output. The tiny fixture corpus averages ~12 words and
+    contains no Gopher stopwords (measured), so the published defaults
+    legitimately reject ALL docs — asserted; the dict form then relaxes
+    the word floor/stopword floor to fit short docs and must agree with
+    the oracled operator row-for-row."""
+    from htmld_spark.functions.text import gopher_rules
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    base = curate(pages, min_tokens=3, max_per_host=500).cache()
+    # published defaults: nothing in the fixture passes (short synth docs)
+    strict = curate(pages, min_tokens=3, max_per_host=500, gopher_gate=True)
+    assert strict.count() == 0
+    relaxed_kw = {"min_words": 5, "min_stopword_hits": 0}
+    gated = curate(
+        pages, min_tokens=3, max_per_host=500, gopher_gate=relaxed_kw
+    )
+    got = {r.url for r in gated.select("url").collect()}
+    verdicts = {
+        r.url: r.passes
+        for r in gopher_rules(
+            base, id_col="url", text_col="text", **relaxed_kw
+        ).collect()
+    }
+    passing = {u for u, p in verdicts.items() if p}
+    assert got == passing
+    assert len(got) > 0
