@@ -538,6 +538,15 @@ def _q_embed_near_dedup_keep(spark, sf_dir):
     return D.near_dedup_keep(emb, pairs, id_col="vec_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs sharing ≥1 word 8-gram with the
+    'benchmark' slice (doc_id < 5 of the same table — self-matches prove
+    the probe fires). Broadcast eval grams, one corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 5)
+    return TX.contamination_flags(docs, eval_df, n=8)
+
+
 def _q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level boilerplate removal: drop every
     line appearing in ≥3 distinct urls, reassemble remaining lines in
@@ -867,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
         "host_top_terms": _q_host_top_terms,
         "boilerplate_line_removal": _q_boilerplate_line_removal,
+        "decontaminate": _q_decontaminate,
         "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
         "text_token_stats": _q_text_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1153,6 +1163,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents
+            ), all_grams AS (
+              -- docs with < 8 tokens emit NO grams (cannot match at n=8),
+              -- matching the Spark side's empty-array guard
+              SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+              FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+              WHERE len(ts) >= 8
+            ), eval_grams AS (
+              SELECT DISTINCT gram FROM all_grams WHERE doc_id < 5
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT gram) AS n_hits
+              FROM all_grams WHERE gram IN (SELECT gram FROM eval_grams)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER)
+                     AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "boilerplate_line_removal": f"""
             WITH base AS (
               SELECT url, warc_ts, string_split(text, chr(10)) AS lines

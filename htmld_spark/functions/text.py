@@ -624,6 +624,59 @@ def host_quota(
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """GPT-3-style eval-set DECONTAMINATION probe: flag every training
+    document sharing at least one word ``n``-gram with the benchmark/eval
+    corpus. Returns (id, n_hits, contaminated) where n_hits = number of
+    DISTINCT eval n-grams found in the document.
+
+    Shape: the eval set's distinct n-grams are tiny (benchmarks are small
+    by definition) → broadcast; training docs explode their n-grams once
+    and semi-join — so the corpus-side cost is one narrow pass + a
+    broadcast-join + per-doc count, no corpus-vs-corpus shuffle. Raise
+    ``n`` (13 in GPT-3's report) to reduce false positives."""
+
+    def grams(text_expr, k):
+        toks = F.split(F.trim(text_expr), TOKEN_SPLIT)
+        cnt = F.size(toks) - (k - 1)
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+        return F.when(cnt >= 1, g).otherwise(F.array().cast("array<string>"))
+
+    eval_grams = (
+        eval_df.select(F.explode(grams(F.col(eval_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(grams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def host_top_terms(
     df: DataFrame,
     url_col: str = "url",

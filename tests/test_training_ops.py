@@ -662,3 +662,27 @@ def test_remove_boilerplate_lines(spark):
     out2 = {r.url: r for r in remove_boilerplate_lines(df2, min_doc_freq=3).collect()}
     assert out2["a"].text_clean == "first\nsecond\nthird"
     assert out2["b"].text_clean == "" and out2["b"].n_removed == 1
+
+
+def test_contamination_flags(spark):
+    from htmld_spark.functions.text import contamination_flags
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta words after"),  # shares a 4-gram
+            (2, "totally different content with no overlap at all"),
+            (3, "alpha beta gamma"),  # only 3 tokens < n → cannot match
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_flags(df, ev, n=4).collect()}
+    assert rows[1].contaminated == 1 and rows[1].n_hits >= 1
+    assert rows[2].contaminated == 0 and rows[2].n_hits == 0
+    assert rows[3].contaminated == 0  # shorter than the n-gram window
+    # broadcast of the eval grams, not a shuffle join
+    p = contamination_flags(df, ev, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
