@@ -798,6 +798,18 @@ def _media(spark):
     return spark.read.parquet(os.path.join(ensure_media(), "media.parquet"))
 
 
+def _q_multimodal_image_resize(spark, sf_dir):
+    """REAL nearest-neighbor BMP resize (codecs.bmp_resize_nn, pinned
+    floor sampling) re-encoded as BMP — golden pins the exact output
+    BYTES via md5 against expected payloads composed from draw params
+    (fixtures/gen_media.py); closes the task mandate's 'resize' item."""
+    from htmld_spark.functions import multimodal as MM
+
+    return MM.image_resize_df(_media(spark), tw=16, th=8).select(
+        "media_id", "out_w", "out_h", "resized_md5", "decoder"
+    )
+
+
 def _q_multimodal_image_features(spark, sf_dir):
     """REAL pure-Python BMP decode (codecs.py): channel means + aHash.
     Golden-oracled against closed-form expectations composed from the draw
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal: REAL pure-Python decodes, golden-oracled vs the
         # closed-form expectations of fixtures/gen_media.py
         "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_image_resize": _q_multimodal_image_resize,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
     }
@@ -1559,6 +1572,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": (
             f"SELECT media_id, width, height, mean_r, mean_g, mean_b, "
             f"phash, decoder FROM read_parquet('{os.path.join(media_gold, 'image_features_expected.parquet')}')"
+        ),
+        "multimodal_image_resize": (
+            f"SELECT media_id, out_w, out_h, resized_md5, decoder FROM "
+            f"read_parquet('{os.path.join(media_gold, 'image_resize_expected.parquet')}')"
         ),
         "multimodal_audio_features": (
             f"SELECT media_id, sample_rate, n_samples, rms, decoder FROM "

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from htmld_spark.functions import codecs  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "media")
-MEDIA_VERSION = "1"
+MEDIA_VERSION = "2"
+RESIZE_W, RESIZE_H = 16, 8
 N_ROWS = 300
 FRAME_EVERY_N = 25
 
@@ -65,6 +66,23 @@ def draw_media_row(i: int, rng: random.Random):
         gray_a = sum(ca) / 3.0
         gray_b = sum(cb) / 3.0
         phash = _signed(_LEFT_MASK if gray_a > gray_b else _RIGHT_MASK)
+        # expected NN-resize output BYTES, composed from the draw params
+        # with the operator's pinned floor-sampling rule — never by
+        # running the decoder: target col c samples source col (c*w)//tw,
+        # which is color A iff it lands in the left half.
+        import hashlib as _hashlib
+
+        r_row = b"".join(
+            bytes(
+                ((ca if (c * w) // RESIZE_W < half else cb)[2],
+                 (ca if (c * w) // RESIZE_W < half else cb)[1],
+                 (ca if (c * w) // RESIZE_W < half else cb)[0])
+            )
+            for c in range(RESIZE_W)
+        )
+        resized_md5 = _hashlib.md5(
+            codecs.encode_bmp(RESIZE_W, RESIZE_H, [r_row] * RESIZE_H)
+        ).hexdigest()
         expected = {
             "width": w,
             "height": h,
@@ -73,6 +91,7 @@ def draw_media_row(i: int, rng: random.Random):
             "mean_b": round((ca[2] + cb[2]) / 2, 4),
             "phash": phash,
             "decoder": "bmp",
+            "resized_md5": resized_md5,
         }
         meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
     elif kind == "audio":
@@ -165,6 +184,20 @@ def ensure_media() -> str:
             }
         ),
         os.path.join(DATA_DIR, "image_features_expected.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([i for i, _ in img_exp], pa.int64()),
+                "out_w": pa.array([RESIZE_W] * len(img_exp), pa.int32()),
+                "out_h": pa.array([RESIZE_H] * len(img_exp), pa.int32()),
+                "resized_md5": pa.array(
+                    [e["resized_md5"] for _, e in img_exp], pa.string()
+                ),
+                "decoder": pa.array(["bmp"] * len(img_exp), pa.string()),
+            }
+        ),
+        os.path.join(DATA_DIR, "image_resize_expected.parquet"),
     )
     pq.write_table(
         pa.table(

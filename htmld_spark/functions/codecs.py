@@ -102,6 +102,25 @@ def bmp_ahash(payload: bytes) -> int:
     return ahash64_from_rows(width, height, rows)
 
 
+def bmp_resize_nn(payload: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resize of a BMP payload to (tw, th), re-encoded as
+    BMP. Pinned sampling convention (the fixture composes expected output
+    bytes from draw params with the same rule): source index =
+    ``(dst_index * src_len) // dst_len`` — floor mapping, no rounding."""
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dims must be positive")
+    w, h, rows = decode_bmp(payload)
+    out_rows = []
+    for r in range(th):
+        src = rows[(r * h) // th]
+        out = bytearray()
+        for c in range(tw):
+            sc = ((c * w) // tw) * 3
+            out += src[sc : sc + 3]
+        out_rows.append(bytes(out))
+    return encode_bmp(tw, th, out_rows)
+
+
 def decode_wav(payload: bytes):
     """Parse RIFF/WAVE PCM 16-bit mono → (sample_rate, samples:list[int])."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":

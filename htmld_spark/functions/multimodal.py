@@ -162,6 +162,59 @@ def image_features_df(media_df):
     )
 
 
+IMAGE_RESIZE_SCHEMA = (
+    "media_id bigint, out_w int, out_h int, resized_md5 string, decoder string"
+)
+
+
+def make_image_resize_fn(tw: int = 16, th: int = 8):
+    """mapInArrow: media batches (kind='image') → nearest-neighbor resize
+    (codecs.bmp_resize_nn, floor sampling) re-encoded as BMP; rows carry
+    the md5 of the resized payload so the golden oracle pins the exact
+    output BYTES (the fixture composes expected resized payloads from the
+    draw parameters with the same sampling rule). Undecodable payloads
+    take the deterministic stub (md5 of the raw payload, decoder='stub')."""
+
+    def image_resize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_pylist()
+            payloads = batch.column(names.index("payload")).to_pylist()
+            out_id, out_md5, out_dec = [], [], []
+            for mid, payload in zip(ids, payloads):
+                payload = payload or b""
+                try:
+                    resized = codecs.bmp_resize_nn(payload, tw, th)
+                    out_md5.append(hashlib.md5(resized).hexdigest())
+                    out_dec.append("bmp")
+                except ValueError:
+                    out_md5.append(hashlib.md5(payload).hexdigest())
+                    out_dec.append("stub")
+                out_id.append(mid)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array([tw] * len(out_id), pa.int32()),
+                    pa.array([th] * len(out_id), pa.int32()),
+                    pa.array(out_md5, pa.string()),
+                    pa.array(out_dec, pa.string()),
+                ],
+                names=["media_id", "out_w", "out_h", "resized_md5", "decoder"],
+            )
+
+    return image_resize
+
+
+def image_resize_df(media_df, tw: int = 16, th: int = 8):
+    """kind='image' media → NN-resized payload digests (kind filter pushed
+    to the scan)."""
+    from pyspark.sql import functions as F
+
+    return media_df.filter(F.col("kind") == "image").mapInArrow(
+        make_image_resize_fn(tw, th), IMAGE_RESIZE_SCHEMA
+    )
+
+
 def make_audio_features_fn():
     """mapInArrow: media batches (kind='audio') → audio_features rows.
     PCM-16 WAV decode (codecs.decode_wav); digest stub for exotic formats."""

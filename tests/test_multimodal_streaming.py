@@ -261,3 +261,38 @@ def test_pillow_and_bmp_decoders_agree():
         round(mb, 4),
     )
     assert gph == ph  # identical aHash math (sum over channels)
+
+
+def test_bmp_resize_nn_roundtrip():
+    from htmld_spark.functions import codecs
+
+    # 4x2 two-tone (left red / right blue, BGR rows)
+    row = bytes((0, 0, 255)) * 2 + bytes((255, 0, 0)) * 2
+    bmp = codecs.encode_bmp(4, 2, [row] * 2)
+    up = codecs.bmp_resize_nn(bmp, 8, 4)
+    w, h, rows = codecs.decode_bmp(up)
+    assert (w, h) == (8, 4)
+    # floor mapping: target cols 0-3 sample source 0-1 (red), 4-7 → blue
+    assert rows[0][:12] == bytes((0, 0, 255)) * 4
+    assert rows[0][12:] == bytes((255, 0, 0)) * 4
+    down = codecs.bmp_resize_nn(bmp, 2, 1)
+    w2, h2, rows2 = codecs.decode_bmp(down)
+    assert (w2, h2) == (2, 1)
+    assert rows2[0] == bytes((0, 0, 255)) + bytes((255, 0, 0))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        codecs.bmp_resize_nn(bmp, 0, 4)
+    with _pytest.raises(ValueError):
+        codecs.bmp_resize_nn(b"garbage", 8, 8)
+
+
+def test_image_resize_df(spark, media):
+    from htmld_spark.functions import multimodal as MM
+
+    n_images = media.filter("kind='image'").count()
+    out = MM.image_resize_df(media, tw=16, th=8).collect()
+    assert len(out) == n_images and n_images > 0
+    assert all(r.decoder == "bmp" for r in out)  # real path, never stub
+    assert all(r.out_w == 16 and r.out_h == 8 for r in out)
+    assert all(len(r.resized_md5) == 32 for r in out)
