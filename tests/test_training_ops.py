@@ -686,3 +686,48 @@ def test_contamination_flags(spark):
     # broadcast of the eval grams, not a shuffle join
     p = contamination_flags(df, ev, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_round3_text_ops_never_raise_and_deterministic(spark):
+    """Adversarial-input sweep over the round-3 text operators: unicode
+    soup, null-ish, huge tokens, control chars, lone surrogates excluded
+    (parquet-invalid) — every operator must return rows (never raise) and
+    be run-to-run deterministic."""
+    from htmld_spark.functions.text import (
+        contamination_flags,
+        gopher_rules,
+        host_top_terms,
+        ngram_repetition,
+        remove_boilerplate_lines,
+    )
+    from datetime import datetime
+
+    nasty = [
+        "",
+        " \t\n\x0b\f\r ",
+        "a" * 10_000,
+        ("tok " * 5000).strip(),
+        "héllo жмых 中文 🎈 ​  ",
+        "\n" * 200,
+        "- bullet\n* bullet\n• bullet",
+        "… … … ...\n#tag # #",
+        "word\x00null\x01ctl",
+    ]
+    ts = datetime(2026, 1, 1)
+    rows = [(i, f"http://h{i % 3}.com/p{i}", ts, t) for i, t in enumerate(nasty)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp, text string")
+    outs = {}
+    for name, fn in [
+        ("gopher", lambda d: gopher_rules(d)),
+        ("ngram", lambda d: ngram_repetition(d)),
+        ("terms", lambda d: host_top_terms(d, k=3)),
+        ("boiler", lambda d: remove_boilerplate_lines(d, id_col="url", min_doc_freq=2)),
+        ("decon", lambda d: contamination_flags(d, d.filter("doc_id = 3"), n=4)),
+    ]:
+        a = sorted(map(tuple, fn(df).collect()))
+        b = sorted(map(tuple, fn(df).collect()))
+        assert a == b, f"{name} nondeterministic"
+        outs[name] = a
+    assert len(outs["gopher"]) == len(nasty)
+    assert len(outs["ngram"]) == len(nasty)
+    assert len(outs["decon"]) == len(nasty)
