@@ -488,8 +488,22 @@ def _write_bench_md(report: dict) -> None:
         "executor-count scaling is governed by the same per-task math that",
         "holds at 2→8 here.",
     ]
+    # Everything below the appendix marker is hand-written analysis
+    # (regression attributions, per-query plan rationale) — preserve it
+    # across regenerations instead of silently dropping it.
+    appendix = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if _APPENDIX_MARK in old:
+            appendix = old[old.index(_APPENDIX_MARK) :]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if appendix:
+            f.write("\n" + appendix)
+
+
+_APPENDIX_MARK = "<!-- appendix: hand-written, preserved across regens -->"
 
 
 def main() -> None:
