@@ -488,16 +488,18 @@ def _q_embed_cosine_topk(spark, sf_dir):
 
 
 def _q_embed_near_pairs_lsh(spark, sf_dir):
-    """Embedding near-dup pairs at scale: BANDED LSH candidates (4 bands ×
-    8 planes, OR-amplified like minhash banding — no single-bucket
-    quadratic self-join at 10^12 rows) + exact cosine verify. Golden-
-    oracled via the replayed-planes pure-Python replica."""
+    """Embedding near-dup pairs at scale: BANDED LSH candidates (8 bands ×
+    16 planes — 2^16-way band keys per VERDICT r03 #1; the former 8-bit
+    keys were quadratic-within-bucket at crawl scale) + exact cosine
+    verify on candidates only. Golden-oracled via the replayed-planes
+    pure-Python replica; size rows_per_band with
+    similarity.sized_rows_per_band at other corpus sizes."""
     return S.lsh_near_pairs(
         _t(spark, sf_dir, "embeddings"),
         dim=64,
         cosine_threshold=0.3,
-        bands=4,
-        rows_per_band=8,
+        bands=8,
+        rows_per_band=16,
     )
 
 

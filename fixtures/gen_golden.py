@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "9"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "10"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -362,14 +362,17 @@ def golden_lsh_near_pairs(
     embeddings: list[list[float]],
     dim: int = 64,
     cosine_threshold: float = 0.3,
-    bands: int = 4,
-    rows_per_band: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> list[tuple[int, int, float]]:
     """Replicates functions/similarity.lsh_near_pairs (banded form,
-    VERDICT r02 #1): per-band hyperplane keys (planes [b*r,(b+1)*r) of one
-    RandomState(seed) matrix), candidates = same (band, band_key) pairs
-    union'd over bands, exact left-to-right float64 cosine ≥ threshold."""
+    VERDICT r02 #1; defaults 8×16 per VERDICT r03 #1): per-band hyperplane
+    keys (planes [b*r,(b+1)*r) of one RandomState(seed) matrix),
+    candidates = same (band, band_key) pairs union'd over bands —
+    skipping buckets larger than ``max_bucket_size`` when set — exact
+    left-to-right float64 cosine ≥ threshold."""
     import math
 
     import numpy as np
@@ -399,6 +402,8 @@ def golden_lsh_near_pairs(
         for idx, vid in enumerate(vec_ids):
             by_key.setdefault(int(keys[idx]), []).append(idx)
         for idxs in by_key.values():
+            if max_bucket_size is not None and len(idxs) > max_bucket_size:
+                continue
             idxs = sorted(idxs, key=lambda i: vec_ids[i])
             for i, ia in enumerate(idxs):
                 for ib in idxs[i + 1 :]:

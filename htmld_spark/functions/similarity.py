@@ -351,13 +351,34 @@ def ann_ivf_topk(
     return spark.createDataFrame(rows, schema=result.schema)
 
 
+def sized_rows_per_band(n_rows: int, margin: int = 4) -> int:
+    """Band-key SIZING RULE (VERDICT r03 #1): ``rows_per_band ≈
+    log2(n_rows) + margin`` keeps the expected (band, band_key) bucket at
+    ≲ 2^-margin rows for hash-uniform data, so the candidate equi-join
+    stays ~O(n · bands) instead of quadratic-within-bucket. A fixed key
+    width is a latent quadratic: at 10^12 rows an 8-bit key packs ~4×10^9
+    vectors per bucket. Clamped to [8, 63] (keys pack into one int64).
+    Recall drops as r grows — raise ``bands`` to hold it
+    (recall ≈ 1-(1-p^r)^b with p = 1 - θ/π per hyperplane)."""
+    import math
+
+    return max(8, min(63, int(math.log2(max(2, n_rows))) + margin))
+
+
 def _make_band_keys_udf(bands: int, rows_per_band: int, dim: int, seed: int):
     """Pandas UDF: embedding → array of ``bands`` band keys, one numpy
     matmul per Arrow batch against all bands*rows_per_band hyperplanes.
-    Band b's key packs the sign bits of planes [b*r, (b+1)*r)."""
+    Band b's key packs the sign bits of planes [b*r, (b+1)*r).
+    Keys are int64 end-to-end (ADVICE r03: the former array<int> return
+    silently truncated keys for rows_per_band ≥ 32 while the golden
+    replica kept int64)."""
+    if not 1 <= rows_per_band <= 63:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} out of [1, 63] (int64 key packing)"
+        )
     planes = np.random.RandomState(seed).randn(bands * rows_per_band, dim)
 
-    @pandas_udf("array<int>")
+    @pandas_udf("array<long>")
     def band_keys_of(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (m @ planes.T) > 0  # (batch, bands*rows_per_band)
@@ -365,20 +386,76 @@ def _make_band_keys_udf(bands: int, rows_per_band: int, dim: int, seed: int):
         for b in range(bands):
             for r in range(rows_per_band):
                 keys[:, b] |= bits[:, b * rows_per_band + r].astype(np.int64) << r
-        return pd.Series(list(keys.astype(np.int32)))
+        return pd.Series(list(keys))
 
     return band_keys_of
+
+
+def lsh_band_candidates(
+    df: DataFrame,
+    dim: int,
+    bands: int = 8,
+    rows_per_band: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from banded hyperplane LSH — the join
+    stage of ``lsh_near_pairs``, exposed so candidate volume is testable.
+
+    ``max_bucket_size`` caps hot buckets: (band, band_key) groups larger
+    than the cap are dropped from candidate generation via a broadcast
+    anti-join (the over-cap set is tiny by construction). A hot bucket is
+    either exact-duplicate vectors (remove with exact dedup FIRST — a
+    cluster of identical vectors collides in EVERY band, so the cap drops
+    those pairs entirely) or a sign the key space is too small — prefer
+    raising ``rows_per_band`` per ``sized_rows_per_band``."""
+    keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_keys", _make_band_keys_udf(bands, rows_per_band, dim, seed)(F.col(vec_col))
+    )
+    # posexplode_OUTER: the plain posexplode makes InferFiltersFromGenerate
+    # insert a size(_keys) > 0 filter BETWEEN two ArrowEvalPython nodes, so
+    # the band-keys UDF ran twice per row (seen in BENCH/PLANS.md). The UDF
+    # always returns exactly `bands` entries, so outer is semantically
+    # identical — and the plan keeps ONE Python eval per side.
+    banded = keyed.select(
+        F.col(id_col), F.posexplode_outer("_keys").alias("band", "band_key")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def lsh_near_pairs(
     df: DataFrame,
     dim: int,
     cosine_threshold: float = 0.3,
-    bands: int = 4,
-    rows_per_band: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale: BANDED random-hyperplane
     LSH (b bands × r planes each, OR-amplified exactly like
@@ -391,31 +468,18 @@ def lsh_near_pairs(
     bucket). Banding keeps each band key 2^r-way selective while the b-way
     OR preserves recall; the banded explode shuffles only
     (id, band, band_key) — vectors are joined back for candidates alone.
-    At 100 TB band keys are precomputed at ingest as an array column."""
-    keyed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "_keys", _make_band_keys_udf(bands, rows_per_band, dim, seed)(F.col(vec_col))
-    )
-    # posexplode_OUTER: the plain posexplode makes InferFiltersFromGenerate
-    # insert a size(_keys) > 0 filter BETWEEN two ArrowEvalPython nodes, so
-    # the band-keys UDF ran twice per row (seen in BENCH/PLANS.md). The UDF
-    # always returns exactly `bands` entries, so outer is semantically
-    # identical — and the plan keeps ONE Python eval per side.
-    banded = keyed.select(
-        F.col(id_col), F.posexplode_outer("_keys").alias("band", "band_key")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    At 100 TB band keys are precomputed at ingest as an array column.
+
+    VERDICT r03 #1: defaults raised 4×8 → 8×16. An 8-bit band key has only
+    2^8 buckets — quadratic-within-bucket in milder form (3M candidates
+    from 20k sf0.1 vectors). 16-bit keys give 2^16-way selectivity and the
+    8-band OR holds recall for true near-dups (cos ≈ 0.999 pairs:
+    per-band hit p^16 ≈ 0.80, miss probability (1-0.80)^8 ≈ 3×10^-6).
+    Size ``rows_per_band`` with ``sized_rows_per_band(n_rows)`` — 16 suits
+    ~10^4..10^6 rows; 10^12 rows want ~43. ``max_bucket_size`` additionally
+    caps pathological buckets (see ``lsh_band_candidates``)."""
+    cand = lsh_band_candidates(
+        df, dim, bands, rows_per_band, seed, id_col, vec_col, max_bucket_size
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     va_df = vecs.alias("va")
