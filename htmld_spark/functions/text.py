@@ -608,20 +608,61 @@ def host_quota(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     max_per_host: int = 1000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-host document quota (anti-domination policy): keep at most
-    ``max_per_host`` documents per host, oldest-first deterministic order.
-    One shuffle on the host key; at 100 TB combine with salting for
-    mega-hosts or pre-aggregate counts to short-circuit small hosts."""
+    ``max_per_host`` documents per host, oldest-first deterministic order
+    (ties by url).
+
+    TWO-PHASE SHAPE (VERDICT r03 #4 — the former single window on the raw
+    host key serialized every mega-host through one task):
+
+    1. Per-host counts (map-side-combinable agg) → the OVER-quota host set,
+       which is tiny by construction (a web corpus has few hosts with more
+       than ``max_per_host`` pages relative to total hosts). Hosts at or
+       under quota BYPASS the window entirely via a broadcast anti-join —
+       their rows are never shuffled on the host key.
+    2. Only over-quota rows rank. Mega-host skew is broken with a SALTED
+       pre-prune: a first window over (host, salt=xxhash64(url) %
+       n_salts) keeps each salt's local oldest ``max_per_host``, so the
+       final per-host window sees ≤ n_salts·max_per_host rows per host
+       (a 10^9-page host shrinks to 16k rows before the single-task rank)
+       — the global oldest-k set is a subset of the union of per-salt
+       oldest-k sets.
+
+    NULL hosts (unparseable urls) are grouped under a sentinel so they
+    share one quota group, matching the single-window semantics (an
+    anti-join on a null key would silently pass them through)."""
     from pyspark.sql.window import Window
 
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
-    w = Window.partitionBy(host).orderBy(ts_col, url_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    # try_parse_url: plain parse_url RAISES on unparseable urls in Spark 4
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("\x00nohost")
+    )
+    hdf = df.withColumn("_host", host)
+    over = (
+        hdf.groupBy("_host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_per_host)
+        .select("_host")
+    )
+    under_rows = hdf.join(F.broadcast(over), "_host", "left_anti")
+    over_rows = hdf.join(F.broadcast(over), "_host", "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("_host", "_salt").orderBy(ts_col, url_col)
+    pruned = (
+        over_rows.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= max_per_host)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("_host").orderBy(ts_col, url_col)
+    kept_over = (
+        pruned.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= max_per_host)
         .drop("_rn")
     )
+    return under_rows.unionByName(kept_over).drop("_host")
 
 
 def contamination_flags(
@@ -738,7 +779,13 @@ def remove_boilerplate_lines(
     freq = ex.groupBy("line").agg(
         F.count_distinct(F.col(id_col)).alias("dfreq")
     )
-    freq_set = freq.filter(F.col("dfreq") >= min_doc_freq).select("line")
+    # VERDICT r03 #5: empty lines exceed min_doc_freq in any real corpus;
+    # treating them as boilerplate strips every blank line and silently
+    # collapses paragraph structure. Keep them out of the frequent set
+    # (they still ride through reassembly like any kept line).
+    freq_set = freq.filter(
+        (F.col("dfreq") >= min_doc_freq) & (F.length("line") > 0)
+    ).select("line")
     if broadcast_freq_set:
         freq_set = F.broadcast(freq_set)
     kept = ex.join(freq_set, "line", "left_anti")

@@ -169,6 +169,27 @@ def test_lsh_near_pairs_banded_join_shape(spark):
     assert p.count("ArrowEvalPython") == 2
 
 
+def test_host_quota_plan_short_circuits_under_quota_hosts(spark):
+    """VERDICT r03 #4: host_quota's plan must show the two-phase shape —
+    under-quota hosts bypass the window via a broadcast anti-join (no
+    host-key shuffle for them), and only the over-quota branch ranks
+    (salted pre-prune window + final per-host window = exactly 2 Windows,
+    unioned with the pass-through branch)."""
+    from htmld_spark.functions.text import host_quota
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i%5}.x/p{j}", j) for i in range(5) for j in range(4)],
+        "url string, warc_ts long",
+    )
+    p = plan_of(host_quota(pages, ts_col="warc_ts", max_per_host=2))
+    assert "Union" in p
+    assert "LeftAnti" in p and "LeftSemi" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" in p
+    import re
+
+    assert len(re.findall(r"\bWindow \[", p)) == 2
+
+
 def test_ivf_sample_plan_has_no_takeordered(spark):
     """VERDICT r02 #3: the IVF training sample is a hash-threshold filter
     (scan + filter), not an orderBy(id).limit(N) — no TakeOrdered heap, no

@@ -565,6 +565,37 @@ def test_host_quota(spark):
     assert kept.agg(F.max("warc_ts")).collect()[0][0] == 9
 
 
+def test_host_quota_skewed_two_phase(spark):
+    """VERDICT r03 #4: a mega-host must not change results under the
+    two-phase (count short-circuit + salted pre-prune) shape — exact row
+    identity vs brute force on a skewed corpus, with n_salts both smaller
+    and larger than the quota."""
+    from htmld_spark.functions.text import host_quota
+
+    rows = (
+        [(f"https://mega.x/p{j:04d}", 1000 + j) for j in range(400)]  # hot
+        + [(f"https://mid.x/p{j:04d}", j) for j in range(25)]  # just over
+        + [(f"https://h{i}.x/p", i) for i in range(30)]  # 30 tiny hosts
+        + [("not a parseable url %s" % j, j) for j in range(40)]  # null host
+    )
+    df = spark.createDataFrame(rows, "url string, warc_ts long")
+    expected = set()
+    by_host = {}
+    for u, t in rows:
+        h = u.split("/")[2] if u.startswith("https") else None
+        by_host.setdefault(h, []).append((t, u))
+    for h, lst in by_host.items():
+        expected |= {u for _, u in sorted(lst)[:20]}
+    for n_salts in (4, 64):
+        got = {
+            r.url
+            for r in host_quota(
+                df, ts_col="warc_ts", max_per_host=20, n_salts=n_salts
+            ).collect()
+        }
+        assert got == expected, f"n_salts={n_salts}"
+
+
 def test_connected_components_and_keep(spark, docs):
     """Clustering: {0,1,2} form one near-dup component via (0,1),(0,2);
     {3,4} another; 5 unpaired → keep = {0, 3, 5}."""
@@ -750,6 +781,31 @@ def test_remove_boilerplate_lines(spark):
     out2 = {r.url: r for r in remove_boilerplate_lines(df2, min_doc_freq=3).collect()}
     assert out2["a"].text_clean == "first\nsecond\nthird"
     assert out2["b"].text_clean == "" and out2["b"].n_removed == 1
+
+
+def test_remove_boilerplate_keeps_blank_line_structure(spark):
+    """VERDICT r03 #5: "" exceeds min_doc_freq in any real corpus — it must
+    never enter the frequent set, or every paragraph break in the corpus
+    silently collapses. Blank lines survive even when shared by all docs;
+    real boilerplate is still removed."""
+    from datetime import datetime
+
+    from htmld_spark.functions.text import remove_boilerplate_lines
+
+    ts = datetime(2026, 1, 1)
+    nav = "HOME | ABOUT"
+    df = spark.createDataFrame(
+        [
+            ("u1", ts, f"{nav}\n\npara one\n\npara two"),
+            ("u2", ts, f"{nav}\n\nother text"),
+            ("u3", ts, f"{nav}\n\nmore text\n"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    rows = {r.url: r for r in remove_boilerplate_lines(df, min_doc_freq=3).collect()}
+    assert rows["u1"].text_clean == "\npara one\n\npara two"
+    assert rows["u1"].n_removed == 1  # only the nav line
+    assert rows["u3"].text_clean == "\nmore text\n"  # trailing blank kept
 
 
 def test_contamination_flags(spark):
