@@ -1280,7 +1280,8 @@ def oracle_sql() -> dict[str, str]:
             ), top2 AS (
               SELECT url, warc_ts, cnt * length(gram) AS mass FROM c2
               QUALIFY row_number() OVER (
-                PARTITION BY url, warc_ts ORDER BY cnt DESC, gram) = 1
+                PARTITION BY url, warc_ts
+                ORDER BY cnt DESC, cnt * length(gram) DESC, gram) = 1
             ), dup2 AS (
               SELECT url, warc_ts, sum(cnt * length(gram)) AS mass FROM c2
               WHERE cnt >= 2 GROUP BY url, warc_ts
@@ -1295,7 +1296,8 @@ def oracle_sql() -> dict[str, str]:
             ), top3 AS (
               SELECT url, warc_ts, cnt * length(gram) AS mass FROM c3
               QUALIFY row_number() OVER (
-                PARTITION BY url, warc_ts ORDER BY cnt DESC, gram) = 1
+                PARTITION BY url, warc_ts
+                ORDER BY cnt DESC, cnt * length(gram) DESC, gram) = 1
             ), dup3 AS (
               SELECT url, warc_ts, sum(cnt * length(gram)) AS mass FROM c3
               WHERE cnt >= 2 GROUP BY url, warc_ts

@@ -129,8 +129,14 @@ def minhash_lsh_pairs(
     # array_distinct pass never touches non-candidate rows).
     # localCheckpoint materializes the (tiny) candidate set once — without
     # it the signature-agg + banded-join subplan executes twice (once under
-    # cand_ids, once under the verify join).
-    cand = cand.localCheckpoint()
+    # cand_ids, once under the verify join). eager=False (ADVICE r03):
+    # building this DataFrame must not trigger Spark jobs at plan-
+    # construction time; materialization happens at the first action and
+    # is reused after. Checkpoint blocks are freed by the ContextCleaner
+    # when the plan is garbage-collected (repeated calls don't accumulate
+    # live blocks), at the cost of lineage truncation: on executor loss
+    # the result is recomputed from the checkpoint's parent, not source.
+    cand = cand.localCheckpoint(eager=False)
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
@@ -294,23 +300,61 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    blocks_per_key: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash using the block trick: split the 64-bit
-    hash into n_blocks chunks; any pair within max_hamming (< n_blocks)
-    agrees on ≥1 chunk → equi-join per chunk, then exact popcount filter."""
+    hash into ``n_blocks`` chunks; a pair within ``max_hamming`` differs
+    in at most ``max_hamming`` chunks, so it AGREES on ≥ n_blocks −
+    max_hamming → equi-join per chunk key, then exact popcount filter.
+
+    KEY-WIDTH / TABLE-COUNT TRADE (VERDICT r03 #8, Manku-Jain-Sarma
+    WWW'07 §3): with ``blocks_per_key = t`` each join key concatenates t
+    chunks (width t·64/n_blocks bits) and ALL C(n_blocks, t) t-subsets
+    become tables — a pair agreeing on ≥ n_blocks − max_hamming chunks is
+    guaranteed to share at least one t-subset whenever ``t ≤ n_blocks −
+    max_hamming`` (enforced). Defaults (4 blocks × 1 = 16-bit keys, ~65k
+    buckets) are fine to ~10^8 docs; at 10^10..10^12 docs use wider keys
+    so buckets stay small, e.g. n_blocks=8, blocks_per_key=4, max_hamming
+    ≤ 4 → C(8,4)=70 tables of 32-bit keys (~4×10^9 buckets) — the
+    explode factor buys bucket selectivity, the same rule as
+    ``similarity.sized_rows_per_band``."""
+    from itertools import combinations
+
+    # blocks_per_key=1 stays permissive for max_hamming ≥ n_blocks (legacy
+    # best-effort recall, e.g. exploratory wide-radius probes); the wider
+    # keys are opt-in and opting in asserts the guarantee.
+    if blocks_per_key > 1 and not blocks_per_key <= n_blocks - max_hamming:
+        raise ValueError(
+            f"blocks_per_key={blocks_per_key} must be ≤ n_blocks -"
+            f" max_hamming = {n_blocks - max_hamming} for the agreement"
+            " guarantee to hold (Manku-style tables)"
+        )
+    if blocks_per_key < 1:
+        raise ValueError("blocks_per_key must be ≥ 1")
     sims = simhash64(df, id_col, text_col)
     width = 64 // n_blocks
     # one projection + one explode (see minhash_lsh_pairs: an n_blocks-way
     # union would recompute the 64-vote aggregation per branch at scale)
+    def key_of(combo):
+        key = None
+        for j, c in enumerate(combo):
+            part = (
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            )
+            part = F.shiftleft(part, j * width)
+            key = part if key is None else key.bitwiseXOR(part)
+        return key
+
     chunk_structs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("chunk_id"),
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk"),
+                F.lit(ci).alias("chunk_id"),
+                key_of(combo).alias("chunk"),
             )
-            for c in range(n_blocks)
+            for ci, combo in enumerate(
+                combinations(range(n_blocks), blocks_per_key)
+            )
         ]
     )
     all_chunks = sims.select(

@@ -243,9 +243,19 @@ def ivf_build_sampled(
     both deterministic, both replayed by the oracle."""
     import numpy as np
 
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     sample_rows = ivf_sample_df(df, sample_mod, id_col, vec_col).collect()
     sample_rows.sort(key=lambda r: r[id_col])
     sample_rows = sample_rows[:sample_limit]
+    # ADVICE r03: a sample_mod too large for the table yields an empty
+    # hash-threshold slice and np.stack would raise an opaque error.
+    if len(sample_rows) < n_cells:
+        raise ValueError(
+            f"IVF training sample has {len(sample_rows)} rows < n_cells="
+            f"{n_cells}; lower sample_mod (~n_rows/sample_limit) so the"
+            " hash-threshold slice keeps enough rows"
+        )
     X = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows]
     )

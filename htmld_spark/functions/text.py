@@ -124,98 +124,118 @@ def ngram_repetition(
     half `gopher_rules` doesn't cover), per document and per n ∈ {2, 3}:
 
     - ``top{n}_char_frac``: chars of the most frequent word n-gram summed
-      over its occurrences (count × gram length), over total chars — ties
-      broken toward the lexicographically smallest gram;
+      over its occurrences (count × gram length), over total chars — on
+      count ties, the gram with the LARGEST char mass (output-deterministic
+      without ordering gram identities);
     - ``dup{n}_char_frac``: the same mass summed over ALL n-grams that
       occur ≥ 2 times.
 
-    Per-document-local: tokens → n-gram arrays → array_sort → ONE linear
-    run-length fold per n (the repetition_features trick) — zero shuffle,
-    zero Python, O(g log g) per doc. DuckDB twin (unnest + per-doc
-    group-by) is the driver oracle."""
+    Per-document-local, zero shuffle, zero Python, O(g log g) per doc.
+    VERDICT r03 #5 (constant shrink): grams never materialize as strings —
+    each token is hashed ONCE (xxhash64) and a gram is the struct
+    (xxhash64 of its n token hashes, char length). Sorting compares
+    int64s instead of strings, run boundaries come from one light filter
+    pass over indices, and per-run (count, mass) feeds array_max — whose
+    struct ordering (cnt, then mass) IS the tie-break — plus a small fold
+    over distinct-gram runs only, replacing the per-element struct-of-5
+    interpreted fold. Hash collisions within a doc are ~g²/2^65 — never
+    across the corpus, since grams are per-doc-local. DuckDB twin (unnest
+    + per-doc group-by, same tie-break) is the driver oracle."""
     text = F.col(text_col)
     toks = F.split(F.trim(F.lower(text)), TOKEN_SPLIT)
     n_chars = F.length(text)
 
-    def grams_of(n):
-        k = F.size(toks) - (n - 1)
+    # Stage 1: hash + measure each token ONCE. Separate projections keep
+    # CollapseProject from inlining (and re-evaluating) the non-cheap
+    # multiply-referenced aliases.
+    s_toks = df.select(
+        F.col(id_col), n_chars.alias("_nc"), toks.alias("_toks")
+    )
+    s_tok_meta = s_toks.select(
+        F.col(id_col),
+        F.col("_nc"),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform("_toks", lambda t: F.length(t)).alias("_tl"),
+    )
+
+    def gram_structs(n):
+        """Sorted array<struct<key:long, len:long>> of the doc's n-grams:
+        key = xxhash64 over the n token hashes, len = Σ token lens + n-1
+        separators. Indexing stays in bounds (i ∈ [1, k], i+j ≤ #tokens),
+        guarded by the when()."""
+        th, tl = F.col("_th"), F.col("_tl")
+        k = F.size(th) - (n - 1)
         g = F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.struct(
+                F.xxhash64(
+                    *[F.element_at(th, i + F.lit(j)) for j in range(n)]
+                ).alias("key"),
+                (
+                    sum(
+                        (F.element_at(tl, i + F.lit(j)) for j in range(n)),
+                        F.lit(n - 1),
+                    ).cast("long")
+                ).alias("len"),
+            ),
         )
         return F.when(k >= 1, F.array_sort(g)).otherwise(
-            F.array().cast("array<string>")
+            F.array().cast("array<struct<key:bigint,len:bigint>>")
         )
 
-    def fold_masses(sorted_col):
-        """→ struct(top_mass, dup_mass): one linear pass over the sorted
-        gram array tracking run lengths (count×len for the best run and
-        for all runs ≥ 2). Ties on count keep the first (= smallest) gram."""
-        def close(acc):
-            run_mass = acc["run"] * F.length(acc["prev"])
-            return (
-                F.when(
-                    (acc["run"] > acc["bestcnt"]),
-                    F.struct(
-                        acc["run"].alias("bestcnt"),
-                        run_mass.alias("bestmass"),
-                    ),
-                ).otherwise(
-                    F.struct(
-                        acc["bestcnt"].alias("bestcnt"),
-                        acc["bestmass"].alias("bestmass"),
-                    )
-                ),
-                F.when(acc["run"] >= 2, acc["dup"] + run_mass).otherwise(
-                    acc["dup"]
-                ),
-            )
-
-        def step(acc, g):
-            best, dup = close(acc)
-            return F.when(
-                g == acc["prev"],
-                F.struct(
-                    acc["prev"].alias("prev"),
-                    (acc["run"] + 1).alias("run"),
-                    acc["bestcnt"].alias("bestcnt"),
-                    acc["bestmass"].alias("bestmass"),
-                    acc["dup"].alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    g.alias("prev"),
-                    F.lit(1).alias("run"),
-                    best["bestcnt"].alias("bestcnt"),
-                    best["bestmass"].alias("bestmass"),
-                    dup.alias("dup"),
-                )
-            )
-
-        def finish(acc):
-            best, dup = close(acc)
-            return F.struct(
-                best["bestmass"].alias("top_mass"), dup.alias("dup_mass")
-            )
-
-        return F.aggregate(
-            sorted_col,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("bestcnt"),
-                F.lit(0).alias("bestmass"),
-                F.lit(0).alias("dup"),
-            ),
-            step,
-            finish,
-        )
-
-    staged = df.select(
+    s_grams = s_tok_meta.select(
         F.col(id_col),
-        n_chars.alias("_nc"),
-        fold_masses(grams_of(2)).alias("_m2"),
-        fold_masses(grams_of(3)).alias("_m3"),
+        F.col("_nc"),
+        gram_structs(2).alias("_g2"),
+        gram_structs(3).alias("_g3"),
+    )
+
+    def masses(col_name):
+        """struct(top_mass, dup_mass) from a sorted gram-struct array:
+        run starts = indices whose key differs from the predecessor, runs =
+        zip(starts, next starts) → (cnt, mass). array_max's struct order
+        (cnt, then mass) picks the top gram; dup sums runs with cnt ≥ 2."""
+        sc = F.col(col_name)
+        ng = F.size(sc)
+        starts = F.filter(
+            F.sequence(F.lit(1), ng),
+            lambda i: (i == 1)
+            | (F.element_at(sc, i)["key"] != F.element_at(sc, i - 1)["key"]),
+        )
+        ends = F.concat(
+            F.slice(starts, 2, F.size(starts) - 1),
+            F.array(ng + 1),
+        )
+        runs = F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                (e - s).cast("long").alias("cnt"),
+                ((e - s) * F.element_at(sc, s)["len"]).alias("mass"),
+            ),
+        )
+        top_mass = F.coalesce(F.array_max(runs)["mass"], F.lit(0).cast("long"))
+        dup_mass = F.aggregate(
+            runs,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.when(r["cnt"] >= 2, r["mass"]).otherwise(F.lit(0).cast("long")),
+        )
+        masses_struct = F.struct(
+            top_mass.alias("top_mass"), dup_mass.alias("dup_mass")
+        )
+        return F.when(ng >= 1, masses_struct).otherwise(
+            F.struct(
+                F.lit(0).cast("long").alias("top_mass"),
+                F.lit(0).cast("long").alias("dup_mass"),
+            )
+        )
+
+    staged = s_grams.select(
+        F.col(id_col),
+        F.col("_nc"),
+        masses("_g2").alias("_m2"),
+        masses("_g3").alias("_m3"),
     )
 
     def frac(mass):
@@ -609,26 +629,33 @@ def host_quota(
     ts_col: str = "warc_ts",
     max_per_host: int = 1000,
     n_salts: int = 16,
+    count_bypass: bool = True,
 ) -> DataFrame:
     """Per-host document quota (anti-domination policy): keep at most
     ``max_per_host`` documents per host, oldest-first deterministic order
     (ties by url).
 
-    TWO-PHASE SHAPE (VERDICT r03 #4 — the former single window on the raw
+    SKEW-SAFE SHAPE (VERDICT r03 #4 — the former single window on the raw
     host key serialized every mega-host through one task):
 
-    1. Per-host counts (map-side-combinable agg) → the OVER-quota host set,
-       which is tiny by construction (a web corpus has few hosts with more
-       than ``max_per_host`` pages relative to total hosts). Hosts at or
-       under quota BYPASS the window entirely via a broadcast anti-join —
-       their rows are never shuffled on the host key.
-    2. Only over-quota rows rank. Mega-host skew is broken with a SALTED
-       pre-prune: a first window over (host, salt=xxhash64(url) %
-       n_salts) keeps each salt's local oldest ``max_per_host``, so the
-       final per-host window sees ≤ n_salts·max_per_host rows per host
-       (a 10^9-page host shrinks to 16k rows before the single-task rank)
-       — the global oldest-k set is a subset of the union of per-salt
-       oldest-k sets.
+    - SALTED PRE-PRUNE (always): a first window over (host, salt =
+      xxhash64(url) % n_salts) keeps each salt's local oldest
+      ``max_per_host``, so the final per-host window sees ≤
+      n_salts·max_per_host rows per host (a 10^9-page host shrinks to 16k
+      rows before the single-task rank) — the global oldest-k set is a
+      subset of the union of per-salt oldest-k sets. Linear-chained
+      windows, no plan diamond.
+    - COUNT BYPASS (``count_bypass=True``): per-host counts (map-side-
+      combinable agg) → the tiny OVER-quota host set; hosts at or under
+      quota skip both windows via a broadcast anti-join — their rows are
+      never shuffled on the host key. This traverses the input 3× (counts
+      + two join branches; column pruning makes the branches non-identical
+      so ReuseExchange does NOT dedup them), which is right for a cheap
+      re-scannable source (raw table scan) and WRONG above an expensive
+      derived plan — e.g. post-extraction in ``pipeline.curate``, where
+      each traversal re-runs the MapInArrow extraction. Pass
+      ``count_bypass=False`` there: the salted pre-prune alone is
+      diamond-free (one traversal, two chained shuffles).
 
     NULL hosts (unparseable urls) are grouped under a sentinel so they
     share one quota group, matching the single-window semantics (an
@@ -640,29 +667,35 @@ def host_quota(
         F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("\x00nohost")
     )
     hdf = df.withColumn("_host", host)
-    over = (
-        hdf.groupBy("_host")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_per_host)
-        .select("_host")
-    )
-    under_rows = hdf.join(F.broadcast(over), "_host", "left_anti")
-    over_rows = hdf.join(F.broadcast(over), "_host", "left_semi").withColumn(
+    under_rows = None
+    ranked = hdf
+    if count_bypass:
+        over = (
+            hdf.groupBy("_host")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_per_host)
+            .select("_host")
+        )
+        under_rows = hdf.join(F.broadcast(over), "_host", "left_anti")
+        ranked = hdf.join(F.broadcast(over), "_host", "left_semi")
+    ranked = ranked.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts))
     )
     w1 = Window.partitionBy("_host", "_salt").orderBy(ts_col, url_col)
     pruned = (
-        over_rows.withColumn("_rn1", F.row_number().over(w1))
+        ranked.withColumn("_rn1", F.row_number().over(w1))
         .filter(F.col("_rn1") <= max_per_host)
         .drop("_rn1", "_salt")
     )
     w2 = Window.partitionBy("_host").orderBy(ts_col, url_col)
-    kept_over = (
+    kept = (
         pruned.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= max_per_host)
         .drop("_rn")
     )
-    return under_rows.unionByName(kept_over).drop("_host")
+    if under_rows is not None:
+        kept = under_rows.unionByName(kept)
+    return kept.drop("_host")
 
 
 def contamination_flags(

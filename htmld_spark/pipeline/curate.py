@@ -89,7 +89,9 @@ def curate(
     )
     if langs:
         gated = gated.filter(F.col("pred_lang").isin(langs))
-    if gopher_gate:
+    # ADVICE r03: gate on identity, not truthiness — gopher_gate={} is a
+    # plausible way to say "published defaults" and must apply the gate.
+    if gopher_gate is not False and gopher_gate is not None:
         from htmld_spark.functions.text import gopher_passes_expr
 
         overrides = gopher_gate if isinstance(gopher_gate, dict) else {}
@@ -104,7 +106,11 @@ def curate(
     )
 
     if near_dedup == "minhash":
-        # full policy: LSH-banded pairs → CC clustering → keep-set semi-join
+        # full policy: LSH-banded pairs → CC clustering → keep-set semi-join.
+        # url is a sound MinHash identity HERE because the latest-capture
+        # window above guarantees ≤1 row per url by this stage (ADVICE r03:
+        # on url-DUPLICATED input, same-url rows would merge into one
+        # signature — use a composite id if ever lifting that invariant).
         from htmld_spark.functions.dedup import minhash_lsh_pairs, near_dedup_keep
 
         pairs = minhash_lsh_pairs(exact, id_col="url", text_col="text")
@@ -119,7 +125,11 @@ def curate(
             .drop("_rn")
         )
 
-    quota = host_quota(near, max_per_host=max_per_host)
+    # count_bypass=False: `near` sits above the MapInArrow extraction and
+    # the bypass's 3-way traversal would re-run it per branch (column
+    # pruning defeats ReuseExchange). The salted pre-prune alone keeps the
+    # mega-host safety with a single traversal.
+    quota = host_quota(near, max_per_host=max_per_host, count_bypass=False)
     split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)
     return split.select(
         "url",

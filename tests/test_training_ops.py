@@ -82,6 +82,27 @@ def test_simhash_near_pairs(docs):
     assert (0, 5) not in pairs and (3, 5) not in pairs
 
 
+def test_simhash_wider_keys_same_pairs(docs):
+    """VERDICT r03 #8: Manku-style wider keys (blocks_per_key=t → all
+    C(n_blocks, t) t-subset tables) must return the SAME pair set as the
+    1-block default whenever both satisfy the agreement guarantee — the
+    popcount verify is exact, only candidate generation differs."""
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(
+            docs, max_hamming=3, n_blocks=8, blocks_per_key=4
+        ).collect()
+    }
+    assert base == wide
+    # the guarantee is enforced for opted-in wide keys
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(docs, max_hamming=3, n_blocks=4, blocks_per_key=2)
+
+
 def test_simhash_deterministic(docs):
     a = sorted((r.doc_id, r.simhash) for r in D.simhash64(docs).collect())
     b = sorted((r.doc_id, r.simhash) for r in D.simhash64(docs).collect())
@@ -587,13 +608,18 @@ def test_host_quota_skewed_two_phase(spark):
     for h, lst in by_host.items():
         expected |= {u for _, u in sorted(lst)[:20]}
     for n_salts in (4, 64):
-        got = {
-            r.url
-            for r in host_quota(
-                df, ts_col="warc_ts", max_per_host=20, n_salts=n_salts
-            ).collect()
-        }
-        assert got == expected, f"n_salts={n_salts}"
+        for bypass in (True, False):
+            got = {
+                r.url
+                for r in host_quota(
+                    df,
+                    ts_col="warc_ts",
+                    max_per_host=20,
+                    n_salts=n_salts,
+                    count_bypass=bypass,
+                ).collect()
+            }
+            assert got == expected, f"n_salts={n_salts} bypass={bypass}"
 
 
 def test_connected_components_and_keep(spark, docs):
