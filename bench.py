@@ -148,7 +148,10 @@ def run_headline(master: str) -> dict:
         timings[name] = round(best, 3)
 
     # round-3 additions, timed but kept OUT of the headline total so the
-    # suite metric stays comparable across rounds
+    # suite metric stays comparable across rounds. Best-of-2 with a
+    # REBUILT plan, same policy as the main suite (r4: a single cold run
+    # charged embed_near_pairs_lsh ~6 s of first-Python-worker spawn +
+    # VM drift — the query itself runs in ~1.6 s)
     extra = {}
     for name in (
         "gopher_rules",
@@ -158,11 +161,23 @@ def run_headline(master: str) -> dict:
         "embed_batch_topk",
         "embed_near_pairs_lsh",
     ):
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
-        extra[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            t = time.monotonic() - t0
+            best = t if best is None else min(best, t)
+        extra[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # byte-normalized extraction throughput (round-4 attribution: fixture
+    # growth between rounds masqueraded as regression in docs/s — MB/s is
+    # the cross-round-comparable number)
+    input_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(pages_path)
+        for f in fs
+    )
     result = {
         "metric": "htmld_spark sf-suite wall seconds (extract_full = "
         "parse+main-content+spans over the pages fixture)",
@@ -173,6 +188,7 @@ def run_headline(master: str) -> dict:
         "master": master,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / t_ex, 1),
+        "extract_mb_per_sec": round(input_bytes / 1e6 / t_ex, 2),
         "extra_queries": extra,
     }
     spark.stop()

@@ -102,6 +102,46 @@ def test_requires_quotes_matrix():
         assert outer_html(d, n) == expected, val
 
 
+def test_requires_quotes_exotic_matrix():
+    """VERDICT r03 missing #5: exotic attr values — each quote-forcing
+    byte individually, mixed/only quotes, control bytes, multibyte UTF-8,
+    NBSP (NOT ascii whitespace → stays unquoted), entity look-alikes,
+    trailing slash on a non-void tag, long values. Every case must also be
+    a serialization fixed point (parse→serialize→parse→serialize
+    byte-identical)."""
+    cases = [
+        (b"a\tb", b'<p a="a\tb">x</p>'),
+        (b"a\nb", b'<p a="a\nb">x</p>'),
+        (b"a\fb", b'<p a="a\fb">x</p>'),
+        (b"a\rb", b'<p a="a\rb">x</p>'),
+        (b"'", b"<p a=\"'\">x</p>"),
+        (b'"', b'<p a="&quot;">x</p>'),
+        (b"a\"b'c", b'<p a="a&quot;b\'c">x</p>'),
+        (b"=", b'<p a="=">x</p>'),
+        (b"=v", b'<p a="=v">x</p>'),
+        (b"\xc3\xa9t\xc3\xa9", b"<p a=\xc3\xa9t\xc3\xa9>x</p>"),  # été
+        (b"\xf0\x9f\x98\x80", b"<p a=\xf0\x9f\x98\x80>x</p>"),  # emoji
+        (b"\xa0", b"<p a=\xa0>x</p>"),  # NBSP byte: not ascii ws
+        (b"\x01\x02", b"<p a=\x01\x02>x</p>"),  # control bytes ride raw
+        (b"&amp;", b"<p a=&amp;amp;>x</p>"),  # pre-escaped stays literal
+        (b"&#65;", b"<p a=&amp;#65;>x</p>"),
+        (b"trail/", b"<p a=trail/>x</p>"),  # p is non-void: '/' is value
+        (b"a" * 4096, b"<p a=" + b"a" * 4096 + b">x</p>"),
+    ]
+    from htmld_spark.engine.dom import parse_document as P
+
+    for val, expected in cases:
+        d = parse_document(b"<p>x</p>")
+        n = next(d.descendant_elements())
+        d.set_attr(n, b"a", val)
+        s1 = outer_html(d, n)
+        assert s1 == expected, val
+        # fixed point
+        d2 = P(s1)
+        n2 = next(d2.descendant_elements())
+        assert outer_html(d2, n2) == s1, val
+
+
 def test_raw_text_not_escaped():
     src = b"<script>if(a<b){}</script>"
     d = parse_document(src)

@@ -241,3 +241,19 @@ def test_nth_last_child_and_of_type(doc):
     assert texts(doc, "li:nth-last-child(odd)") == ["l2", "l4"]
     assert texts(doc, "#a p:nth-last-of-type(1)") == ["two"]
     assert texts(doc, "#a p:nth-last-of-type(2)") == ["one"]
+
+
+def test_root_pseudo(doc):
+    """:root matches exactly the document's top element(s) — html here —
+    and composes with combinators and :not."""
+    hits = list(query_select_all(doc, compile_selector(":root")))
+    assert [doc.tag[n] for n in hits] == [b"html"]
+    assert texts(doc, ":root #deep") == ["deep"]
+    assert texts(doc, "html:root #deep") == ["deep"]
+    assert texts(doc, "div:root") == []  # html is the root, div isn't
+    # fragment documents: every top-level element is a root
+    frag = parse_document(b"<div>x</div><div>y</div>")
+    assert len(list(query_select_all(frag, compile_selector(":root")))) == 2
+    # :not(:root) excludes only the root
+    non_roots = list(query_select_all(doc, compile_selector("*:not(:root)")))
+    assert b"html" not in [doc.tag[n] for n in non_roots]
