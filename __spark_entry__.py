@@ -549,6 +549,27 @@ def _q_decontaminate(spark, sf_dir):
     return TX.contamination_flags(docs, eval_df, n=8)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus-mixing downsample: per-lang keep rates
+    (1.0/0.5/0.25/0.125 — dyadic, exact in float64) applied as a
+    content-stable hash filter. Golden-oracled via the pure-Python xxh64
+    replica (chained-seed hash with the stratified salt)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.stratified_sample(
+        docs, rates={"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.125}
+    ).select("doc_id", "lang")
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr, relational
+    re-expression): mask every non-first occurrence of a duplicated token
+    8-gram across the documents corpus, merge masked windows, reassemble.
+    Gram stats via map-side-combinable count+min-struct (no window on the
+    gram key — mega-gram-safe); DuckDB twin is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.remove_duplicate_ngrams(docs, n=8)
+
+
 def _q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level boilerplate removal: drop every
     line appearing in ≥3 distinct urls, reassemble remaining lines in
@@ -848,12 +869,14 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50. Round 4 moves the 12 entries that sat at
-    positions 51-62 in r3 (repetition_features .. multimodal_frame_sample
-    — never driver-verified) to the FRONT; the 12 that rotate out of the
-    window (host_top_terms .. host_quota, all driver-green in r3) are
-    re-verified locally via `python tools/check_contract.py`. Next round:
-    move the current tail back to the front, keep this note current."""
+    the registry grows past 50 (64 entries as of round 4). Window policy:
+    (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
+    changed this round next, (3) stable driver-green entries fill the
+    rest; whatever rotates out (r4: dedup_simhash .. hash_split — all
+    driver-green in r3, unchanged at their query parameters) is
+    re-verified locally via `python tools/check_contract.py` (all 64
+    green, see PROGRESS notes). Next round: rotate the current tail back
+    into the window and keep this note current."""
     return {
         # --- r4 rotation: the 12 entries the driver has never snapshot ---
         "repetition_features": _q_repetition_features,
@@ -870,6 +893,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize": _q_multimodal_image_resize,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        # --- r4 additions (front of the window so they get driver rows) ---
+        "substring_dedup": _q_substring_dedup,
+        "stratified_sample": _q_stratified_sample,
+        # --- behavior changed in r4 → must stay in the driver window ---
+        "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
+        "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
+        "host_quota": _q_host_quota,  # two-phase + salted pre-prune
+        "boilerplate_line_removal": _q_boilerplate_line_removal,  # blank-line fix
+        "ngram_repetition": _q_ngram_repetition,  # hash-gram rewrite
         # extraction engine + pipeline (golden oracles on the pages fixture)
         "extract_main_text": _q_extract_main_text,
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
@@ -909,10 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": _q_embed_cosine_topk,
         "embed_batch_topk": _q_embed_batch_topk,
         "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
-        "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden
-        "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
         "host_top_terms": _q_host_top_terms,
-        "boilerplate_line_removal": _q_boilerplate_line_removal,
         "decontaminate": _q_decontaminate,
         "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
         "text_token_stats": _q_text_token_stats,
@@ -920,9 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "gopher_rules": _q_gopher_rules,
-        "ngram_repetition": _q_ngram_repetition,
         "hash_split": _q_hash_split,
-        "host_quota": _q_host_quota,
     }
 
 
@@ -1187,6 +1214,44 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "substring_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS gpos,
+                     array_to_string(ts[i + 1:i + 8], ' ') AS gram
+              FROM base, unnest(range(0, greatest(len(ts) - 7, 0))) AS u(i)
+            ), ranked AS (
+              SELECT doc_id, gpos,
+                     row_number() OVER (
+                       PARTITION BY gram ORDER BY doc_id, gpos) AS rn
+              FROM g
+            ), cov AS (
+              SELECT DISTINCT doc_id, gpos + j AS tpos
+              FROM ranked, unnest(range(0, 8)) AS v(j)
+              WHERE rn > 1
+            ), toks AS (
+              SELECT doc_id, i AS tpos, ts[i + 1] AS tok
+              FROM base, unnest(range(0, len(ts))) AS u(i)
+            ), kept AS (
+              SELECT t.doc_id, t.tpos, t.tok
+              FROM toks t
+              LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.tpos = cov.tpos
+              WHERE cov.tpos IS NULL
+            ), re AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY tpos) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(re.text_dedup, '') AS text_dedup,
+                   CAST(len(b.ts) AS INT) AS n_tokens,
+                   CAST(len(b.ts) - coalesce(re.n_kept, 0) AS INT)
+                     AS n_removed
+            FROM base b LEFT JOIN re USING (doc_id)
+        """,
         "decontaminate": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -1447,6 +1512,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": (
             f"SELECT doc_id, split FROM "
             f"read_parquet('{os.path.join(gold, 'hash_split.parquet')}')"
+        ),
+        "stratified_sample": (
+            f"SELECT doc_id, lang FROM "
+            f"read_parquet('{os.path.join(gold, 'stratified_sample.parquet')}')"
         ),
         "host_quota": f"""
             SELECT url, warc_ts FROM (

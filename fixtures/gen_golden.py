@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "10"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "11"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -212,6 +212,24 @@ def golden_hash_split(
         b = ((h % 100) + 100) % 100
         split = "train" if b < train_pct else ("val" if b < train_pct + val_pct else "test")
         out.append((d, split))
+    return out
+
+
+def golden_stratified_sample(
+    rows: list[tuple[int, str]],
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> list[tuple[int, str]]:
+    """Replicates functions/text.stratified_sample over (doc_id, lang):
+    keep iff pmod(xxhash64(id, '_strat_'), 1e6) < rate(lang)·1e6 —
+    chained-seed hash replayed by the pure-Python replica."""
+    out = []
+    for d, lang in rows:
+        h = spark_xxhash64(Long(d), "_strat_")
+        b = ((h % 1_000_000) + 1_000_000) % 1_000_000
+        r = rates.get(lang, default_rate)
+        if b < int(r * 1_000_000):
+            out.append((d, lang))
     return out
 
 
@@ -540,6 +558,25 @@ def ensure_golden(sf_dir: str) -> str:
     pq.write_table(
         pa.table({"vec_id": pa.array(ekeep, pa.int64())}),
         os.path.join(out_dir, "embed_keep.parquet"),
+    )
+
+    # stratified mixing sample (dyadic rates: exact in float64 → the
+    # double→long truncation agrees between Spark and the replica)
+    lt = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    strat = golden_stratified_sample(
+        list(zip(lt.column("doc_id").to_pylist(), lt.column("lang").to_pylist())),
+        rates={"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.125},
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in strat], pa.int64()),
+                "lang": pa.array([r[1] for r in strat], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "stratified_sample.parquet"),
     )
 
     hs = golden_hash_split([d for d, _ in docs])

@@ -623,6 +623,41 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+_STRAT_SALT = "_strat_"  # decorrelates the keep-hash from hash_split's
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum DOWNSAMPLING for corpus mixing (the
+    Pile/Gopher-style mixture-weight table, applied as a filter): a row
+    is kept iff ``pmod(xxhash64(key, salt), 1_000_000) < rate(stratum) ×
+    1_000_000``. Content-stable like ``hash_split`` — the same key keeps
+    or drops identically across runs, cluster sizes and repartitioning
+    (seeded Bernoulli sampling is none of those). The salt literal
+    decorrelates the keep-hash from hash_split's bucket hash, so sampling
+    composes independently with split assignment (same-key rows do NOT
+    preferentially drop from one split). Strata missing from ``rates``
+    use ``default_rate``. Row-local: zero shuffle, predicate-pushable.
+    Golden-oracled via the pure-Python xxh64 replica."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for k, r in rates.items():
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(r))).otherwise(rate)
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col), F.lit(_STRAT_SALT)), F.lit(1_000_000)
+    )
+    return df.filter(bucket < (rate * 1_000_000).cast("long"))
+
+
 def host_quota(
     df: DataFrame,
     url_col: str = "url",
@@ -696,6 +731,91 @@ def host_quota(
     if under_rows is not None:
         kept = under_rows.unionByName(kept)
     return kept.drop("_host")
+
+
+def remove_duplicate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+) -> DataFrame:
+    """Corpus-level EXACT SUBSTRING dedup at token granularity (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr policy re-expressed relationally; suffix arrays don't
+    distribute, duplicated-n-gram masking does): every occurrence of a
+    token ``n``-gram that appears ≥ 2 times in the corpus is masked
+    EXCEPT the globally first occurrence (ordered by (id, position) —
+    deterministic across runs and repartitioning); masked windows merge;
+    surviving tokens reassemble space-joined. Whitespace is normalized to
+    single spaces in the output (token-level semantics, as in the paper's
+    token variant). Returns (id, text_dedup, n_tokens, n_removed).
+
+    Shape at 10^12 docs: gram stats are ONE map-side-combinable groupBy
+    (count + min(struct(id, pos)) — no window over the gram key, so a
+    mega-gram never serializes through one task); occurrences join the
+    ≥2-count stats on the gram key (AQE skew-join splits hot grams);
+    masked starts fold back per doc (collect_set over the doc key);
+    window-merge + reassembly are per-doc-local array expressions. Grams
+    are kept as raw strings here for exact DuckDB-oracle parity — at
+    scale hash them (xxhash64) to shrink the two gram-key shuffles, as in
+    ``remove_boilerplate_lines``. Use n ≈ 50 (the paper's setting) in
+    production; small fixtures test with smaller n."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), TOKEN_SPLIT)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+
+    k = F.size(F.col("_toks")) - (n - 1)
+    gram_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.posexplode_outer(gram_arr).alias("gpos", "gram")
+    )
+    gstats = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col), F.col("gpos"))).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("gram", "_first")
+    )
+    dup_starts = (
+        grams.join(gstats, "gram")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("gpos") == F.col("_first.gpos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("gpos").alias("_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + n - 1),
+            )
+        )
+    )
+    kept = base.join(dup_starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.filter(
+            F.col("_toks"), lambda tok, i: ~F.array_contains(covered, i)
+        ).alias("_kept"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_kept")).alias("text_dedup"),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("int").alias("n_removed"),
+    )
 
 
 def contamination_flags(

@@ -575,6 +575,42 @@ def test_hash_split_stable_and_proportional(spark):
     assert c["val"] > 0 and c["test"] > 0
 
 
+def test_stratified_sample(spark):
+    """Corpus-mixing downsample: per-stratum rates hit within tolerance,
+    assignments are content-stable under repartitioning, rate-1.0 strata
+    survive whole, and the keep set is decorrelated from hash_split (a
+    rate-r stratum loses ≈ r of EVERY split, not one split wholesale)."""
+    from htmld_spark.functions.text import hash_split, stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25}
+    kept = stratified_sample(df, rates).collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in kept)
+    assert c["en"] == 1000  # rate 1.0 keeps everything
+    assert 400 <= c["de"] <= 600
+    assert 150 <= c["fr"] <= 350
+    # content-stable under repartitioning
+    k2 = {r.doc_id for r in stratified_sample(df.repartition(13), rates).collect()}
+    assert {r.doc_id for r in kept} == k2
+    # decorrelation: the de-stratum keep set intersects all three splits
+    splits = {
+        r.doc_id: r.split for r in hash_split(df, key_col="doc_id").collect()
+    }
+    de_kept_splits = {splits[r.doc_id] for r in kept if r.lang == "de"}
+    assert de_kept_splits == {"train", "val", "test"}
+    # unknown stratum → default_rate
+    assert stratified_sample(
+        df, {"zz": 0.0}, default_rate=1.0
+    ).count() == 3000
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(df, {}, default_rate=-0.1)
+
+
 def test_host_quota(spark):
     from htmld_spark.functions.text import host_quota
 
@@ -832,6 +868,59 @@ def test_remove_boilerplate_keeps_blank_line_structure(spark):
     assert rows["u1"].text_clean == "\npara one\n\npara two"
     assert rows["u1"].n_removed == 1  # only the nav line
     assert rows["u3"].text_clean == "\nmore text\n"  # trailing blank kept
+
+
+def test_remove_duplicate_ngrams(spark):
+    """ExactSubstr-style dedup: the globally FIRST occurrence (by id, pos)
+    of a duplicated n-gram survives; later occurrences are masked with
+    window merging; unique text is untouched (modulo whitespace
+    normalization)."""
+    from htmld_spark.functions.text import remove_duplicate_ngrams
+
+    shared = "one two three four"  # 4 tokens, n=4 → one gram
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2"),
+            (2, f"head {shared} tail3"),
+            (3, "totally unrelated tokens here now"),
+            (4, ""),
+            (5, f"{shared} {shared}"),  # self-repetition also masks
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in remove_duplicate_ngrams(df, n=4).collect()}
+    # doc 1 holds the global first occurrence → untouched
+    assert rows[1].text_dedup == "one two three four tail1 tail2"
+    assert rows[1].n_removed == 0
+    # doc 2's occurrence is masked (4 tokens removed)
+    assert rows[2].text_dedup == "head tail3" and rows[2].n_removed == 4
+    assert rows[3].n_removed == 0
+    assert rows[4].text_dedup == ""
+    # doc 5: every gram window covering the repeat is duplicated
+    # (self-overlap): only the leading first-gram window could survive,
+    # and overlapping masked windows MERGE rather than double-count
+    assert rows[5].n_tokens == 8
+    assert rows[5].n_removed >= 4
+    assert rows[5].text_dedup.split(" ")[:1] == ["one"] or rows[5].n_removed == 8
+
+
+def test_remove_duplicate_ngrams_plan_megagram_safe(spark):
+    """Gram stats must be a partial-aggregable groupBy (count +
+    min(struct)) — NO row_number window over the gram key, which would
+    serialize a mega-gram through one task at corpus scale."""
+    import re as _re
+
+    from htmld_spark.functions.text import remove_duplicate_ngrams
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = (
+        remove_duplicate_ngrams(df, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"\bWindow \[", p)) == 0
+    assert "partial_min" in p or "partial_count" in p
 
 
 def test_contamination_flags(spark):
