@@ -846,6 +846,17 @@ def _q_multimodal_image_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_image_near_dups(spark, sf_dir):
+    """Perceptual image near-dup pairs: real BMP decode → aHash → the
+    block-trick join shared with SimHash → popcount ≤ 3 verify. The
+    guarantee (max_hamming < n_blocks) means recall is total, so the
+    oracle is the plain quadratic hamming self-join over the golden
+    expected-phash parquet."""
+    from htmld_spark.functions import multimodal as MM
+
+    return MM.image_near_dup_pairs(_media(spark), max_hamming=3)
+
+
 def _q_multimodal_audio_features(spark, sf_dir):
     """REAL pure-Python PCM-16 WAV decode: sample rate, count, RMS."""
     from htmld_spark.functions import multimodal as MM
@@ -872,7 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry grows past 50 (64 entries as of round 4). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest; whatever rotates out (r4: dedup_simhash .. hash_split — all
+    rest; whatever rotates out (r4: dedup_minhash_lsh .. hash_split — all
     driver-green in r3, unchanged at their query parameters) is
     re-verified locally via `python tools/check_contract.py` (all 64
     green, see PROGRESS notes). Next round: rotate the current tail back
@@ -896,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4 additions (front of the window so they get driver rows) ---
         "substring_dedup": _q_substring_dedup,
         "stratified_sample": _q_stratified_sample,
+        "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1657,6 +1669,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT media_id, width, height, mean_r, mean_g, mean_b, "
             f"phash, decoder FROM read_parquet('{os.path.join(media_gold, 'image_features_expected.parquet')}')"
         ),
+        "multimodal_image_near_dups": f"""
+            WITH f AS (
+              SELECT media_id, phash
+              FROM read_parquet(
+                '{os.path.join(media_gold, "image_features_expected.parquet")}')
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM f a JOIN f b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
         "multimodal_image_resize": (
             f"SELECT media_id, out_w, out_h, resized_md5, decoder FROM "
             f"read_parquet('{os.path.join(media_gold, 'image_resize_expected.parquet')}')"

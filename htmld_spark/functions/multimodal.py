@@ -162,6 +162,42 @@ def image_features_df(media_df):
     )
 
 
+def image_near_dup_pairs(
+    media_df,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    blocks_per_key: int = 1,
+):
+    """Perceptual near-duplicate IMAGE pairs: decode → 64-bit aHash (the
+    SAME pinned average-hash as ``image_features_df``'s phash column) →
+    the SimHash block-trick equi-join shared with text dedup
+    (``dedup.hash_block_pairs``) → exact popcount verify. Returns
+    (id_a, id_b, hamming) with id_a < id_b — every image pair within
+    ``max_hamming`` aHash bits, guaranteed (max_hamming < n_blocks), so
+    the DuckDB oracle is the plain quadratic hamming join over the golden
+    phash column. At crawl scale precompute phash at ingest and size the
+    block keys per ``hash_block_pairs``'s docstring."""
+    from htmld_spark.functions.dedup import hash_block_pairs
+
+    # lazy localCheckpoint: the block join references the hashed frame on
+    # both sides and would otherwise run the image-decode UDF twice; the
+    # checkpointed projection is 16 bytes/row (id, phash) — executor-local
+    # and tiny relative to the payloads it replaces.
+    feats = (
+        image_features_df(media_df)
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
+    return hash_block_pairs(
+        feats,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        blocks_per_key=blocks_per_key,
+    )
+
+
 IMAGE_RESIZE_SCHEMA = (
     "media_id bigint, out_w int, out_h int, resized_md5 string, decoder string"
 )

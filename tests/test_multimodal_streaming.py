@@ -35,6 +35,29 @@ def test_image_features_real_bmp_decode(spark, media):
     assert all(r.width % 8 == 0 and r.height % 8 == 0 for r in a.values())
 
 
+def test_image_near_dup_pairs(spark, media):
+    """Block-trick perceptual pairs = exactly the brute-force hamming
+    pairs over the decoded aHashes (total recall: max_hamming < n_blocks
+    guarantees a shared chunk)."""
+    feats = {r.media_id: r.phash for r in MM.image_features_df(media).collect()}
+    ids = sorted(feats)
+
+    def ham(a, b):  # phash is SIGNED int64 — mask before popcount
+        return bin((feats[a] ^ feats[b]) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in MM.image_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_image_features_stub_fallback(spark):
     rows = [(0, "image", b"\x00not-a-bmp\xff", {"width": 5, "height": 7,
                                                 "sample_rate": None,
