@@ -192,6 +192,7 @@ def connected_components(
     # and nothing is ever collected to the driver beyond the scalar
     # convergence count.
     comp = sym.select("u").distinct().withColumn("c", F.col("u")).localCheckpoint()
+    changed = None
     for _ in range(max_iter):
         # candidate label per node: min over self and neighbors' labels
         neigh = sym.join(comp.withColumnRenamed("u", "v"), "v").select("u", "c")
@@ -210,7 +211,110 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    if changed:
+        # r4: silent non-convergence returned WRONG labels for graphs
+        # whose diameter exceeds max_iter (hash-min moves labels one hop
+        # per round). Near-dup graphs are short/dense and converge in 2-3
+        # rounds; anything else must fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " (graph diameter > max_iter); raise max_iter or use"
+            " connected_components_star (O(log n) rounds on any shape)"
+        )
     return comp.select(F.col("u").alias("node"), F.col("c").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): provably O(log² n) rounds (O(log n) in practice) on ANY
+    graph shape — the variant ``connected_components``'s docstring
+    defers to for adversarial long chains, where plain hash-min label
+    propagation needs O(diameter) rounds.
+
+    large-star: for each node u, connect every strictly-LARGER neighbor
+    to u's minimum neighborhood label m(u) (self included);
+    small-star: connect every ≤-neighbor to m(u). Both are one
+    groupBy-min + one join per round, same primitives as hash-min; edges
+    monotonically point toward component minima and the algorithm
+    converges when the edge set is a star forest (fixed point). Returns
+    (node, component) with component = min node id, exactly matching
+    ``connected_components``."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(df):
+        return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _min_label(df):
+        """m(u) = min over u's listed neighbors and u itself — one
+        map-side-combinable groupBy."""
+        return (
+            df.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+
+    def _large_star(df):
+        sym = _sym(df)
+        m = _min_label(sym)
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(df):
+        # orient edges small→large, then hook every neighbor ≤ u to m(u)
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = _min_label(oriented)
+        return (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e
+    for _ in range(max_iter):
+        prev = cur
+        mid = _large_star(cur).localCheckpoint(eager=False)
+        cur = _small_star(mid).localCheckpoint(eager=False)
+        # converged when a FULL large+small round is a fixed point (star
+        # forest). Comparing small-star's output against the same round's
+        # large-star output stops early on chains: small-star can be the
+        # identity while the next large-star still re-roots (measured on
+        # a 4-node path — (3,1) only becomes (3,0) one round later).
+        if cur.exceptAll(prev).isEmpty() and prev.exceptAll(cur).isEmpty():
+            break
+    comp = _sym(cur).groupBy("u").agg(F.min("v").alias("c"))
+    comp = comp.select("u", F.least("c", "u").alias("c"))
+    # isolated self-loop-only inputs and single-edge stars resolve above;
+    # nodes appearing only as minima keep themselves
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .unionByName(edges.select(F.col(dst).alias("u")))
+        .distinct()
+    )
+    return (
+        nodes.join(comp, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("c"), F.col("u")).alias("component"),
+        )
+    )
 
 
 def near_dedup_keep(

@@ -679,6 +679,46 @@ def test_connected_components_chain(spark):
     assert set(comps.values()) == {0} and len(comps) == 6
 
 
+def test_connected_components_star_matches_hashmin(spark):
+    """Large-star/small-star (Kiveris et al. SoCC'14) must produce the
+    identical (node, component) labeling as hash-min on every graph
+    shape: random graph, long chain (its raison d'être — O(log n) rounds
+    vs hash-min's O(diameter)), star, cliques, singletons-by-absence."""
+    import random as _random
+
+    rng = _random.Random(5)
+    shapes = {
+        "random": [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        "chain": [(i, i + 1) for i in range(40)],
+        "rev_chain": [(i + 1, i) for i in range(40)],
+        "star": [(0, i) for i in range(1, 20)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(5) if a < b]
+        + [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b],
+    }
+    for name, pairs in shapes.items():
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        # hash-min needs O(diameter) rounds — give the 41-chains enough
+        hm = {r.node: r.component
+              for r in D.connected_components(edges, max_iter=45).collect()}
+        st = {r.node: r.component
+              for r in D.connected_components_star(edges).collect()}
+        assert st == hm, name
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """r4: hash-min beyond its round budget must fail loudly (it used to
+    return silently-wrong labels on graphs with diameter > max_iter);
+    the star variant handles the same chain within its default budget."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=5)
+    st = {r.node: r.component
+          for r in D.connected_components_star(edges).collect()}
+    assert set(st.values()) == {0} and len(st) == 31
+
+
 def test_ivf_sampled_build_and_query(vectors):
     """Sample-fit Lloyd IVF (the production/oracle path): deterministic,
     finds the near-copy, fit-free query over the assigned frame."""
