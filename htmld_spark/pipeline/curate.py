@@ -39,6 +39,7 @@ def curate(
     val_pct: int = 5,
     near_dedup: str = "winnow",
     gopher_gate: bool | dict = False,
+    mixture: dict[str, float] | None = None,
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -55,6 +56,11 @@ def curate(
       equi-join, CC rounds on the pair graph — pair graphs are tiny
       relative to the corpus) + a broadcast-able keep-set semi-join, and
       catches paraphrase-level duplicates winnow-equality misses.
+
+    ``mixture`` applies per-language corpus-mixing weights (Pile/Gopher
+    mixture tables) via ``stratified_sample`` on pred_lang — a row-local
+    content-stable hash filter AFTER dedup/quota so weights act on the
+    curated distribution, decorrelated from the train/val/test split.
 
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
@@ -130,6 +136,12 @@ def curate(
     # pruning defeats ReuseExchange). The salted pre-prune alone keeps the
     # mega-host safety with a single traversal.
     quota = host_quota(near, max_per_host=max_per_host, count_bypass=False)
+    if mixture:
+        from htmld_spark.functions.text import stratified_sample
+
+        quota = stratified_sample(
+            quota, rates=mixture, stratum_col="pred_lang", key_col="url"
+        )
     split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)
     return split.select(
         "url",

@@ -43,6 +43,32 @@ def test_curate_end_to_end(spark):
     curated.unpersist()
 
 
+def test_curate_mixture_weights(spark):
+    """mixture= applies per-language keep rates after dedup/quota: rate-1
+    languages keep every curated row, rate-0 languages vanish, fractional
+    rates land in between — and the baseline (no mixture) is a superset."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    base = curate(pages, min_tokens=3, max_per_host=200).cache()
+    mixed = curate(
+        pages,
+        min_tokens=3,
+        max_per_host=200,
+        mixture={"en": 1.0, "de": 0.5, "zh": 0.0},
+    ).cache()
+    base_counts = dict(
+        base.groupBy("pred_lang").count().rdd.map(tuple).collect()
+    )
+    mixed_counts = dict(
+        mixed.groupBy("pred_lang").count().rdd.map(tuple).collect()
+    )
+    assert mixed_counts.get("en", 0) == base_counts.get("en", 0)
+    assert mixed_counts.get("zh", 0) == 0
+    if base_counts.get("de", 0) >= 8:
+        assert 0 < mixed_counts.get("de", 0) < base_counts["de"]
+    assert mixed.exceptAll(base).count() == 0  # strict subset
+    base.unpersist(); mixed.unpersist()
+
+
 def test_curate_plan_shape(spark):
     """One Python crossing; no Python in any post-extraction stage."""
     pages = spark.read.parquet(ensure_pages("0.001"))
