@@ -1015,6 +1015,11 @@ def test_round3_text_ops_never_raise_and_deterministic(spark):
     ts = datetime(2026, 1, 1)
     rows = [(i, f"http://h{i % 3}.com/p{i}", ts, t) for i, t in enumerate(nasty)]
     df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp, text string")
+    from htmld_spark.functions.text import (
+        remove_duplicate_ngrams,
+        stratified_sample,
+    )
+
     outs = {}
     for name, fn in [
         ("gopher", lambda d: gopher_rules(d)),
@@ -1022,6 +1027,9 @@ def test_round3_text_ops_never_raise_and_deterministic(spark):
         ("terms", lambda d: host_top_terms(d, k=3)),
         ("boiler", lambda d: remove_boilerplate_lines(d, id_col="url", min_doc_freq=2)),
         ("decon", lambda d: contamination_flags(d, d.filter("doc_id = 3"), n=4)),
+        ("substr", lambda d: remove_duplicate_ngrams(d, n=3)),
+        ("strat", lambda d: stratified_sample(
+            d, {"x": 0.5}, stratum_col="url", key_col="doc_id")),
     ]:
         a = sorted(map(tuple, fn(df).collect()))
         b = sorted(map(tuple, fn(df).collect()))
@@ -1030,3 +1038,4 @@ def test_round3_text_ops_never_raise_and_deterministic(spark):
     assert len(outs["gopher"]) == len(nasty)
     assert len(outs["ngram"]) == len(nasty)
     assert len(outs["decon"]) == len(nasty)
+    assert len(outs["substr"]) == len(nasty)
