@@ -549,6 +549,14 @@ def _q_decontaminate(spark, sf_dir):
     return TX.contamination_flags(docs, eval_df, n=8)
 
 
+def _q_quality_score(spark, sf_dir):
+    """Model-based quality gate (FineWeb-Edu-style classifier filter with
+    a transparent linear head over the pinned quality features):
+    sigmoid-scored, row-local, zero shuffle. SQL-twin oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_score(docs)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic corpus-mixing downsample: per-lang keep rates
     (1.0/0.5/0.25/0.125 — dyadic, exact in float64) applied as a
@@ -908,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "stratified_sample": _q_stratified_sample,
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
+        "quality_score": _q_quality_score,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1226,6 +1235,42 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                     len(regexp_extract_all(lower(text),
+                         '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS stop_hits
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_tokens,
+                     round(CASE WHEN n_tokens > 0
+                           THEN (n_chars - (n_tokens - 1))::DOUBLE / n_tokens
+                           ELSE 0 END, 4) AS avg_word_len,
+                     round(CASE WHEN n_chars > 0
+                           THEN alpha_chars::DOUBLE / n_chars ELSE 0 END, 4)
+                       AS alpha_ratio,
+                     round(CASE WHEN n_tokens > 0
+                           THEN stop_hits::DOUBLE / n_tokens ELSE 0 END, 4)
+                       AS stopword_ratio
+              FROM t
+            ), s AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(
+                       -3.0 + 0.35 * ln(1 + n_tokens)
+                             + 2.0 * alpha_ratio
+                             + 4.0 * stopword_ratio
+                             + (-0.5) * abs(avg_word_len - 5.0)))), 6)
+                       AS quality_score
+              FROM f
+            )
+            SELECT doc_id, quality_score,
+                   CAST(quality_score >= 0.5 AS INT) AS quality_pass
+            FROM s
+        """,
         "substring_dedup": r"""
             WITH base AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts

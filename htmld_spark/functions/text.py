@@ -115,6 +115,47 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w_log_tokens: float = 0.35,
+    w_alpha: float = 2.0,
+    w_stopword: float = 4.0,
+    w_wordlen_dev: float = -0.5,
+    bias: float = -3.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality FILTER score (the FineWeb-Edu-style classifier
+    gate, with the model reduced to a transparent linear head over the
+    pinned quality features — production swaps in trained classifier
+    weights through the same parameters; what this operator pins is the
+    scoring plumbing, determinism, and plan shape):
+
+        score = sigmoid(bias + w·x),
+        x = (log1p(n_tokens), alpha_ratio, stopword_ratio,
+             |avg_word_len − 5|)
+
+    over ``quality_features``' 4-dp-rounded outputs (both sides of the
+    oracle see identical inputs). Returns (id, quality_score 6 dp,
+    quality_pass). Row-local JVM exprs — zero shuffle, zero Python; at
+    100 TB this is a free rider on any scan. SQL-twin oracled."""
+    feats = quality_features(df, id_col, text_col)
+    z = (
+        F.lit(float(bias))
+        + float(w_log_tokens) * F.log1p(F.col("n_tokens"))
+        + float(w_alpha) * F.col("alpha_ratio")
+        + float(w_stopword) * F.col("stopword_ratio")
+        + float(w_wordlen_dev) * F.abs(F.col("avg_word_len") - F.lit(5.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= float(threshold)).cast("int").alias("quality_pass"),
+    )
+
+
 def ngram_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

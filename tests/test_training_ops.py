@@ -575,6 +575,37 @@ def test_hash_split_stable_and_proportional(spark):
     assert c["val"] > 0 and c["test"] > 0
 
 
+def test_quality_score(spark):
+    """Linear-head classifier gate: empty text scores near zero, a long
+    stopword-rich English doc scores near one, scores are monotone in the
+    weighted features, custom thresholds move the pass flag, and the plan
+    is row-local (no Exchange, no Python)."""
+    import math
+
+    from htmld_spark.functions.text import quality_score
+
+    good = ("the cat sat on a mat and it is nice to be in the sun or " * 20).strip()
+    df = spark.createDataFrame(
+        [(1, ""), (2, "zzzz 9999 ####"), (3, good)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_score(df).collect()}
+    assert rows[1].quality_score == round(1 / (1 + math.exp(5.5)), 6)
+    assert rows[1].quality_pass == 0
+    assert rows[3].quality_score > 0.7 and rows[3].quality_pass == 1
+    assert rows[2].quality_score < rows[3].quality_score
+    # threshold moves the flag, weights are honored
+    strict = {r.doc_id: r for r in quality_score(df, threshold=0.999).collect()}
+    assert strict[3].quality_pass in (0, 1) and strict[1].quality_pass == 0
+    flat = {r.doc_id: r
+            for r in quality_score(df, w_log_tokens=0.0, w_alpha=0.0,
+                                   w_stopword=0.0, w_wordlen_dev=0.0,
+                                   bias=0.0).collect()}
+    assert all(v.quality_score == 0.5 for v in flat.values())
+    p = quality_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
 def test_stratified_sample(spark):
     """Corpus-mixing downsample: per-stratum rates hit within tolerance,
     assignments are content-stable under repartitioning, rate-1.0 strata
