@@ -160,6 +160,10 @@ def run_headline(master: str) -> dict:
         "host_top_terms",
         "embed_batch_topk",
         "embed_near_pairs_lsh",
+        # round-4 additions
+        "substring_dedup",
+        "quality_score",
+        "stratified_sample",
     ):
         best = None
         for _ in range(2):
