@@ -61,6 +61,30 @@ def demo_quality_filters(spark) -> None:
     ngram_repetition(text, id_col="url", text_col="text").show(3, truncate=30)
 
 
+def demo_dedup_and_mixing(spark) -> None:
+    """5. Corpus-level dedup + mixing (round-4 operators): exact-substring
+    dedup (Lee et al. 2021 ExactSubstr), a model-based quality score, and
+    deterministic per-language mixture sampling."""
+    from fixtures.gen_pages import ensure_pages
+    from htmld_spark.functions.text import (
+        quality_score,
+        remove_duplicate_ngrams,
+        stratified_sample,
+    )
+    from htmld_spark.functions.udfs import extract_df
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    text = extract_df(pages.select("url", "warc_ts", "html", "lang"))
+    remove_duplicate_ngrams(text, id_col="url", text_col="text", n=8).orderBy(
+        "n_removed", ascending=False
+    ).show(3, truncate=40)
+    quality_score(text, id_col="url", text_col="text").show(3, truncate=40)
+    mixed = stratified_sample(
+        text, rates={"en": 1.0, "de": 0.5}, stratum_col="lang", key_col="url"
+    )
+    print("mixture kept", mixed.count(), "of", text.count(), "docs")
+
+
 def main() -> None:
     demo_engine_api()
     from htmld_spark.pipeline.session import get_spark
@@ -70,6 +94,7 @@ def main() -> None:
         demo_distributed_extraction(spark)
         demo_curation(spark)
         demo_quality_filters(spark)
+        demo_dedup_and_mixing(spark)
     finally:
         spark.stop()
 
