@@ -110,6 +110,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    # lazy localCheckpoint: the candidate self-join references `banded` on
+    # both sides and ReuseExchange does not fire for them (r4, plan-
+    # verified on the simhash twin) — without it the shingle+signature
+    # aggregation executes twice. ABBA at sf0.1: median ratio 0.95 (under
+    # the VM floor locally; structural 2x-stage saving at crawl scale).
+    # Skinny (id, band, band_key) rows only.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     bb = banded.alias("b")
     cand = (
@@ -473,6 +480,14 @@ def hash_block_pairs(
         F.col("ck.chunk").alias("chunk"),
         F.col("ck.chunk_id").alias("chunk_id"),
     )
+    # lazy localCheckpoint: both self-join sides reference this frame and
+    # ReuseExchange does NOT fire for them (r4: plan showed the 64-sum
+    # aggregation twice, zero ReusedExchange). ABBA at sf0.1: median
+    # ratio 0.94 — under the VM's 10% floor locally, but at crawl scale
+    # re-running the tokenize+signature pass is 2x a major stage; the
+    # checkpointed projection is ~24 B/row x tables (at ingest the hash
+    # column is precomputed and this IS the skinny chunk table).
+    all_chunks = all_chunks.localCheckpoint(eager=False)
     a = all_chunks.alias("a")
     b = all_chunks.alias("b")
     cand = (

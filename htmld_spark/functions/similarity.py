@@ -410,9 +410,13 @@ def lsh_band_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from banded hyperplane LSH — the join
     stage of ``lsh_near_pairs``, exposed so candidate volume is testable.
+    ``checkpoint=False`` keeps the full lineage visible (plan tests);
+    the default lazily checkpoints the banded frame so the band-keys UDF
+    evaluates once, not once per self-join side.
 
     ``max_bucket_size`` caps hot buckets: (band, band_key) groups larger
     than the cap are dropped from candidate generation via a broadcast
@@ -432,6 +436,13 @@ def lsh_band_candidates(
     banded = keyed.select(
         F.col(id_col), F.posexplode_outer("_keys").alias("band", "band_key")
     )
+    # lazy localCheckpoint: the candidate self-join references `banded` on
+    # both sides and ReuseExchange does not fire for them — without it the
+    # band-keys pandas UDF (the plan's only Python crossing) evaluates
+    # once per side. Skinny (id, band, band_key) rows; at ingest scale the
+    # key array is a precomputed column and this is its exploded table.
+    if checkpoint:
+        banded = banded.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_key")
@@ -466,6 +477,7 @@ def lsh_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale: BANDED random-hyperplane
     LSH (b bands × r planes each, OR-amplified exactly like
@@ -489,7 +501,8 @@ def lsh_near_pairs(
     ~10^4..10^6 rows; 10^12 rows want ~43. ``max_bucket_size`` additionally
     caps pathological buckets (see ``lsh_band_candidates``)."""
     cand = lsh_band_candidates(
-        df, dim, bands, rows_per_band, seed, id_col, vec_col, max_bucket_size
+        df, dim, bands, rows_per_band, seed, id_col, vec_col,
+        max_bucket_size, checkpoint,
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     va_df = vecs.alias("va")

@@ -159,7 +159,9 @@ def test_lsh_near_pairs_banded_join_shape(spark):
     from htmld_spark.functions.similarity import lsh_near_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    p = plan_of(lsh_near_pairs(emb, dim=64, cosine_threshold=0.3))
+    # checkpoint=False exposes the full lineage for shape assertions
+    p = plan_of(lsh_near_pairs(emb, dim=64, cosine_threshold=0.3,
+                               checkpoint=False))
     assert "band_key" in p
     assert "posexplode" in p.lower() or "Generate" in p
     # the old shape's single `bucket` hash column must be gone
@@ -167,6 +169,10 @@ def test_lsh_near_pairs_banded_join_shape(spark):
     # exactly ONE Python eval per join side: plain posexplode made
     # InferFiltersFromGenerate re-evaluate the band-keys UDF twice per row
     assert p.count("ArrowEvalPython") == 2
+    # default: the banded frame is lazily checkpointed, so the band-keys
+    # UDF runs ONCE total — both join sides scan the materialized RDD
+    pd_ = plan_of(lsh_near_pairs(emb, dim=64, cosine_threshold=0.3))
+    assert "ExistingRDD" in pd_ and pd_.count("ArrowEvalPython") == 0
 
 
 def test_host_quota_plan_short_circuits_under_quota_hosts(spark):
