@@ -568,6 +568,17 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup: odd-doc_id slice ("new snapshot") deduped
+    against the even-doc_id slice ("already-kept corpus") — exact md5
+    anti-join, then a MinHash band-key anti-join (new-vs-ref, never a
+    self-join over the union). Golden via the pure-Python xxh64 replica."""
+    docs = _t(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 2 == 1)
+    ref_df = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.dedup_against_reference(new_df, ref_df).select("doc_id")
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact substring dedup (Lee et al. 2021 ExactSubstr, relational
     re-expression): mask every non-first occurrence of a duplicated token
@@ -917,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "quality_score": _q_quality_score,
+        "incremental_dedup": _q_incremental_dedup,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1234,6 +1246,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dedup_keep": (
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
+        ),
+        "incremental_dedup": (
+            f"SELECT doc_id FROM "
+            f"read_parquet('{os.path.join(gold, 'incremental_dedup.parquet')}')"
         ),
         "quality_score": r"""
             WITH t AS (

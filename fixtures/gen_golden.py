@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "11"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "12"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -110,6 +110,47 @@ def golden_minhash_lsh(
         if j >= jaccard_threshold:
             out.append((a, b2, j))
     return out
+
+
+def golden_incremental_dedup(
+    new_docs: list[tuple[int, str]],
+    ref_docs: list[tuple[int, str]],
+    num_perms: int = 16,
+    bands: int = 4,
+) -> list[int]:
+    """Replicates functions/dedup.dedup_against_reference (near=True):
+    drop new docs whose md5 matches the reference, then drop new docs
+    sharing ≥1 MinHash band key with any reference doc."""
+    import hashlib
+
+    ref_md5 = {
+        hashlib.md5((t or "").encode("utf-8")).hexdigest() for _, t in ref_docs
+    }
+    surv = [
+        (d, t)
+        for d, t in new_docs
+        if hashlib.md5((t or "").encode("utf-8")).hexdigest() not in ref_md5
+    ]
+    rows_per_band = num_perms // bands
+
+    def band_keys(text):
+        sh = _shingles(text)
+        sig = [min(spark_xxhash64(s, i) for s in sh) for i in range(num_perms)]
+        return {
+            (
+                b,
+                spark_xxhash64(
+                    *[Long(c) for c in sig[b * rows_per_band : (b + 1) * rows_per_band]],
+                    b,
+                ),
+            )
+            for b in range(bands)
+        }
+
+    ref_keys = set()
+    for _, t in ref_docs:
+        ref_keys |= band_keys(t)
+    return sorted(d for d, t in surv if not (band_keys(t) & ref_keys))
 
 
 def golden_simhash_pairs(
@@ -577,6 +618,16 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "stratified_sample.parquet"),
+    )
+
+    # incremental (new-vs-reference) dedup: odd doc_ids vs even doc_ids
+    inc = golden_incremental_dedup(
+        [(d, t) for d, t in docs if d % 2 == 1],
+        [(d, t) for d, t in docs if d % 2 == 0],
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(inc, pa.int64())}),
+        os.path.join(out_dir, "incremental_dedup.parquet"),
     )
 
     hs = golden_hash_split([d for d, _ in docs])

@@ -170,6 +170,76 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dedup_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near: bool = True,
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL crawl dedup: keep rows of ``new_df`` that duplicate
+    nothing in the (already-kept) ``ref_df`` — the production shape for
+    successive snapshot ingests, where deduping new×reference avoids
+    re-clustering the full corpus every crawl. Two stages, both
+    anti-joins (never a self-join over new ∪ ref):
+
+    1. EXACT: drop new rows whose md5(text) appears in the reference —
+       one anti-join on a 16-byte key (shuffle or broadcast per AQE).
+    2. NEAR (``near=True``): drop new rows sharing ≥1 MinHash LSH band
+       key with any reference row — the same single-pass banding as
+       ``minhash_lsh_pairs``, but joined new-vs-ref (each side's
+       signature aggregation runs once; the anti-join carries only
+       (id, band, band_key)). Band-collision near-dedup is the standard
+       recall/precision trade at ingest; run the exact-Jaccard verify
+       variant (``minhash_lsh_pairs`` on survivors ∪ ref sample) where
+       precision matters more than one pass.
+
+    Returns the surviving rows of ``new_df`` (all original columns)."""
+    ref_hashes = ref_df.select(F.md5(F.col(text_col)).alias("content_hash"))
+    survivors = (
+        new_df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(ref_hashes, "content_hash", "left_anti")
+        .drop("content_hash")
+    )
+    if not near:
+        return survivors
+
+    def banded_keys(df):
+        rows_per_band = num_perms // bands
+        sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
+                        F.lit(b),
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col), F.explode(band_structs).alias("bk")
+        ).select(
+            id_col,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+
+    ref_keys = banded_keys(ref_df).select("band", "band_key").distinct()
+    hit_ids = (
+        banded_keys(survivors)
+        .join(ref_keys, ["band", "band_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return survivors.join(hit_ids, id_col, "left_anti")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

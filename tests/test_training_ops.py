@@ -689,6 +689,33 @@ def test_host_quota_skewed_two_phase(spark):
             assert got == expected, f"n_salts={n_salts} bypass={bypass}"
 
 
+def test_dedup_against_reference(spark):
+    """Incremental crawl dedup: exact copies of reference docs drop, band-
+    colliding near-copies drop, genuinely new content survives; near=False
+    keeps the near-dup (exact stage only)."""
+    ref = spark.createDataFrame(
+        [(100, BASE), (101, "reference only content about warc records here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, BASE),  # exact dup of ref 100
+            (2, BASE.replace("garden", "meadow")),  # near dup of ref 100
+            (3, "completely fresh text with brand new tokens to keep"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in D.dedup_against_reference(new, ref).collect()
+    )
+    assert kept == [3]
+    exact_only = sorted(
+        r.doc_id
+        for r in D.dedup_against_reference(new, ref, near=False).collect()
+    )
+    assert exact_only == [2, 3]
+
+
 def test_connected_components_and_keep(spark, docs):
     """Clustering: {0,1,2} form one near-dup component via (0,1),(0,2);
     {3,4} another; 5 unpaired → keep = {0, 3, 5}."""
