@@ -568,6 +568,20 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_pack_shards(spark, sf_dir):
+    """Training-shard packing: docs in doc_id order fill consecutive
+    ~2000-token shards — distributed prefix sum (range partition + local
+    Arrow cumsum + broadcast partition offsets), never a global
+    single-task window. DuckDB's one-window twin is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    from htmld_spark.functions.text import token_count
+
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return TX.pack_shards(base, budget_tokens=2000)
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Incremental crawl dedup: odd-doc_id slice ("new snapshot") deduped
     against the even-doc_id slice ("already-kept corpus") — exact md5
@@ -902,11 +916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry grows past 50 (64 entries as of round 4). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest; whatever rotates out (r4: dedup_minhash_lsh .. hash_split — all
-    driver-green in r3, unchanged at their query parameters) is
-    re-verified locally via `python tools/check_contract.py` (all 64
-    green, see PROGRESS notes). Next round: rotate the current tail back
-    into the window and keep this note current."""
+    rest; whatever rotates out (r4: 18 entries, dedup_exact_keep ..
+    hash_split — all driver-green in r3, unchanged at their query
+    parameters) is re-verified locally via
+    `python tools/check_contract.py` (all 68 green). Next round: rotate
+    the current tail back into the window and keep this note current."""
     return {
         # --- r4 rotation: the 12 entries the driver has never snapshot ---
         "repetition_features": _q_repetition_features,
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "quality_score": _q_quality_score,
         "incremental_dedup": _q_incremental_dedup,
+        "pack_shards": _q_pack_shards,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1247,6 +1262,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "pack_shards": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+              FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 2000) AS INT) AS shard_id
+            FROM c
+        """,
         "incremental_dedup": (
             f"SELECT doc_id FROM "
             f"read_parquet('{os.path.join(gold, 'incremental_dedup.parquet')}')"

@@ -664,6 +664,86 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Training-shard PACKING: assign documents, in deterministic
+    ``order_col`` order, to consecutive shards of ≈ ``budget_tokens``
+    tokens each — shard_id = floor(tokens_before_this_doc / budget).
+    Returns (order_col, tokens_col, shard_id).
+
+    DISTRIBUTED PREFIX SUM (the scale shape): a plain
+    ``Window.orderBy(order_col)`` running sum funnels the whole corpus
+    through ONE task. Instead: range-repartition + sort within partitions
+    on the order key, compute LOCAL running sums in one Arrow pass
+    (stateful across batches within a partition), collect only the
+    n_parts per-partition totals to the driver (scalars), and add each
+    partition's exclusive offset back via a broadcast-joined tiny frame.
+    Two passes over the data, no global single-task stage; the collect is
+    bounded by n_parts. DuckDB twin (one window over the full order) is
+    the oracle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    base = df.select(
+        F.col(order_col), F.col(tokens_col).cast("long").alias(tokens_col)
+    )
+    ranged = base.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id().cast("long"))
+
+    order_field = base.schema[order_col]
+    out_schema = StructType(
+        [
+            StructField(order_col, order_field.dataType),
+            StructField(tokens_col, LongType()),
+            StructField("_pid", LongType()),
+            StructField("_local_cum", LongType()),  # INCLUSIVE local cumsum
+        ]
+    )
+
+    def local_cumsum(pdfs):
+        running = 0
+        for pdf in pdfs:  # batches arrive in partition order (sorted above)
+            cs = pdf[tokens_col].cumsum() + running
+            running = int(cs.iloc[-1]) if len(cs) else running
+            out = pdf[[order_col, tokens_col, "_pid"]].copy()
+            out["_local_cum"] = cs
+            yield out
+
+    local = with_pid.mapInPandas(local_cumsum, out_schema)
+
+    # per-partition totals → exclusive offsets (n_parts scalars, driver-side)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += int(totals.get(pid, 0) or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid long, _off long")
+
+    cum_before = F.col("_off") + F.col("_local_cum") - F.col(tokens_col)
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            F.col(order_col),
+            F.col(tokens_col),
+            F.floor(cum_before / budget_tokens).cast("int").alias("shard_id"),
+        )
+    )
+
+
 _STRAT_SALT = "_strat_"  # decorrelates the keep-hash from hash_split's
 
 

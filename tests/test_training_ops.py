@@ -575,6 +575,42 @@ def test_hash_split_stable_and_proportional(spark):
     assert c["val"] > 0 and c["test"] > 0
 
 
+def test_pack_shards(spark):
+    """Distributed prefix-sum shard packing must equal the sequential
+    definition (shard = floor(tokens_before / budget)) on every input
+    partitioning, handle zero-token docs, and contain NO global-order
+    Window (the single-task anti-pattern it replaces)."""
+    import re as _re
+
+    from htmld_spark.functions.text import pack_shards
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # some zeros
+    expected = {}
+    cum = 0
+    for i, t in rows:
+        expected[i] = cum // 100
+        cum += t
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for d in (df, df.repartition(7), df.orderBy(F.desc("doc_id"))):
+        got = {
+            r.doc_id: r.shard_id
+            for r in pack_shards(d, budget_tokens=100, n_parts=8).collect()
+        }
+        assert got == expected
+    # shard ids are contiguous and start at 0
+    assert min(expected.values()) == 0
+    assert set(expected.values()) == set(range(max(expected.values()) + 1))
+    p = (
+        pack_shards(df, budget_tokens=100, n_parts=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"\bWindow \[", p)) == 0
+    with pytest.raises(ValueError):
+        pack_shards(df, budget_tokens=0)
+
+
 def test_quality_score(spark):
     """Linear-head classifier gate: empty text scores near zero, a long
     stopword-rich English doc scores near one, scores are monotone in the
