@@ -164,6 +164,8 @@ def run_headline(master: str) -> dict:
         "substring_dedup",
         "quality_score",
         "stratified_sample",
+        "incremental_dedup",
+        "pack_shards",
     ):
         best = None
         for _ in range(2):
