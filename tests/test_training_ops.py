@@ -1038,6 +1038,45 @@ def test_remove_duplicate_ngrams(spark):
     assert rows[5].text_dedup.split(" ")[:1] == ["one"] or rows[5].n_removed == 8
 
 
+def test_remove_duplicate_ngrams_matches_bruteforce(spark):
+    """Random high-collision corpus (tiny vocab → many duplicated grams):
+    the distributed op must equal a sequential brute-force replica of the
+    spec (mask all non-first occurrences, merge windows, rejoin)."""
+    import random as _random
+
+    from htmld_spark.functions.text import remove_duplicate_ngrams
+
+    rng = _random.Random(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(30)
+    ]
+    n = 3
+    # brute force: global first occurrence per gram by (doc_id, pos)
+    occs = {}
+    for d, t in docs:
+        toks = t.split(" ") if t else [""]
+        for i in range(max(len(toks) - n + 1, 0)):
+            occs.setdefault(tuple(toks[i : i + n]), []).append((d, i))
+    expected = {}
+    covered = {d: set() for d, _ in docs}
+    for gram, lst in occs.items():
+        if len(lst) >= 2:
+            for d, i in sorted(lst)[1:]:
+                covered[d].update(range(i, i + n))
+    for d, t in docs:
+        toks = t.split(" ") if t else [""]
+        kept = [tok for i, tok in enumerate(toks) if i not in covered[d]]
+        expected[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_ngrams(df, n=n).collect()
+    }
+    assert got == expected
+
+
 def test_remove_duplicate_ngrams_plan_megagram_safe(spark):
     """Gram stats must be a partial-aggregable groupBy (count +
     min(struct)) — NO row_number window over the gram key, which would
