@@ -128,3 +128,85 @@ def run_stream_to_parquet(
         .outputMode("append")
         .start()
     )
+
+
+def run_ingest_with_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    near: bool = False,
+    watermark: str = "1 hour",
+):
+    """Streaming crawl ingest with DEDUP-ON-ARRIVAL: every micro-batch is
+    extracted, exact-deduped WITHIN the batch (keep min id per md5), then
+    deduped AGAINST the accumulated kept corpus
+    (``dedup.dedup_against_reference`` — exact md5 anti-join; ``near=True``
+    adds the MinHash band-key anti-join) before appending to it. The kept
+    corpus only ever grows by batch survivors, so nothing is re-clustered
+    — the incremental shape, applied per trigger.
+
+    Epoch writes are partition-overwritten (``write_epoch``), so a
+    replayed epoch after a crash replaces itself: reprocessing batch N
+    against a corpus that already contains batch N's survivors would drop
+    them as self-duplicates and LOSE data with a plain append — the
+    epoch_id partition scheme makes the replay overwrite exactly its own
+    rows instead. Returns the started StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    data_dir = os.path.join(out_dir, "data")
+    extracted = streaming_extract(read_pages_stream(spark, source_dir), watermark)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_epoch(
+            spark, batch_df, epoch_id, data_dir, id_col, text_col, near
+        )
+
+    return (
+        extracted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def ingest_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    data_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    near: bool = False,
+) -> None:
+    """One dedup-on-arrival epoch (the foreachBatch body of
+    ``run_ingest_with_dedup``, exposed for direct crash-replay testing):
+    within-batch exact dedup, then anti-join against every OTHER epoch's
+    survivors, then partition-overwrite this epoch."""
+    from pyspark.sql.window import Window
+
+    from htmld_spark.functions.dedup import dedup_against_reference
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    batch_unique = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        # reference = every OTHER epoch's survivors: a replayed epoch must
+        # not see its own previously-written rows, or it would drop its
+        # whole batch as self-duplicates and overwrite its partition with
+        # nothing (data loss on crash-replay).
+        kept = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("epoch_id") != epoch_id)
+            .drop("epoch_id")
+        )
+        survivors = dedup_against_reference(
+            batch_unique, kept, id_col=id_col, text_col=text_col, near=near
+        )
+    except Exception:  # first epoch: no corpus yet
+        survivors = batch_unique
+    write_epoch(survivors, epoch_id, data_dir)

@@ -178,6 +178,67 @@ def test_streaming_parquet_sink_and_restart(spark, tmp_path_factory):
     assert spark.read.parquet(out + "/data").count() == n1
 
 
+def test_streaming_ingest_with_dedup(spark, tmp_path_factory):
+    """Dedup-on-arrival ingest: after draining the stream (multiple
+    micro-batches via maxFilesPerTrigger), the kept corpus holds exactly
+    ONE row per distinct extracted text — the same count as batch-mode
+    exact dedup over the full extraction — and a restart with the same
+    checkpoint adds nothing."""
+    from htmld_spark.functions.udfs import extract_df
+    from htmld_spark.streaming.stream_job import run_ingest_with_dedup
+
+    src = ensure_pages("0.001")
+    out = str(tmp_path_factory.mktemp("ingest_dedup"))
+    q = run_ingest_with_dedup(spark, src, out, watermark="3650 days")
+    q.processAllAvailable()
+    q.stop()
+    data = spark.read.parquet(out + "/data")
+    n = data.count()
+    assert data.select(F.md5("text")).distinct().count() == n  # no dups
+    batch = extract_df(
+        spark.read.parquet(src).select("url", "warc_ts", "html", "lang"),
+        with_spans=False,
+    )
+    expected = (
+        batch.dropDuplicates(["url", "warc_ts"])
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert n == expected
+    # restart: no new files → unchanged corpus
+    q2 = run_ingest_with_dedup(spark, src, out, watermark="3650 days")
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out + "/data").count() == n
+
+
+def test_ingest_epoch_crash_replay_keeps_survivors(spark, tmp_path_factory):
+    """Replaying an ingest epoch (crash between parquet write and
+    checkpoint commit) must reproduce ITS OWN survivors, not drop them as
+    self-duplicates against the corpus it already wrote."""
+    from htmld_spark.streaming.stream_job import ingest_epoch
+
+    out = str(tmp_path_factory.mktemp("ingest_replay")) + "/data"
+    b0 = spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text")], "url string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("u3", "alpha text"),  # dup of epoch-0 content → dropped
+         ("u4", "gamma text"),
+         ("u5", "gamma text")],  # within-batch dup → keep min url
+        "url string, text string",
+    )
+    ingest_epoch(spark, b0, 0, out)
+    ingest_epoch(spark, b1, 1, out)
+    kept = {r.url for r in spark.read.parquet(out).collect()}
+    assert kept == {"u1", "u2", "u4"}
+    # crash-replay of epoch 1: identical outcome, no data loss, no dups
+    ingest_epoch(spark, b1, 1, out)
+    kept2 = {r.url for r in spark.read.parquet(out).collect()}
+    assert kept2 == {"u1", "u2", "u4"}
+
+
 def test_epoch_write_is_idempotent_on_replay(spark, tmp_path_factory):
     """Crash-replay of an epoch (foreachBatch re-invoked with the same
     epoch_id after the parquet write but before the checkpoint commit)
