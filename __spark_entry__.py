@@ -568,6 +568,14 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Fixed-token training chunks with 50% overlap (32-token chunks,
+    stride 16): per-doc-local slicing, narrow posexplode, zero shuffle.
+    DuckDB list-slicing twin is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=32, stride=16)
+
+
 def _q_pack_shards(spark, sf_dir):
     """Training-shard packing: docs in doc_id order fill consecutive
     ~2000-token shards — distributed prefix sum (range partition + local
@@ -916,10 +924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry grows past 50 (64 entries as of round 4). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest; whatever rotates out (r4: 18 entries, dedup_exact_keep ..
+    rest; whatever rotates out (r4: 19 entries, dedup_exact_groups ..
     hash_split — all driver-green in r3, unchanged at their query
     parameters) is re-verified locally via
-    `python tools/check_contract.py` (all 68 green). Next round: rotate
+    `python tools/check_contract.py` (all 69 green). Next round: rotate
     the current tail back into the window and keep this note current."""
     return {
         # --- r4 rotation: the 12 entries the driver has never snapshot ---
@@ -944,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "incremental_dedup": _q_incremental_dedup,
         "pack_shards": _q_pack_shards,
+        "chunk_documents": _q_chunk_documents,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1262,6 +1271,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "chunk_documents": r"""
+            WITH base AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents
+            ), n AS (
+              SELECT doc_id, ts,
+                     CAST(floor((greatest(len(ts) - 32, 0) + 15) / 16)
+                          AS INT) + 1 AS nc
+              FROM base
+            ), c AS (
+              SELECT doc_id, i AS chunk_idx,
+                     ts[i * 16 + 1:i * 16 + 32] AS ct
+              FROM n, unnest(range(0, nc)) AS u(i)
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   array_to_string(ct, ' ') AS chunk_text,
+                   CAST(len(ct) AS INT) AS chunk_n_tokens
+            FROM c
+        """,
         "pack_shards": r"""
             WITH base AS (
               SELECT doc_id,

@@ -166,6 +166,7 @@ def run_headline(master: str) -> dict:
         "stratified_sample",
         "incremental_dedup",
         "pack_shards",
+        "chunk_documents",
     ):
         best = None
         for _ in range(2):

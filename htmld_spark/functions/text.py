@@ -664,6 +664,56 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into FIXED-TOKEN training chunks with optional
+    overlap: chunk c covers tokens [c·stride, c·stride + chunk_tokens);
+    the last chunk may be short; stride defaults to chunk_tokens
+    (no overlap — set e.g. chunk_tokens//2 for sliding windows). Empty
+    docs yield one empty chunk (chunk_idx 0), so every input id survives.
+    Returns (id, chunk_idx, chunk_text, chunk_n_tokens).
+
+    Per-document-local: one tokenize, chunk starts via sequence(), chunks
+    re-joined with single spaces (token-level semantics) — a narrow
+    posexplode, zero shuffle, zero Python; at 100 TB this is a free rider
+    on the extraction scan. DuckDB twin (list slicing) is the oracle."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # number of chunks: ceil(max(n - chunk_tokens, 0) / stride) + 1
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+        ).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            F.slice(F.col("_toks"), c * stride + 1, chunk_tokens).alias("_ct"),
+        ),
+    )
+    ex = base.select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_idx", "_c")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", F.col("_c._ct")).alias("chunk_text"),
+        F.size("_c._ct").alias("chunk_n_tokens"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     budget_tokens: int,

@@ -575,6 +575,51 @@ def test_hash_split_stable_and_proportional(spark):
     assert c["val"] > 0 and c["test"] > 0
 
 
+def test_chunk_documents(spark):
+    """Chunking semantics: exact cover without overlap, sliding windows
+    with stride < chunk, short-doc single chunk, empty-doc survival, and
+    a zero-shuffle zero-Python plan."""
+    from htmld_spark.functions.text import chunk_documents
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = [
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(df, chunk_tokens=4).collect()
+    ]
+    d1 = sorted(t for t in rows if t[0] == 1)
+    assert [t[2] for t in d1] == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"
+    ]
+    assert [t[3] for t in d1] == [4, 4, 2]
+    # reassembling non-overlapping chunks reproduces the doc
+    assert " ".join(t[2] for t in d1) == text10
+    assert [t[2] for t in sorted(t for t in rows if t[0] == 2)] == ["a b"]
+    assert [t[2] for t in sorted(t for t in rows if t[0] == 3)] == [""]
+    # overlap: stride 2 < chunk 4 → windows slide by 2
+    ov = [
+        r.chunk_text
+        for r in chunk_documents(
+            df.filter("doc_id = 1"), chunk_tokens=4, stride=2
+        ).orderBy("chunk_idx").collect()
+    ]
+    assert ov[0] == "t0 t1 t2 t3" and ov[1] == "t2 t3 t4 t5"
+    assert ov[-1].endswith("t9")
+    p = (
+        chunk_documents(df, chunk_tokens=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p and "EvalPython" not in p
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+
+
 def test_pack_shards(spark):
     """Distributed prefix-sum shard packing must equal the sequential
     definition (shard = floor(tokens_before / budget)) on every input
