@@ -568,6 +568,16 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist gate over fixture-present words with a 2%
+    hits-per-token threshold (row-local regexp, zero shuffle). DuckDB
+    regexp twin is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.blocklist_filter(
+        docs, blocklist=("merge", "skew", "slow"), max_hit_ratio=0.02
+    )
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Fixed-token training chunks with 50% overlap (32-token chunks,
     stride 16): per-doc-local slicing, narrow posexplode, zero shuffle.
@@ -924,10 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry grows past 50 (64 entries as of round 4). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest; whatever rotates out (r4: 19 entries, dedup_exact_groups ..
+    rest; whatever rotates out (r4: 20 entries, dedup_exact_groups ..
     hash_split — all driver-green in r3, unchanged at their query
     parameters) is re-verified locally via
-    `python tools/check_contract.py` (all 69 green). Next round: rotate
+    `python tools/check_contract.py` (all 70 green). Next round: rotate
     the current tail back into the window and keep this note current."""
     return {
         # --- r4 rotation: the 12 entries the driver has never snapshot ---
@@ -953,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "pack_shards": _q_pack_shards,
         "chunk_documents": _q_chunk_documents,
+        "blocklist_filter": _q_blocklist_filter,
         # --- behavior changed in r4 → must stay in the driver window ---
         "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
         "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
@@ -1271,6 +1282,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM "
             f"read_parquet('{os.path.join(gold, 'embed_keep.parquet')}')"
         ),
+        "blocklist_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                         '\b(merge|skew|slow)\b')) AS hits,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(hits AS INT) AS blocklist_hits,
+                   round(CASE WHEN n_tokens > 0
+                         THEN hits::DOUBLE / n_tokens ELSE 0 END, 6)
+                     AS hit_ratio,
+                   CAST(round(CASE WHEN n_tokens > 0
+                        THEN hits::DOUBLE / n_tokens ELSE 0 END, 6) > 0.02
+                        AS INT) AS blocked
+            FROM t
+        """,
         "chunk_documents": r"""
             WITH base AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts

@@ -664,6 +664,55 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+# Placeholder blocklist for the C4-style "bad words" stage — web-spam
+# markers, not an actual profanity list; production swaps in the real
+# deployment list (e.g. the public LDNOOBW lists) via the parameter.
+DEFAULT_BLOCKLIST = ("casino", "viagra", "xxx", "porn", "lottery")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] | list[str] = DEFAULT_BLOCKLIST,
+    max_hit_ratio: float = 0.0,
+) -> DataFrame:
+    """C4-style BLOCKLIST gate (Raffel et al. 2020 §2.2 removed any page
+    containing a "List of Dirty, Naughty, Obscene or Otherwise Bad Words"
+    entry): per document, count whole-word blocklist hits
+    (case-insensitive) and flag documents whose hits-per-token ratio
+    exceeds ``max_hit_ratio`` (0.0 = C4's any-hit-drops policy). Returns
+    (id, blocklist_hits, hit_ratio 6 dp, blocked) — emit flags rather
+    than filtering so downstream policy stays explicit. Row-local JVM
+    regexp over an alternation compiled once driver-side — zero shuffle,
+    zero Python. DuckDB regexp twin is the oracle."""
+    import re as _re
+
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    for w in blocklist:
+        if not _re.fullmatch(r"[A-Za-z0-9']+", w):
+            raise ValueError(
+                f"blocklist entries must be plain words, got {w!r}"
+            )
+    pat = r"\b(" + "|".join(sorted(blocklist)) + r")\b"
+    hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+    toks = token_count(F.col(text_col))
+    ratio = F.round(
+        F.when(toks > 0, hits / toks).otherwise(F.lit(0.0)), 6
+    )
+    if max_hit_ratio <= 0.0:
+        blocked = hits > 0
+    else:
+        blocked = ratio > max_hit_ratio  # rounded value: oracle-exact
+    return df.select(
+        F.col(id_col),
+        hits.cast("int").alias("blocklist_hits"),
+        ratio.alias("hit_ratio"),
+        blocked.cast("int").alias("blocked"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -575,6 +575,37 @@ def test_hash_split_stable_and_proportional(spark):
     assert c["val"] > 0 and c["test"] > 0
 
 
+def test_blocklist_filter(spark):
+    """C4-style gate: whole-word case-insensitive hits, any-hit blocking
+    at ratio 0.0, thresholded blocking otherwise, substrings don't match,
+    empty docs pass, malformed blocklists rejected."""
+    from htmld_spark.functions.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "win big at the CASINO tonight"),
+            (2, "casinos are mentioned but only as a substring"),
+            (3, "clean text with nothing to flag"),
+            (4, ""),
+            (5, "xxx xxx xxx ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in blocklist_filter(df).collect()}
+    assert rows[1].blocklist_hits == 1 and rows[1].blocked == 1
+    assert rows[2].blocklist_hits == 0 and rows[2].blocked == 0  # \b guard
+    assert rows[3].blocked == 0 and rows[4].blocked == 0
+    assert rows[5].blocklist_hits == 3 and rows[5].hit_ratio == 0.75
+    # thresholded: 1 hit in 6 tokens (0.1667) passes a 0.2 threshold
+    lax = {r.doc_id: r
+           for r in blocklist_filter(df, max_hit_ratio=0.2).collect()}
+    assert lax[1].blocked == 0 and lax[5].blocked == 1
+    with pytest.raises(ValueError):
+        blocklist_filter(df, blocklist=())
+    with pytest.raises(ValueError):
+        blocklist_filter(df, blocklist=("a.*b",))  # regex injection
+
+
 def test_chunk_documents(spark):
     """Chunking semantics: exact cover without overlap, sliding windows
     with stride < chunk, short-doc single chunk, empty-doc survival, and
