@@ -651,6 +651,37 @@ def test_chunk_documents(spark):
         chunk_documents(df, chunk_tokens=4, stride=0)
 
 
+def test_chunk_documents_coverage_property(spark):
+    """Random docs × random (chunk, stride ≤ chunk) configs: every token
+    index is covered by ≥1 chunk, no chunk exceeds chunk_tokens, chunk 0
+    starts at token 0, and consecutive chunks start exactly stride
+    apart."""
+    import random as _random
+
+    from htmld_spark.functions.text import chunk_documents
+
+    rng = _random.Random(29)
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, stride in ((5, 5), (5, 2), (7, 3), (1, 1)):
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for d, t in docs:
+            toks = t.split(" ") if t else [""]
+            chunks = [got[d][i] for i in sorted(got[d])]
+            # windows reproduce exact slices
+            for ci, ctext in enumerate(chunks):
+                start = ci * stride
+                assert ctext == " ".join(toks[start : start + chunk]), (
+                    d, chunk, stride, ci)
+            # full coverage: the last chunk reaches the last token
+            assert (len(chunks) - 1) * stride + chunk >= len(toks)
+
+
 def test_pack_shards(spark):
     """Distributed prefix-sum shard packing must equal the sequential
     definition (shard = floor(tokens_before / budget)) on every input
