@@ -115,6 +115,43 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def quality_score_expr(
+    text_col: str = "text",
+    w_log_tokens: float = 0.35,
+    w_alpha: float = 2.0,
+    w_stopword: float = 4.0,
+    w_wordlen_dev: float = -0.5,
+    bias: float = -3.0,
+):
+    """The ``quality_score`` sigmoid as a single inline Column over raw
+    text (features recomputed with the same 4-dp rounding) — for gating
+    inside an existing plan without a join (e.g. ``pipeline.curate``,
+    where a semi-join against a derived frame would re-run the upstream
+    extraction; see the plan-diamond note in ``host_quota``)."""
+    text = F.col(text_col)
+    toks = token_count(text)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop_hits = F.regexp_count(F.lower(text), F.lit(STOPWORDS_EN))
+    avg_word_len = F.round(
+        F.when(toks > 0, (n_chars - (toks - 1)) / toks).otherwise(F.lit(0.0)), 4
+    )
+    alpha_ratio = F.round(
+        F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0)), 4
+    )
+    stopword_ratio = F.round(
+        F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)), 4
+    )
+    z = (
+        F.lit(float(bias))
+        + float(w_log_tokens) * F.log1p(toks)
+        + float(w_alpha) * alpha_ratio
+        + float(w_stopword) * stopword_ratio
+        + float(w_wordlen_dev) * F.abs(avg_word_len - F.lit(5.0))
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def quality_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -136,20 +173,16 @@ def quality_score(
         x = (log1p(n_tokens), alpha_ratio, stopword_ratio,
              |avg_word_len − 5|)
 
-    over ``quality_features``' 4-dp-rounded outputs (both sides of the
-    oracle see identical inputs). Returns (id, quality_score 6 dp,
-    quality_pass). Row-local JVM exprs — zero shuffle, zero Python; at
-    100 TB this is a free rider on any scan. SQL-twin oracled."""
-    feats = quality_features(df, id_col, text_col)
-    z = (
-        F.lit(float(bias))
-        + float(w_log_tokens) * F.log1p(F.col("n_tokens"))
-        + float(w_alpha) * F.col("alpha_ratio")
-        + float(w_stopword) * F.col("stopword_ratio")
-        + float(w_wordlen_dev) * F.abs(F.col("avg_word_len") - F.lit(5.0))
+    over the same 4-dp-rounded features as ``quality_features`` (the
+    score is ``quality_score_expr``, a single inline Column — shared so
+    pipeline gates can't drift from this oracled form). Returns (id,
+    quality_score 6 dp, quality_pass). Row-local JVM exprs — zero
+    shuffle, zero Python; at 100 TB this is a free rider on any scan.
+    SQL-twin oracled."""
+    score = quality_score_expr(
+        text_col, w_log_tokens, w_alpha, w_stopword, w_wordlen_dev, bias
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return feats.select(
+    return df.select(
         F.col(id_col),
         score.alias("quality_score"),
         (score >= float(threshold)).cast("int").alias("quality_pass"),

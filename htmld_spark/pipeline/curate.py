@@ -40,6 +40,7 @@ def curate(
     near_dedup: str = "winnow",
     gopher_gate: bool | dict = False,
     mixture: dict[str, float] | None = None,
+    min_quality_score: float | None = None,
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -56,6 +57,10 @@ def curate(
       equi-join, CC rounds on the pair graph — pair graphs are tiny
       relative to the corpus) + a broadcast-able keep-set semi-join, and
       catches paraphrase-level duplicates winnow-equality misses.
+
+    ``min_quality_score`` additionally applies the model-based quality
+    gate (``quality_score_expr``'s sigmoid linear head, row-local inline
+    column — no join, no extra pass) at the given threshold.
 
     ``mixture`` applies per-language corpus-mixing weights (Pile/Gopher
     mixture tables) via ``stratified_sample`` on pred_lang — a row-local
@@ -102,6 +107,15 @@ def curate(
 
         overrides = gopher_gate if isinstance(gopher_gate, dict) else {}
         gated = gated.filter(gopher_passes_expr("text", **overrides))
+    if min_quality_score is not None:
+        # model-based gate: the quality_score sigmoid as an INLINE column
+        # (a semi-join against a frame derived from `gated` would re-run
+        # the upstream extraction — the plan-diamond trap)
+        from htmld_spark.functions.text import quality_score_expr
+
+        gated = gated.filter(
+            quality_score_expr("text") >= float(min_quality_score)
+        )
 
     # exact content dedup: md5(text), keep deterministic first (url, ts)
     w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")

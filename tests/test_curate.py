@@ -69,6 +69,27 @@ def test_curate_mixture_weights(spark):
     base.unpersist(); mixed.unpersist()
 
 
+def test_curate_quality_score_gate(spark):
+    """min_quality_score= tightens the corpus monotonically (strict
+    subset as the threshold rises) and keeps the one-MapInArrow plan (the
+    gate is an inline column, not a join against a derived frame)."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    base = curate(pages, min_tokens=3, max_per_host=200)
+    lo = curate(pages, min_tokens=3, max_per_host=200, min_quality_score=0.05)
+    hi = curate(pages, min_tokens=3, max_per_host=200, min_quality_score=0.6)
+    n_base, n_lo, n_hi = base.count(), lo.count(), hi.count()
+    assert n_hi <= n_lo <= n_base
+    assert n_hi < n_base  # the fixture spans the threshold
+    assert hi.exceptAll(base).count() == 0  # subset
+    p = (
+        curate(pages, min_quality_score=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("MapInArrow") == 1
+
+
 def test_curate_plan_shape(spark):
     """One Python crossing; no Python in any post-extraction stage."""
     pages = spark.read.parquet(ensure_pages("0.001"))
