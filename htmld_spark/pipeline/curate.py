@@ -9,9 +9,16 @@ large-scale training-data pipeline would need"), one declarative plan:
       → re-crawl dedup (latest warc_ts per url)                 [shuffle 1]
       → quality gate (token count / quality bucket / language /
         duplicate-line mass — all row-local)
+      → optional Gopher rule gate (gopher_gate=) and model-based
+        classifier gate (min_quality_score= — quality_score_expr
+        inline, row-local)
       → exact content dedup (md5, keep first url)               [shuffle 2]
-      → near-dup dedup (winnow fingerprint, keep first url)     [shuffle 3]
-      → per-host quota (anti-domination)                        [shuffle 4]
+      → near-dup dedup (winnow fingerprint — or near_dedup='minhash':
+        LSH pairs → connected components → keep set)            [shuffle 3]
+      → per-host quota (salted pre-prune, count_bypass off —
+        no plan diamond above the extraction)                   [shuffle 4]
+      → optional mixture weights (mixture= — stratified_sample,
+        row-local)
       → deterministic train/val/test split (row-local)
 
 Every shuffle carries extracted text (≈¼ of raw html), never raw pages;
