@@ -816,8 +816,10 @@ def pack_shards(
     n_parts per-partition totals to the driver (scalars), and add each
     partition's exclusive offset back via a broadcast-joined tiny frame.
     Two passes over the data, no global single-task stage; the collect is
-    bounded by n_parts. DuckDB twin (one window over the full order) is
-    the oracle."""
+    bounded by n_parts. Partition ids are consistent across the two
+    passes because Spark's RangePartitioner samples with deterministic
+    per-partition seeds over the same deterministic input. DuckDB twin
+    (one window over the full order) is the oracle."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     if budget_tokens < 1:
@@ -1007,7 +1009,10 @@ def remove_duplicate_ngrams(
     (count + min(struct(id, pos)) — no window over the gram key, so a
     mega-gram never serializes through one task); occurrences join the
     ≥2-count stats on the gram key (AQE skew-join splits hot grams);
-    masked starts fold back per doc (collect_set over the doc key);
+    masked starts fold back per doc (collect_set over the doc key — the
+    in-row start list is bounded by the doc's own gram count, the same
+    per-doc-array envelope as repetition_features; a doc that is one
+    giant repetition carries O(its own length), never corpus-sized);
     window-merge + reassembly are per-doc-local array expressions. Grams
     are kept as raw strings here for exact DuckDB-oracle parity — at
     scale hash them (xxhash64) to shrink the two gram-key shuffles, as in
