@@ -474,6 +474,16 @@ def _q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(d, max_hamming=3)
 
 
+def _q_dedup_simhash_wide(spark, sf_dir):
+    """The AT-SCALE SimHash config (VERDICT r04 #6): Manku-style wider
+    keys — 8 blocks × 2 per key = C(8,2)=28 tables of 16-bit keys. The
+    guarantee blocks_per_key ≤ n_blocks − max_hamming (2 ≤ 5) makes
+    recall total for hamming ≤ 3, so the pair set is IDENTICAL to the
+    default config's and shares the same pure-Python golden oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, max_hamming=3, n_blocks=8, blocks_per_key=2)
+
+
 def _q_dedup_minhash_keep(spark, sf_dir):
     """Full near-dup policy: MinHash+LSH pairs → connected-components
     clustering → keep min id per cluster + all unpaired docs. Oracled by a
@@ -619,6 +629,15 @@ def _q_substring_dedup(spark, sf_dir):
     gram key — mega-gram-safe); DuckDB twin is the oracle."""
     docs = _t(spark, sf_dir, "documents")
     return TX.remove_duplicate_ngrams(docs, n=8)
+
+
+def _q_substring_dedup_hashed(spark, sf_dir):
+    """Substring dedup in its AT-SCALE mode (VERDICT r04 #1/#6):
+    hash_grams=True shuffles 8-byte xxhash64 gram keys instead of raw
+    gram strings. Collision-free at sf0.01 (2⁻⁶⁴ per pair), so the same
+    DuckDB string-gram twin oracles both modes."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.remove_duplicate_ngrams(docs, n=8, hash_grams=True)
 
 
 def _q_boilerplate_line_removal(spark, sf_dir):
@@ -931,45 +950,48 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (64 entries as of round 4). Window policy:
+    the registry grows past 50 (72 entries as of round 5). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest; whatever rotates out (r4: 20 entries, dedup_exact_groups ..
-    hash_split — all driver-green in r3, unchanged at their query
-    parameters) is re-verified locally via
-    `python tools/check_contract.py` (all 70 green). Next round: rotate
-    the current tail back into the window and keep this note current."""
+    rest. r5 window: the 2 new at-scale-config entries, then the 20-entry
+    r4 tail rotated back in (VERDICT r04 #2: spans_array_ops ..
+    hash_split, last driver rows r3), then the 3 entries whose behavior
+    changed this round (substring_dedup: linear-gap reassembly;
+    chunk_documents: blank-doc token count 0 + oracle; pack_shards:
+    checkpointed single-execution partitioning), then the stable
+    extraction + relational batteries. Rotated out (22 entries,
+    repetition_features .. ngram_repetition at the dict tail): all
+    driver-green in r4, unchanged, re-verified locally via
+    `python tools/check_contract.py`. Keep this note current."""
     return {
-        # --- r4 rotation: the 12 entries the driver has never snapshot ---
-        "repetition_features": _q_repetition_features,
-        "compression_ratio": _q_compression_ratio,
-        "pii_scrub": _q_pii_scrub,
-        "url_normalize": _q_url_normalize,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "bigram_topk": _q_bigram_topk,
-        "doc_fingerprint": _q_fingerprint,
-        "doc_winnow_fingerprint": _q_winnow_fingerprint,  # golden (pure-py xxh64)
-        # multimodal: REAL pure-Python decodes, golden-oracled vs the
-        # closed-form expectations of fixtures/gen_media.py
-        "multimodal_image_features": _q_multimodal_image_features,
-        "multimodal_image_resize": _q_multimodal_image_resize,
-        "multimodal_audio_features": _q_multimodal_audio_features,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        # --- r4 additions (front of the window so they get driver rows) ---
-        "substring_dedup": _q_substring_dedup,
-        "stratified_sample": _q_stratified_sample,
-        "multimodal_image_near_dups": _q_multimodal_image_near_dups,
-        "quality_score": _q_quality_score,
-        "incremental_dedup": _q_incremental_dedup,
-        "pack_shards": _q_pack_shards,
-        "chunk_documents": _q_chunk_documents,
-        "blocklist_filter": _q_blocklist_filter,
-        # --- behavior changed in r4 → must stay in the driver window ---
-        "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
-        "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
-        "host_quota": _q_host_quota,  # two-phase + salted pre-prune
-        "boilerplate_line_removal": _q_boilerplate_line_removal,  # blank-line fix
-        "ngram_repetition": _q_ngram_repetition,  # hash-gram rewrite
+        # --- r5: never-driver-verified (new at-scale config twins) ---
+        "substring_dedup_hashed": _q_substring_dedup_hashed,
+        "dedup_simhash_wide": _q_dedup_simhash_wide,  # golden (Manku keys)
+        # --- r4 tail rotated back in (VERDICT r04 #2) ---
+        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
+        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
+        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
+        "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_batch_topk": _q_embed_batch_topk,
+        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
+        "host_top_terms": _q_host_top_terms,
+        "decontaminate": _q_decontaminate,
+        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
+        "text_token_stats": _q_text_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "gopher_rules": _q_gopher_rules,
+        "hash_split": _q_hash_split,
+        # --- behavior changed in r5 → must stay in the driver window ---
+        "substring_dedup": _q_substring_dedup,  # linear-gap reassembly
+        "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
+        "pack_shards": _q_pack_shards,  # single-execution partitioning
         # extraction engine + pipeline (golden oracles on the pages fixture)
         "extract_main_text": _q_extract_main_text,
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
@@ -997,27 +1019,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_hosts": _q_set_ops_hosts,
         "pivot_orders": _q_pivot_orders,
         "topk_parts_per_brand": _q_topk_parts_per_brand,
-        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
-        # training-data ops
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
-        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
-        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
-        "embed_cosine_topk": _q_embed_cosine_topk,
-        "embed_batch_topk": _q_embed_batch_topk,
-        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
-        "host_top_terms": _q_host_top_terms,
-        "decontaminate": _q_decontaminate,
-        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
-        "text_token_stats": _q_text_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "gopher_rules": _q_gopher_rules,
-        "hash_split": _q_hash_split,
+        # --- r5 rotated-out tail: driver-green in r4, unchanged; locally
+        # re-verified via tools/check_contract.py each round ---
+        "repetition_features": _q_repetition_features,
+        "compression_ratio": _q_compression_ratio,
+        "pii_scrub": _q_pii_scrub,
+        "url_normalize": _q_url_normalize,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "bigram_topk": _q_bigram_topk,
+        "doc_fingerprint": _q_fingerprint,
+        "doc_winnow_fingerprint": _q_winnow_fingerprint,  # golden (pure-py xxh64)
+        # multimodal: REAL pure-Python decodes, golden-oracled vs the
+        # closed-form expectations of fixtures/gen_media.py
+        "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_image_resize": _q_multimodal_image_resize,
+        "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_image_near_dups": _q_multimodal_image_near_dups,
+        "stratified_sample": _q_stratified_sample,
+        "quality_score": _q_quality_score,
+        "incremental_dedup": _q_incremental_dedup,
+        "blocklist_filter": _q_blocklist_filter,
+        "embed_near_pairs_lsh": _q_embed_near_pairs_lsh,  # golden (8x16 keys)
+        "embed_near_dedup_keep": _q_embed_near_dedup_keep,  # golden (union-find)
+        "host_quota": _q_host_quota,  # two-phase + salted pre-prune
+        "boilerplate_line_removal": _q_boilerplate_line_removal,
+        "ngram_repetition": _q_ngram_repetition,  # hash-gram 1-pass
     }
 
 
@@ -1060,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, warc_ts, '{sel}' AS selector, {key}_n AS n_matches, "
             f"{key}_first AS first_text FROM read_parquet('{fx}')"
         )
-    return {
+    oracles = {
         # golden oracles: the fixture's text column IS the expected output
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
         # selector battery / spans / serialization goldens — all composed
@@ -1317,7 +1344,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
                    array_to_string(ct, ' ') AS chunk_text,
-                   CAST(len(ct) AS INT) AS chunk_n_tokens
+                   -- blank docs: split('') is [''] -> 0 tokens (repo-wide
+                   -- blank-has-zero-tokens convention, ADVICE r04)
+                   CAST(CASE WHEN array_to_string(ct, ' ') = '' THEN 0
+                        ELSE len(ct) END AS INT) AS chunk_n_tokens
             FROM c
         """,
         "pack_shards": r"""
@@ -1843,3 +1873,9 @@ def oracle_sql() -> dict[str, str]:
             f"read_parquet('{os.path.join(media_gold, 'frames_expected.parquet')}')"
         ),
     }
+    # at-scale config twins: identical expected output, same oracle —
+    # hash_grams is collision-free at sf0.01; the Manku wide-key config's
+    # recall guarantee makes its pair set equal the default's golden
+    oracles["substring_dedup_hashed"] = oracles["substring_dedup"]
+    oracles["dedup_simhash_wide"] = oracles["dedup_simhash"]
+    return oracles

@@ -629,6 +629,10 @@ def test_chunk_documents(spark):
     assert " ".join(t[2] for t in d1) == text10
     assert [t[2] for t in sorted(t for t in rows if t[0] == 2)] == ["a b"]
     assert [t[2] for t in sorted(t for t in rows if t[0] == 3)] == [""]
+    # blank doc: the surviving empty chunk counts 0 tokens (repo-wide
+    # blank-has-zero-tokens convention — ADVICE r04: summing
+    # chunk_n_tokens into pack_shards budgets must not over-count)
+    assert [t[3] for t in sorted(t for t in rows if t[0] == 3)] == [0]
     # overlap: stride 2 < chunk 4 → windows slide by 2
     ov = [
         r.chunk_text
@@ -1201,6 +1205,60 @@ def test_remove_duplicate_ngrams_plan_megagram_safe(spark):
     )
     assert len(_re.findall(r"\bWindow \[", p)) == 0
     assert "partial_min" in p or "partial_count" in p
+
+
+def test_remove_duplicate_ngrams_hash_grams_equivalent(spark):
+    """hash_grams=True (8-byte xxhash64 gram keys through the shuffles —
+    the at-scale mode) must produce byte-identical output to the
+    string-gram mode on a high-collision corpus: hashing only changes the
+    join key representation, and at test scale there are no collisions."""
+    import random as _random
+
+    from htmld_spark.functions.text import remove_duplicate_ngrams
+
+    rng = _random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    key = lambda r: (r.doc_id, r.text_dedup, r.n_tokens, r.n_removed)
+    plain = sorted(map(key, remove_duplicate_ngrams(df, n=3).collect()))
+    hashed = sorted(
+        map(key, remove_duplicate_ngrams(df, n=3, hash_grams=True).collect())
+    )
+    assert plain == hashed and any(r[3] > 0 for r in plain)
+
+
+def test_remove_duplicate_ngrams_bounded_on_fully_duplicated_doc(spark):
+    """VERDICT r04 #1: a fully-duplicated 100k-token doc (one token
+    repeated — every gram identical, covered ≈ all positions) must finish
+    in bounded time. The former per-token array_contains probe over the
+    O(n_tokens) covered array did ~10^10 comparisons inside one task
+    here; the linear gap-merge reassembly is O(n_tokens + n_starts)."""
+    import time as _time
+
+    from htmld_spark.functions.text import remove_duplicate_ngrams
+
+    n_toks = 100_000
+    df = spark.createDataFrame(
+        [(1, " ".join(["tok"] * n_toks)), (2, "unique words only here")],
+        "doc_id long, text string",
+    )
+    t0 = _time.monotonic()
+    rows = {
+        r.doc_id: r
+        for r in remove_duplicate_ngrams(df, n=5, hash_grams=True).collect()
+    }
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 30.0, f"fully-duplicated doc took {elapsed:.1f}s"
+    # only the global-first gram window (positions 0..4 minus overlaps →
+    # position 0 alone survives: starts 1..n-5 cover 1..n-1)
+    assert rows[1].n_tokens == n_toks
+    assert rows[1].n_removed == n_toks - 1
+    assert rows[1].text_dedup == "tok"
+    assert rows[2].n_removed == 0
 
 
 def test_contamination_flags(spark):
