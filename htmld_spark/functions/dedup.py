@@ -170,6 +170,41 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) rows — the single-pass LSH banding projection
+    shared by ``minhash_lsh_pairs`` and the incremental/streaming dedup
+    paths. Skinny (~20 B/row × bands), which is what makes persisting it
+    as a per-epoch MANIFEST viable: a streaming ingest can anti-join new
+    band keys against stored reference keys without re-tokenizing the
+    accumulated corpus every epoch."""
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
+                    F.lit(b),
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def dedup_against_reference(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -179,6 +214,7 @@ def dedup_against_reference(
     num_perms: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    ref_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL crawl dedup: keep rows of ``new_df`` that duplicate
     nothing in the (already-kept) ``ref_df`` — the production shape for
@@ -195,7 +231,11 @@ def dedup_against_reference(
        (id, band, band_key)). Band-collision near-dedup is the standard
        recall/precision trade at ingest; run the exact-Jaccard verify
        variant (``minhash_lsh_pairs`` on survivors ∪ ref sample) where
-       precision matters more than one pass.
+       precision matters more than one pass. Pass ``ref_band_keys`` (a
+       (band, band_key)-bearing frame, e.g. a persisted manifest from
+       ``minhash_band_keys``) to skip re-computing reference signatures
+       from text — the streaming-ingest shape, where the reference corpus
+       grows every epoch but its keys were already computed on arrival.
 
     Returns the surviving rows of ``new_df`` (all original columns)."""
     ref_hashes = ref_df.select(F.md5(F.col(text_col)).alias("content_hash"))
@@ -207,32 +247,13 @@ def dedup_against_reference(
     if not near:
         return survivors
 
-    def banded_keys(df):
-        rows_per_band = num_perms // bands
-        sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
-                        F.lit(b),
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
+    if ref_band_keys is None:
+        ref_band_keys = minhash_band_keys(
+            ref_df, id_col, text_col, num_perms, bands, shingle_n
         )
-        return sigs.select(
-            F.col(id_col), F.explode(band_structs).alias("bk")
-        ).select(
-            id_col,
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_key").alias("band_key"),
-        )
-
-    ref_keys = banded_keys(ref_df).select("band", "band_key").distinct()
+    ref_keys = ref_band_keys.select("band", "band_key").distinct()
     hit_ids = (
-        banded_keys(survivors)
+        minhash_band_keys(survivors, id_col, text_col, num_perms, bands, shingle_n)
         .join(ref_keys, ["band", "band_key"], "left_semi")
         .select(id_col)
         .distinct()
@@ -365,6 +386,7 @@ def connected_components_star(
         )
 
     cur = e
+    converged = False
     for _ in range(max_iter):
         prev = cur
         mid = _large_star(cur).localCheckpoint(eager=False)
@@ -375,7 +397,16 @@ def connected_components_star(
         # identity while the next large-star still re-roots (measured on
         # a 4-node path — (3,1) only becomes (3,0) one round later).
         if cur.exceptAll(prev).isEmpty() and prev.exceptAll(cur).isEmpty():
+            converged = True
             break
+    if not converged:
+        # ADVICE r04: labels from a partially-converged edge set are the
+        # same silent-wrong-labels failure the hash-min variant raises on.
+        raise RuntimeError(
+            f"connected_components_star did not reach its star-forest"
+            f" fixed point in {max_iter} large+small rounds (O(log² n)"
+            " expected — raise max_iter)"
+        )
     comp = _sym(cur).groupBy("u").agg(F.min("v").alias("c"))
     comp = comp.select("u", F.least("c", "u").alias("c"))
     # isolated self-loop-only inputs and single-edge stars resolve above;

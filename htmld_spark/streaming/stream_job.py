@@ -93,16 +93,25 @@ def session_window_counts(
     )
 
 
-def write_epoch(batch_df: DataFrame, epoch_id: int, data_dir: str) -> None:
+def write_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    data_dir: str,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> None:
     """Idempotent epoch write: partition by epoch_id + dynamic partition
     overwrite, so a replayed epoch (crash between parquet write and
     checkpoint commit) replaces its own partition instead of appending
-    duplicates — exactly-once per epoch."""
+    duplicates — exactly-once per epoch. ``extra_partition_cols`` adds
+    sub-partitioning under the epoch (the ingest path's content-hash
+    bucket), preserving idempotence: dynamic overwrite replaces every
+    (epoch_id=N, …) partition the replay writes, and a replay writes the
+    same buckets for the same rows."""
     (
         batch_df.withColumn("epoch_id", F.lit(epoch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch_id")
+        .partitionBy("epoch_id", *extra_partition_cols)
         .parquet(data_dir)
     )
 
@@ -139,6 +148,7 @@ def run_ingest_with_dedup(
     text_col: str = "text",
     near: bool = False,
     watermark: str = "1 hour",
+    n_buckets: int = 16,
 ):
     """Streaming crawl ingest with DEDUP-ON-ARRIVAL: every micro-batch is
     extracted, exact-deduped WITHIN the batch (keep min id per md5), then
@@ -153,14 +163,21 @@ def run_ingest_with_dedup(
     against a corpus that already contains batch N's survivors would drop
     them as self-duplicates and LOSE data with a plain append — the
     epoch_id partition scheme makes the replay overwrite exactly its own
-    rows instead. Returns the started StreamingQuery."""
+    rows instead.
+
+    The kept corpus is sub-partitioned by a content-hash bucket and (for
+    ``near=True``) mirrored by a skinny per-epoch band-key MANIFEST, so
+    each epoch's anti-joins PRUNE to the batch's buckets instead of
+    scanning every prior epoch (see ``ingest_epoch``). Returns the
+    started StreamingQuery."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     data_dir = os.path.join(out_dir, "data")
     extracted = streaming_extract(read_pages_stream(spark, source_dir), watermark)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_epoch(
-            spark, batch_df, epoch_id, data_dir, id_col, text_col, near
+            spark, batch_df, epoch_id, data_dir, id_col, text_col, near,
+            n_buckets=n_buckets,
         )
 
     return (
@@ -171,6 +188,35 @@ def run_ingest_with_dedup(
     )
 
 
+def manifest_dir_for(data_dir: str) -> str:
+    """Band-key manifest location paired with a kept-corpus data dir."""
+    return data_dir.rstrip("/") + "_bandkeys"
+
+
+def _bucket_of(text_col: str, n_buckets: int):
+    """Content-hash bucket: equal texts land in equal buckets, so the
+    exact-dedup anti-join only ever needs the batch's own buckets."""
+    return F.pmod(F.xxhash64(F.md5(F.col(text_col))), F.lit(n_buckets)).cast("int")
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dataset, returning None ONLY when the path does not
+    exist yet (first epoch). Every other failure — corrupt footer,
+    transient FS/permission error, schema drift — PROPAGATES so the
+    streaming query fails loudly instead of silently skipping dedup and
+    appending duplicates (ADVICE r04: the former bare ``except Exception``
+    treated all of those as 'no corpus yet')."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def ingest_epoch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -179,14 +225,34 @@ def ingest_epoch(
     id_col: str = "url",
     text_col: str = "text",
     near: bool = False,
+    n_buckets: int = 16,
 ) -> None:
     """One dedup-on-arrival epoch (the foreachBatch body of
     ``run_ingest_with_dedup``, exposed for direct crash-replay testing):
     within-batch exact dedup, then anti-join against every OTHER epoch's
-    survivors, then partition-overwrite this epoch."""
+    survivors, then partition-overwrite this epoch.
+
+    REFERENCE-CORPUS MANAGEMENT (VERDICT r04 #3 — the at-crawl-scale
+    shape): the kept corpus is partitioned by (epoch_id, _bucket) with
+    ``_bucket = pmod(xxhash64(md5(text)), n_buckets)``, and the exact
+    anti-join filters the reference scan to the BATCH's bucket set (a
+    bounded ≤ n_buckets driver collect) — an exact duplicate has the same
+    md5, hence the same bucket, so pruning loses nothing and the epoch
+    reads |batch buckets| / n_buckets of the corpus instead of all of it.
+    For ``near=True`` the band-key anti-join cannot prune on the content
+    bucket (a near-dup's md5 differs), so each epoch also writes a skinny
+    (band, band_key) MANIFEST partitioned by (epoch_id, _bkb =
+    pmod(band_key, n_buckets)); subsequent epochs anti-join against the
+    manifest pruned to the batch's band-key buckets — never re-tokenizing
+    the accumulated text corpus. Size n_buckets so one bucket of the
+    mature corpus ≈ one batch (e.g. 4096 at crawl scale); 16 keeps the
+    fixture partition count sane."""
     from pyspark.sql.window import Window
 
-    from htmld_spark.functions.dedup import dedup_against_reference
+    from htmld_spark.functions.dedup import (
+        dedup_against_reference,
+        minhash_band_keys,
+    )
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     batch_unique = (
@@ -194,19 +260,68 @@ def ingest_epoch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
+    man_dir = manifest_dir_for(data_dir)
+    kept_all = _read_or_none(spark, data_dir)
+    if kept_all is None:
+        survivors = batch_unique
+    else:
         # reference = every OTHER epoch's survivors: a replayed epoch must
         # not see its own previously-written rows, or it would drop its
         # whole batch as self-duplicates and overwrite its partition with
         # nothing (data loss on crash-replay).
+        ref = kept_all.filter(F.col("epoch_id") != epoch_id)
+        batch_buckets = [
+            r[0]
+            for r in batch_unique.select(
+                _bucket_of(text_col, n_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()  # bounded by n_buckets
+        ]
         kept = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("epoch_id") != epoch_id)
-            .drop("epoch_id")
+            ref.filter(F.col("_bucket").isin(batch_buckets))
+            .drop("epoch_id", "_bucket")
         )
+        ref_keys = None
+        if near:
+            man_all = _read_or_none(spark, man_dir)
+            if man_all is not None:
+                bkb = [
+                    r[0]
+                    for r in minhash_band_keys(batch_unique, id_col, text_col)
+                    .select(F.pmod("band_key", F.lit(n_buckets)).alias("_b"))
+                    .distinct()
+                    .collect()  # bounded by n_buckets
+                ]
+                ref_keys = (
+                    man_all.filter(F.col("epoch_id") != epoch_id)
+                    .filter(F.col("_bkb").isin(bkb))
+                    .select("band", "band_key")
+                )
+            else:
+                # corpus predates the manifest (e.g. ingested with
+                # near=False): fall back to computing reference keys from
+                # the FULL un-pruned corpus once; this epoch writes its
+                # manifest below, converging the store to manifest-based.
+                ref_keys = minhash_band_keys(
+                    ref.drop("epoch_id", "_bucket"), id_col, text_col
+                )
         survivors = dedup_against_reference(
-            batch_unique, kept, id_col=id_col, text_col=text_col, near=near
+            batch_unique, kept, id_col=id_col, text_col=text_col, near=near,
+            ref_band_keys=ref_keys,
         )
-    except Exception:  # first epoch: no corpus yet
-        survivors = batch_unique
-    write_epoch(survivors, epoch_id, data_dir)
+    write_epoch(
+        survivors.withColumn("_bucket", _bucket_of(text_col, n_buckets)),
+        epoch_id,
+        data_dir,
+        extra_partition_cols=("_bucket",),
+    )
+    if near:
+        write_epoch(
+            minhash_band_keys(survivors, id_col, text_col)
+            .withColumn("_bkb", F.pmod("band_key", F.lit(n_buckets)).cast("int"))
+            .select("band", "band_key", "_bkb"),
+            epoch_id,
+            man_dir,
+            extra_partition_cols=("_bkb",),
+        )

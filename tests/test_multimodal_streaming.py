@@ -239,6 +239,76 @@ def test_ingest_epoch_crash_replay_keeps_survivors(spark, tmp_path_factory):
     assert kept2 == {"u1", "u2", "u4"}
 
 
+def test_ingest_epoch_near_dedup_uses_manifest(spark, tmp_path_factory):
+    """near=True ingest: each epoch writes a skinny band-key manifest
+    partitioned by (epoch_id, _bkb); later epochs drop near-dups via the
+    manifest anti-join (no re-tokenization of the corpus), and a crash
+    replay still reproduces its own survivors."""
+    import os as _os
+
+    from htmld_spark.streaming.stream_job import ingest_epoch, manifest_dir_for
+
+    out = str(tmp_path_factory.mktemp("ingest_near")) + "/data"
+    # BASE/garden→meadow is the band-colliding near-dup pair pinned by
+    # test_dedup_against_reference (band collision is probabilistic in
+    # general but deterministic for fixed text + fixed hash seeds)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    b0 = spark.createDataFrame(
+        [("u1", base), ("u2", "completely different content about spark plans")],
+        "url string, text string",
+    )
+    # u3 = exact dup of u1; u4 = near dup (one token changed); u5 = novel
+    b1 = spark.createDataFrame(
+        [
+            ("u3", base),
+            ("u4", base.replace("garden", "meadow")),
+            ("u5", "an entirely unrelated novel document body here"),
+        ],
+        "url string, text string",
+    )
+    ingest_epoch(spark, b0, 0, out, near=True)
+    ingest_epoch(spark, b1, 1, out, near=True)
+    kept = {r.url for r in spark.read.parquet(out).collect()}
+    assert "u1" in kept and "u2" in kept and "u5" in kept
+    assert "u3" not in kept  # exact dup dropped via bucket-pruned anti-join
+    assert "u4" not in kept  # near dup dropped via the band-key manifest
+    man = manifest_dir_for(out)
+    assert _os.path.isdir(man)
+    man_df = spark.read.parquet(man)
+    assert {"band", "band_key", "_bkb", "epoch_id"} <= set(man_df.columns)
+    # manifest rows exist only for SURVIVORS (u3/u4 wrote no keys)
+    assert man_df.filter(F.col("epoch_id") == 1).count() > 0
+    # corpus layout: epoch_id=*/_bucket=* directories (partition pruning)
+    ep0 = _os.path.join(out, "epoch_id=0")
+    assert any(d.startswith("_bucket=") for d in _os.listdir(ep0))
+    # crash replay of epoch 1: identical survivors, manifest intact
+    ingest_epoch(spark, b1, 1, out, near=True)
+    assert {r.url for r in spark.read.parquet(out).collect()} == kept
+
+
+def test_ingest_epoch_corrupt_corpus_fails_loudly(spark, tmp_path_factory):
+    """ADVICE r04: only a MISSING corpus means 'first epoch'. A corrupt
+    reference (here: a garbage file where parquet should be) must raise,
+    not silently skip dedup and append duplicates."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from htmld_spark.streaming.stream_job import ingest_epoch
+
+    out = str(tmp_path_factory.mktemp("ingest_corrupt")) + "/data"
+    _os.makedirs(out)
+    with open(_os.path.join(out, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    b = spark.createDataFrame([("u1", "some text")], "url string, text string")
+    with _pytest.raises(Exception) as ei:
+        ingest_epoch(spark, b, 1, out)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_epoch_write_is_idempotent_on_replay(spark, tmp_path_factory):
     """Crash-replay of an epoch (foreachBatch re-invoked with the same
     epoch_id after the parquet write but before the checkpoint commit)
