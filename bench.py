@@ -111,6 +111,51 @@ def run_headline(master: str) -> dict:
     t_ex, n_docs = bench_extract(spark, pages_path, with_spans=True)
     timings["extract_full"] = round(t_ex, 3)
 
+    # end-to-end curate() composition, BOTH near-dedup modes (VERDICT r04
+    # #5): timed out-of-headline like the extras, in THIS session because
+    # the dominant stage is the same Python-heavy mapInArrow extraction
+    # (task.cpus=2 is the right sizing). The recorded plan shape makes a
+    # composition-level regression visible: a reintroduced diamond that
+    # re-runs the extraction would bump map_in_arrow above 1.
+    import re as _re
+
+    from htmld_spark.pipeline.curate import curate
+
+    curate_e2e: dict[str, dict] = {}
+    for mode in ("winnow", "minhash"):
+        best, plan_str = None, ""
+        for _ in range(2):
+            pages_df = spark.read.parquet(pages_path).select(
+                "url", "warc_ts", "html", "lang"
+            )
+            # time construction + action together: minhash mode runs its
+            # CC-loop actions (and the checkpoint materialization carrying
+            # the extraction) inside curate() itself
+            t0 = time.monotonic()
+            cur = curate(pages_df, near_dedup=mode)
+            cur.count()
+            t = time.monotonic() - t0
+            if best is None or t < best:
+                best = t
+            plan_str = cur._jdf.queryExecution().executedPlan().toString()
+        shape = {
+            "map_in_arrow": len(_re.findall(r"MapInArrow", plan_str)),
+            "shuffles": len(
+                _re.findall(r"Exchange (?:hash|range)partitioning", plan_str)
+            ),
+            "batch_eval_python": len(_re.findall(r"BatchEvalPython", plan_str)),
+            "checkpoint_scans": len(_re.findall(r"Scan ExistingRDD", plan_str)),
+        }
+        # winnow: the extraction's single MapInArrow sits in the final plan.
+        # minhash: the extraction is materialized ONCE under the lazy
+        # localCheckpoint (the CC loop's first action), so the final plan
+        # shows 0 MapInArrow and re-reads checkpointed blocks instead.
+        # >1 MapInArrow = a diamond re-running the extraction (the r5 bug
+        # this assert caught on introduction).
+        assert shape["map_in_arrow"] <= 1, f"curate_{mode}: extraction re-run"
+        assert shape["batch_eval_python"] == 0, f"curate_{mode}: row-UDF"
+        curate_e2e[f"curate_{mode}"] = {"sec": round(best, 3), **shape}
+
     # Per-workload task sizing, as on a real cluster: task.cpus=2 is right
     # for the Python-heavy extraction stage (JVM feeder + Python worker per
     # task) but HALVES concurrency for the pure-JVM query suite — measured
@@ -197,6 +242,7 @@ def run_headline(master: str) -> dict:
         "extract_docs_per_sec": round(n_docs / t_ex, 1),
         "extract_mb_per_sec": round(input_bytes / 1e6 / t_ex, 2),
         "extra_queries": extra,
+        "curate_e2e": curate_e2e,
     }
     spark.stop()
     return result
@@ -464,6 +510,18 @@ def _write_weak_scaling_md(report: dict) -> None:
         "no-Spark control (which shows the VM itself stops scaling past",
         "~8–16 procs), the strong-scaling 8→32 gap is attributable to the",
         "oversubscribed host, not to Spark-side per-task or driver overhead.",
+        "",
+        "Flatness slightly ABOVE 1.0 (VERDICT r04 #7: 1.066 @8 in r4, vs",
+        "0.999 in r2) is the expected sign of the same fixed-cost term seen",
+        "from the other side: with tp(n) = n / (a + n/r) and a fixed per-job",
+        "cost a (plan/setup + first-stage scheduling + sample-warmup",
+        "residue, ~0.5–1 s against a ~12 s 1× run), the 1× measurement",
+        "UNDERSTATES steady-state throughput by a/(a + n/r), so tp(4×)/tp(1×)",
+        "lands at ≈ 1 + 3a/(a + 4n/r) > 1 — a measurement-side artifact of",
+        "the small 1× denominator, not the job speeding up with data. It",
+        "drifts round to round with how much of `a` the warmup absorbs under",
+        "VM load; values in 1.0–1.08 are consistent with a ≲ 1 s and carry",
+        "no scaling information beyond 'fixed costs are small'.",
     ]
     with open(os.path.join(REPO, "BENCH", "WEAK_SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

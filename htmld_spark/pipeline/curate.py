@@ -140,6 +140,13 @@ def curate(
         # signature — use a composite id if ever lifting that invariant).
         from htmld_spark.functions.dedup import minhash_lsh_pairs, near_dedup_keep
 
+        # `exact` feeds BOTH the keep-set branch (pairs → CC → keepers ∪
+        # unpaired) and the final semi-join — a plan diamond that would
+        # re-run the MapInArrow extraction once per branch (caught by the
+        # bench's curate plan-shape assert, r5). Lazy localCheckpoint
+        # materializes the extracted+gated rows once at the CC loop's
+        # first action; every branch then reads the checkpointed blocks.
+        exact = exact.localCheckpoint(eager=False)
         pairs = minhash_lsh_pairs(exact, id_col="url", text_col="text")
         keep = near_dedup_keep(exact, pairs, id_col="url")
         near = exact.join(keep, "url", "left_semi")
