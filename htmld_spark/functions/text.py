@@ -11,6 +11,8 @@ oracle (see __spark_entry__.oracle_sql); keep the two in lockstep.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -1412,4 +1414,178 @@ def bigram_topk(
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(k)
+    )
+
+
+def _guarded_tokens(text_col: str):
+    """Whitespace tokens with the repo-wide blank-doc envelope: a blank /
+    whitespace-only document yields an EMPTY array (split('') would yield
+    [''], polluting vocabularies with a phantom empty token)."""
+    return F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
+
+
+def lm_perplexity(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style LANGUAGE-MODEL quality signal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — perplexity under a LM trained on a trusted corpus ranks web
+    documents; low ppl ≈ target-domain-like): a relational ADD-α BIGRAM
+    LM replaces CCNet's KenLM so the whole filter stays inside Catalyst.
+    p(w₂|w₁) = (c(w₁w₂)+α) / (c(w₁·)+αV), V = |ref unigram vocab|+1
+    (the +1 is the OOV bucket); per-doc cross-entropy H = −Σ ln p / n and
+    bigram_ppl = exp(H). Docs with < 2 tokens emit no row (no bigrams to
+    score). Returns (id, n_bigrams, bigram_ppl) with ppl rounded to 4.
+
+    Shape at 10^12 docs: the LM is TWO map-side-combinable groupBys over
+    the (much smaller) reference slice — the bigram table and its prefix
+    marginal — materialized once via lazy localCheckpoint (the V scalar
+    is a bounded 1-row collect off the same checkpoint); the corpus pass
+    is one narrow bigram explode, a join on the bigram key (broadcast
+    when the LM fits, AQE shuffle-hash otherwise), and one per-doc
+    partial-agg sum. No Python anywhere."""
+    ref_toks = _guarded_tokens(ref_text_col)
+    nb = F.size(F.col("_ts")) - 1
+    bigram_arr = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(F.col("_ts"), i).alias("w1"),
+                F.element_at(F.col("_ts"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    ref_base = ref_df.select(ref_toks.alias("_ts"))
+    c2 = (
+        ref_base.select(F.explode(bigram_arr).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .localCheckpoint(eager=False)  # LM built once; reused by V, c1, join
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    # V: reference unigram vocab + 1 OOV bucket — a bounded 1-row collect
+    vocab = (
+        ref_base.select(F.explode(F.col("_ts")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    v_smooth = float(alpha) * (vocab + 1)
+
+    doc_bg = (
+        df.select(F.col(id_col), _guarded_tokens(text_col).alias("_ts"))
+        .select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    logp = F.log(F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(float(alpha))) - F.log(
+        F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(v_smooth)
+    )
+    scored = (
+        doc_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(logp).alias("_lp"))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.round(F.exp(-F.col("_lp") / F.col("n_bigrams")), 4).alias("bigram_ppl"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    alpha: float = 1.0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by log w(x) = Σ_f [ln p_target(f) − ln p_raw(f)] over its bag of
+    features — documents distributionally closer to the target corpus get
+    higher weight; sampling ∝ w(x) (Gumbel top-k on log w + noise, or a
+    plain threshold) yields the target-matched subset. Both feature
+    distributions are add-α smoothed over the joint vocabulary (V =
+    |vocab(target ∪ raw)| + 1). Returns (id, n_tokens, log_importance)
+    rounded to 4; blank docs (0 tokens) emit no row.
+
+    ``n_buckets`` switches to the paper's HASHED feature space
+    (xxhash64(token) mod n_buckets, V = n_buckets): the feature table
+    becomes a fixed-width dense vector — the at-scale mode, where the
+    raw-corpus vocabulary would otherwise be unbounded junk-token-heavy.
+    Raw-token mode keeps exact DuckDB-oracle parity.
+
+    Shape at 10^12 docs: two map-side-combinable token counts (target is
+    small; raw is corpus-wide but vocab-sized after the combine), full-
+    outer-joined into ONE feature table, lazily localCheckpointed — the
+    (V, N_target, N_raw) scalars are a single bounded 1-row collect off
+    it; then one narrow corpus explode, a join on the feature key
+    (broadcast if the joint vocab fits), one per-doc partial-agg sum."""
+    def feat(col):
+        return (
+            F.pmod(F.xxhash64(col), F.lit(n_buckets)) if n_buckets else col
+        )
+
+    tgt_toks = (
+        target_df.select(_guarded_tokens(target_text_col).alias("_ts"))
+        .select(F.explode(F.col("_ts")).alias("tok"))
+        .select(feat(F.col("tok")).alias("f"))
+    )
+    raw_toks_all = (
+        df.select(_guarded_tokens(text_col).alias("_ts"))
+        .select(F.explode(F.col("_ts")).alias("tok"))
+        .select(feat(F.col("tok")).alias("f"))
+    )
+    ct = tgt_toks.groupBy("f").agg(F.count(F.lit(1)).alias("_ct"))
+    cr = raw_toks_all.groupBy("f").agg(F.count(F.lit(1)).alias("_cr"))
+    ft = (
+        ct.join(cr, "f", "full_outer")
+        .select(
+            "f",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+        .localCheckpoint(eager=False)  # shared by the scalars and the join
+    )
+    tot = ft.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("_ct").alias("nt"),
+        F.sum("_cr").alias("nr"),
+    ).collect()[0]
+    v_smooth = float(alpha) * (
+        float(n_buckets) if n_buckets else float(tot["v"] + 1)
+    )
+    nt, nr = float(tot["nt"] or 0), float(tot["nr"] or 0)
+
+    a = F.lit(float(alpha))
+    logw = (
+        F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+        - F.lit(math.log(nt + v_smooth))
+        - F.log(F.coalesce(F.col("_cr"), F.lit(0)) + a)
+        + F.lit(math.log(nr + v_smooth))
+    )
+    doc_toks = (
+        df.select(F.col(id_col), _guarded_tokens(text_col).alias("_ts"))
+        .select(F.col(id_col), F.explode(F.col("_ts")).alias("tok"))
+        .select(id_col, feat(F.col("tok")).alias("f"))
+    )
+    return (
+        doc_toks.join(ft, "f", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.sum(logw), 4).alias("log_importance"),
+        )
     )

@@ -1261,6 +1261,118 @@ def test_remove_duplicate_ngrams_bounded_on_fully_duplicated_doc(spark):
     assert rows[2].n_removed == 0
 
 
+def test_lm_perplexity_matches_replica_and_ranks(spark):
+    """CCNet-style bigram-LM ppl must equal a sequential add-α replica of
+    the spec on a random corpus, and must RANK a ref-like doc below (less
+    perplexing than) a junk doc — the property the filter exists for."""
+    import math as _math
+    import random as _random
+
+    from htmld_spark.functions.text import lm_perplexity
+
+    rng = _random.Random(31)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran"]
+    ref_docs = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(20)))
+        for i in range(10)
+    ]
+    docs = [
+        (1, ref_docs[0][1]),  # exactly a ref doc → low ppl
+        (2, "zq xv qqq zzz pp zq xv qqq"),  # all-OOV junk → high ppl
+        (3, " ".join(rng.choice(vocab) for _ in range(15))),
+        (4, "single"),  # < 2 tokens → no row
+        (5, ""),  # blank → no row
+    ]
+    # sequential replica
+    c2, c1, uni = {}, {}, set()
+    for _, t in ref_docs:
+        ts = t.split()
+        uni.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(uni) + 1
+    expected = {}
+    for d, t in docs:
+        ts = t.split() if t else []
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            continue
+        lp = sum(
+            _math.log(c2.get(bg, 0) + 1.0) - _math.log(c1.get(bg[0], 0) + V)
+            for bg in bgs
+        )
+        expected[d] = (len(bgs), round(_math.exp(-lp / len(bgs)), 4))
+    ref_df = spark.createDataFrame(ref_docs, "doc_id long, text string")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.bigram_ppl)
+        for r in lm_perplexity(df, ref_df).collect()
+    }
+    assert got == expected
+    assert got[1][1] < got[3][1] < got[2][1]  # ref-doc < in-vocab < junk
+
+
+def test_dsir_log_weights_matches_replica(spark):
+    """DSIR log importance must equal the sequential add-α replica in
+    raw-token mode, give target-like docs strictly higher weight than
+    off-target docs, and the hashed-feature mode must equal a replica
+    built on the pure-Python Spark-xxhash64 twin."""
+    import math as _math
+
+    from fixtures.xxh64 import spark_xxhash64
+    from htmld_spark.functions.text import dsir_log_weights
+
+    target_docs = [(100, "spark plans shuffle spark plans"), (101, "spark catalyst")]
+    docs = [
+        (1, "spark plans catalyst"),  # target-like
+        (2, "bananas oranges apples pears"),  # off-target
+        (3, ""),  # blank → no row
+    ]
+
+    def replica(feat_fn, v_override=None):
+        ct, cr = {}, {}
+        for _, t in target_docs:
+            for tok in t.split():
+                ct[feat_fn(tok)] = ct.get(feat_fn(tok), 0) + 1
+        for _, t in docs:
+            for tok in (t.split() if t else []):
+                cr[feat_fn(tok)] = cr.get(feat_fn(tok), 0) + 1
+        vocab = set(ct) | set(cr)
+        V = v_override if v_override is not None else len(vocab) + 1
+        nt, nr = sum(ct.values()), sum(cr.values())
+        out = {}
+        for d, t in docs:
+            ts = t.split() if t else []
+            if not ts:
+                continue
+            lw = sum(
+                _math.log(ct.get(feat_fn(tok), 0) + 1.0)
+                - _math.log(nt + V)
+                - _math.log(cr.get(feat_fn(tok), 0) + 1.0)
+                + _math.log(nr + V)
+                for tok in ts
+            )
+            out[d] = (len(ts), round(lw, 4))
+        return out
+
+    tgt = spark.createDataFrame(target_docs, "doc_id long, text string")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.log_importance)
+        for r in dsir_log_weights(df, tgt).collect()
+    }
+    assert got == replica(lambda t: t)
+    assert got[1][1] > got[2][1]  # target-like beats off-target
+    # hashed-feature mode: xxhash64(token) mod 64 buckets, V = n_buckets
+    nb = 64
+    got_h = {
+        r.doc_id: (r.n_tokens, r.log_importance)
+        for r in dsir_log_weights(df, tgt, n_buckets=nb).collect()
+    }
+    assert got_h == replica(lambda t: spark_xxhash64(t) % nb, v_override=nb)
+
+
 def test_contamination_flags(spark):
     from htmld_spark.functions.text import contamination_flags
 
