@@ -212,6 +212,10 @@ def run_headline(master: str) -> dict:
         "incremental_dedup",
         "pack_shards",
         "chunk_documents",
+        # round-5 additions
+        "substring_dedup_hashed",
+        "lm_perplexity",
+        "dsir_importance",
     ):
         best = None
         for _ in range(2):
