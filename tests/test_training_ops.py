@@ -722,6 +722,35 @@ def test_pack_shards(spark):
         pack_shards(df, budget_tokens=0)
 
 
+def test_pack_shards_correct_when_range_sampling_subsamples(spark):
+    """ADVICE r04: RangePartitioner's reservoir seed derives from rdd.id,
+    so two separate executions can compute DIFFERENT range bounds once
+    partitions are larger than the ~60-row sample — pack_shards must
+    therefore derive offsets and output from ONE materialized execution.
+    50k rows across 8 partitions forces true subsampling (the 500-row
+    test degenerates to a full collect); every shard_id must still equal
+    the sequential prefix-sum definition."""
+    from htmld_spark.functions.text import pack_shards
+
+    n = 50_000
+    df = (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") * 37 % 11).cast("long"))
+    )
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df, budget_tokens=5_000, n_parts=8).collect()
+    }
+    cum, bad = 0, 0
+    for i in range(n):
+        if got[i] != cum // 5_000:
+            bad += 1
+        cum += (i * 37) % 11
+    assert bad == 0, f"{bad}/{n} rows got a wrong shard_id"
+    assert len(got) == n
+
+
 def test_quality_score(spark):
     """Linear-head classifier gate: empty text scores near zero, a long
     stopword-rich English doc scores near one, scores are monotone in the
