@@ -48,6 +48,9 @@ def curate(
     gopher_gate: bool | dict = False,
     mixture: dict[str, float] | None = None,
     min_quality_score: float | None = None,
+    lm_ref: DataFrame | None = None,
+    max_bigram_ppl: float | None = None,
+    lm_ref_text_col: str = "text",
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -74,6 +77,18 @@ def curate(
     content-stable hash filter AFTER dedup/quota so weights act on the
     curated distribution, decorrelated from the train/val/test split.
 
+    ``lm_ref`` + ``max_bigram_ppl`` apply the CCNet-style LANGUAGE-MODEL
+    gate (``functions/text.lm_perplexity``): an add-1 bigram LM is
+    trained on ``lm_ref``'s ``lm_ref_text_col`` and documents whose
+    perplexity exceeds the threshold are dropped — the perplexity-bucket
+    filter CCNet runs between extraction and dedup, in the same slot
+    here. The gated frame feeds both the ppl aggregation and the
+    semi-join back, so it is lazily localCheckpointed first (the same
+    diamond rule as minhash mode — without it the extraction would run
+    once per branch). Docs with < 2 tokens emit no ppl row and are
+    dropped by the gate; the default ``min_tokens=5`` already removes
+    them. Both parameters must be given together.
+
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
     ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
@@ -83,6 +98,11 @@ def curate(
     same quality-gate stage — zero extra shuffles."""
     if near_dedup not in ("winnow", "minhash"):
         raise ValueError(f"near_dedup must be 'winnow' or 'minhash', got {near_dedup!r}")
+    if (lm_ref is None) != (max_bigram_ppl is None):
+        raise ValueError(
+            "lm_ref and max_bigram_ppl must be given together (the LM gate"
+            " needs both a reference corpus and a threshold)"
+        )
     extracted = extract_df(
         pages.select(*[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]),
         with_spans=False,
@@ -123,6 +143,21 @@ def curate(
         gated = gated.filter(
             quality_score_expr("text") >= float(min_quality_score)
         )
+    if lm_ref is not None:
+        from htmld_spark.functions.text import lm_perplexity
+
+        # `gated` feeds BOTH the ppl aggregation and the semi-join back —
+        # the same plan diamond as minhash mode; checkpoint once so the
+        # extraction materializes a single time.
+        gated = gated.localCheckpoint(eager=False)
+        keep_ids = (
+            lm_perplexity(
+                gated, lm_ref, id_col="url", ref_text_col=lm_ref_text_col
+            )
+            .filter(F.col("bigram_ppl") <= float(max_bigram_ppl))
+            .select("url")
+        )
+        gated = gated.join(keep_ids, "url", "left_semi")
 
     # exact content dedup: md5(text), keep deterministic first (url, ts)
     w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")

@@ -125,6 +125,56 @@ def test_curate_minhash_mode(spark):
         curate(pages, near_dedup="bogus")
 
 
+def test_curate_lm_perplexity_gate(spark):
+    """lm_ref + max_bigram_ppl apply the CCNet LM gate: a huge threshold
+    is a no-op, a median threshold keeps exactly the operator-verified
+    passes-subset, the plan stays single-extraction (checkpointed — the
+    same diamond rule as minhash mode), and half-given params raise."""
+    import statistics
+
+    from htmld_spark.functions.text import lm_perplexity
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    ref = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0).select("text")
+    base = curate(pages, min_tokens=3, max_per_host=500).cache()
+    loose = curate(
+        pages, min_tokens=3, max_per_host=500, lm_ref=ref, max_bigram_ppl=1e9
+    )
+    assert (
+        base.exceptAll(loose).count() == 0 and loose.exceptAll(base).count() == 0
+    )
+    ppls = {
+        r.url: r.bigram_ppl
+        for r in lm_perplexity(base, ref, id_col="url").collect()
+    }
+    thr = statistics.median(ppls.values())
+    tight = curate(
+        pages, min_tokens=3, max_per_host=500, lm_ref=ref, max_bigram_ppl=thr
+    ).cache()
+    n_tight, n_base = tight.count(), base.count()
+    assert 0 < n_tight < n_base
+    # exact property: ppl depends only on text, and text is unchanged
+    # downstream of the gate — so EVERY survivor's own perplexity must be
+    # ≤ thr. (A survivor-set-vs-base comparison would be unsound: the
+    # gate runs before dedup/quota, so dropping a keeper can legally
+    # promote a different duplicate into the output.)
+    survivor_ppls = lm_perplexity(tight, ref, id_col="url").collect()
+    assert len(survivor_ppls) == n_tight
+    assert all(r.bigram_ppl <= thr for r in survivor_ppls)
+    p = (
+        curate(pages, min_tokens=3, lm_ref=ref, max_bigram_ppl=thr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("MapInArrow") <= 1 and "BatchEvalPython" not in p
+    with pytest.raises(ValueError):
+        curate(pages, lm_ref=ref)
+    with pytest.raises(ValueError):
+        curate(pages, max_bigram_ppl=100.0)
+    base.unpersist(); tight.unpersist()
+
+
 def test_curate_gopher_gate(spark):
     """gopher_gate applies the Gopher rule set as an inline row-local
     filter; the survivors must be exactly the gopher_rules passes-subset
