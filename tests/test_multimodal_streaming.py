@@ -239,6 +239,41 @@ def test_ingest_epoch_crash_replay_keeps_survivors(spark, tmp_path_factory):
     assert kept2 == {"u1", "u2", "u4"}
 
 
+def test_streaming_ingest_near_mode_end_to_end(spark, tmp_path_factory):
+    """near=True through the ACTUAL stream (not just ingest_epoch): the
+    drained corpus is exact-duplicate-free, the band-key manifest exists
+    with one partition per epoch, and a checkpoint restart is a no-op."""
+    import os as _os
+
+    from htmld_spark.streaming.stream_job import (
+        manifest_dir_for,
+        run_ingest_with_dedup,
+    )
+
+    src = ensure_pages("0.001")
+    out = str(tmp_path_factory.mktemp("ingest_near_e2e"))
+    q = run_ingest_with_dedup(spark, src, out, near=True, watermark="3650 days")
+    q.processAllAvailable()
+    q.stop()
+    data = spark.read.parquet(out + "/data")
+    n = data.count()
+    assert n > 0
+    assert data.select(F.md5("text")).distinct().count() == n  # exact-free
+    man = manifest_dir_for(out + "/data")
+    assert _os.path.isdir(man)
+    man_df = spark.read.parquet(man)
+    assert man_df.count() > 0
+    # one manifest partition set per data epoch
+    data_epochs = {r.epoch_id for r in data.select("epoch_id").distinct().collect()}
+    man_epochs = {r.epoch_id for r in man_df.select("epoch_id").distinct().collect()}
+    assert man_epochs == data_epochs
+    # restart with the same checkpoint: nothing new
+    q2 = run_ingest_with_dedup(spark, src, out, near=True, watermark="3650 days")
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out + "/data").count() == n
+
+
 def test_ingest_epoch_near_dedup_uses_manifest(spark, tmp_path_factory):
     """near=True ingest: each epoch writes a skinny band-key manifest
     partitioned by (epoch_id, _bkb); later epochs drop near-dups via the
