@@ -66,6 +66,14 @@ def main(names: list[str]) -> int:
             sdf = qs[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            # registry-wide plan sweep: no row-at-a-time Python UDF may
+            # appear in ANY contract query's executed plan (the repo-wide
+            # invariant the targeted test_plans asserts for the flagship)
+            plan = sdf._jdf.queryExecution().executedPlan().toString()
+            if "BatchEvalPython" in plan:
+                print(f"FAIL  {name}: BatchEvalPython in executed plan")
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
