@@ -1402,6 +1402,30 @@ def test_dsir_log_weights_matches_replica(spark):
     assert got_h == replica(lambda t: spark_xxhash64(t) % nb, v_override=nb)
 
 
+def test_lm_and_dsir_degenerate_references_never_raise(spark):
+    """Empty / blank-only reference corpora must not crash the LM or DSIR
+    scorers: the add-α smoothing keeps every log defined (V ≥ 1), docs
+    still get rows, and values stay finite."""
+    import math as _math
+
+    from htmld_spark.functions.text import dsir_log_weights, lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "some words here now"), (2, "")], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    blank_ref = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    for ref in (empty_ref, blank_ref):
+        ppl = {r.doc_id: r.bigram_ppl for r in lm_perplexity(docs, ref).collect()}
+        assert set(ppl) == {1}  # doc 2 is blank → no bigrams → no row
+        assert _math.isfinite(ppl[1]) and ppl[1] > 0
+        w = {
+            r.doc_id: r.log_importance
+            for r in dsir_log_weights(docs, ref).collect()
+        }
+        assert set(w) == {1} and _math.isfinite(w[1])
+
+
 def test_contamination_flags(spark):
     from htmld_spark.functions.text import contamination_flags
 
