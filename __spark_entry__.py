@@ -652,6 +652,35 @@ def _q_substring_dedup_hashed(spark, sf_dir):
     return TX.remove_duplicate_ngrams(docs, n=8, hash_grams=True)
 
 
+def _q_dedup_lines_within_doc(spark, sf_dir):
+    """RefinedWeb-style within-doc line dedup over a synthesized
+    repeated-line corpus (text, blank, text, text — every doc exercises
+    the dup and blank paths). The DuckDB row_number window lives in the
+    ORACLE only; the Spark side is row-local and window-free."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat_ws("\n", "text", F.lit(""), "text", "text")
+    return TX.remove_repeated_lines(docs.select("doc_id", synth.alias("text")))
+
+
+def _q_c4_line_rules(spark, sf_dir):
+    """C4 §2.2 line+page rules over a synthesized multi-line corpus: each
+    doc gets a punctuated copy of its text, a 'javascript' line, a
+    too-short line, and a '?'-terminated copy — so keep/drop branches and
+    the page gate all fire. DuckDB list twin is the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.substring_index(F.trim(F.col("text")), " ", 1)
+    synth = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("enable javascript please now okay."),
+        F.concat(first_tok, F.lit(".")),
+        F.concat(F.col("text"), F.lit(" indeed?")),
+    )
+    return TX.c4_line_rules(
+        docs.select("doc_id", synth.alias("text")), min_words=3, min_lines=2
+    )
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality signal: add-1 bigram LM trained on the
     doc_id%10==0 reference slice, per-doc perplexity over the whole
@@ -982,22 +1011,24 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (75 entries as of round 5). Window policy:
+    the registry grows past 50 (77 entries as of round 5). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest. r5 window: the 5 new entries (at-scale config twins + star-CC
-    keep set + L48 lm_perplexity + L49 dsir_importance), then the
-    20-entry r4 tail rotated back in (VERDICT r04 #2: spans_array_ops ..
-    hash_split, last driver rows r3), then the 3 entries whose behavior
-    changed this round (substring_dedup: linear-gap reassembly;
-    chunk_documents: blank-doc token count 0 + oracle; pack_shards:
-    checkpointed single-execution partitioning), then the stable
-    extraction + relational batteries up to the 50 cutoff (which now
-    lands after asof_join_forward: set_ops_hosts, pivot_orders and
-    topk_parts_per_brand join the rotated-out tail). Rotated out (25
-    entries from set_ops_hosts / repetition_features onward): all
-    driver-green in r4, unchanged, re-verified locally via
-    `python tools/check_contract.py`. Keep this note current."""
+    rest. r5 window: the 7 new entries (at-scale config twins, star-CC
+    keep set, L48 lm_perplexity, L49 dsir_importance, L50
+    dedup_lines_within_doc, L51 c4_line_rules), then the 20-entry r4
+    tail rotated back in (VERDICT r04 #2: spans_array_ops .. hash_split,
+    last driver rows r3), then the 3 entries whose behavior changed this
+    round (substring_dedup: linear-gap reassembly; chunk_documents:
+    blank-doc token count 0 + oracle; pack_shards: checkpointed
+    single-execution partitioning), then the stable extraction +
+    relational batteries up to the 50 cutoff (which now lands after
+    stream_session_counts: the asof pair, set_ops_hosts, pivot_orders
+    and topk_parts_per_brand join the rotated-out tail). Every
+    rotated-out entry is driver-green in r4,
+    unchanged, and re-verified locally via
+    `python tools/check_contract.py` (r5: all 77 green). Keep this note
+    current."""
     return {
         # --- r5: never-driver-verified (new at-scale config twins) ---
         "substring_dedup_hashed": _q_substring_dedup_hashed,
@@ -1005,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_star": _q_dedup_minhash_keep_star,  # golden
         "lm_perplexity": _q_lm_perplexity,  # L48 CCNet-style LM filter
         "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
+        "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
+        "c4_line_rules": _q_c4_line_rules,  # L51
         # --- r4 tail rotated back in (VERDICT r04 #2) ---
         "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -1481,6 +1514,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(b.ts) - coalesce(re.n_kept, 0) AS INT)
                      AS n_removed
             FROM base b LEFT JOIN re USING (doc_id)
+        """,
+        "dedup_lines_within_doc": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(
+                       text || chr(10) || chr(10) || text || chr(10) || text,
+                       chr(10)) AS ls
+              FROM documents
+            ), l AS (
+              SELECT doc_id, i AS pos, ls[i + 1] AS line
+              FROM base, unnest(range(0, len(ls))) AS u(i)
+            ), r AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (
+                       PARTITION BY doc_id, line ORDER BY pos) AS rn
+              FROM l
+            ), k AS (
+              SELECT doc_id, pos, line FROM r WHERE rn = 1 OR line = ''
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   CAST(len(b.ls) AS INT) AS n_lines,
+                   CAST(len(b.ls) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "c4_line_rules": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || '.' || chr(10) ||
+                     'enable javascript please now okay.' || chr(10) ||
+                     split_part(trim(text), ' ', 1) || '.' || chr(10) ||
+                     text || ' indeed?' AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls
+              FROM synth
+            ), l AS (
+              SELECT doc_id, i AS pos, ls[i + 1] AS line
+              FROM base, unnest(range(0, len(ls))) AS u(i)
+            ), kl AS (
+              SELECT doc_id, pos, line FROM l
+              WHERE (CASE WHEN length(trim(line)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(line), '\s+')) END) >= 3
+                AND regexp_matches(rtrim(line), '[.!?"]$')
+                AND NOT contains(lower(line), 'javascript')
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM kl GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   CAST(coalesce(a.n_kept, 0) AS INT) AS n_lines_kept,
+                   CAST(coalesce(a.n_kept, 0) >= 2
+                        AND NOT contains(lower(b.text), 'lorem ipsum')
+                        AND NOT contains(b.text, '{') AS INT) AS page_kept
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "lm_perplexity": r"""
             WITH toks AS (

@@ -1589,3 +1589,103 @@ def dsir_log_weights(
             F.round(F.sum(logw), 4).alias("log_importance"),
         )
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-DOCUMENT exact line dedup (RefinedWeb/Gopher repetition
+    REMOVAL, complementing the corpus-level ``remove_boilerplate_lines``
+    and the measurement-only ``repetition_features``): every non-blank
+    line keeps only its FIRST occurrence inside the document; blank lines
+    always survive (paragraph structure). Returns (id, text_clean,
+    n_lines, n_removed).
+
+    Fully row-local and near-linear: (line, pos) structs are array_sorted
+    (equal lines become adjacent), first-of-run marking is one pass of
+    O(1) ``element_at`` random access (NO per-line array_position /
+    array_contains scan — that shape is quadratic on a mega-doc of
+    repeated lines, the L40 lesson), kept positions re-sort, and the doc
+    reassembles with one slice pass. O(n log n) per doc, zero shuffle,
+    zero Python; a DuckDB window twin is the oracle (the WINDOW lives in
+    the oracle only — the Spark side must stay window-free)."""
+    ls = F.split(F.col(text_col), r"\n")
+    n = F.size(ls)
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.element_at(ls, i + 1).alias("line"), i.alias("pos")
+        ),
+    )
+    srt = F.array_sort(pairs)
+    # CASE (not OR) guards the j-1 lookup: disjunctions do not
+    # short-circuit in codegen and element_at(srt, 0) errors under ANSI
+    kept_j = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.when(
+            (j == 0) | (F.element_at(srt, j + 1)["line"] == ""), F.lit(True)
+        ).otherwise(
+            F.element_at(srt, j + 1)["line"] != F.element_at(srt, j)["line"]
+        ),
+    )
+    kept_pos = F.array_sort(
+        F.transform(kept_j, lambda j: F.element_at(srt, j + 1)["pos"])
+    )
+    rebuilt = F.concat_ws(
+        "\n", F.transform(kept_pos, lambda p: F.element_at(ls, p + 1))
+    )
+    return df.select(
+        F.col(id_col),
+        rebuilt.alias("text_clean"),
+        n.cast("int").alias("n_lines"),
+        (n - F.size(kept_pos)).cast("int").alias("n_removed"),
+    )
+
+
+def c4_line_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    drop_js_lines: bool = True,
+    drop_lorem_pages: bool = True,
+    drop_brace_pages: bool = True,
+) -> DataFrame:
+    """The C4 LINE + PAGE rules (Raffel et al. 2020 §2.2, the cleaning
+    behind the C4 corpus; ``blocklist_filter`` covers the bad-words rule
+    separately): keep only lines that end in terminal punctuation
+    (., !, ?, ") and have ≥ ``min_words`` words, drop lines mentioning
+    'javascript'; at page level, drop pages with < ``min_lines``
+    surviving lines, containing 'lorem ipsum', or containing '{'.
+    Returns (id, text_clean, n_lines_kept, page_kept). Row-local JVM
+    expressions only — at 100 TB this rides the extraction scan for
+    free; the DuckDB list twin is the oracle."""
+    ls = F.split(F.col(text_col), r"\n")
+
+    def line_ok(line):
+        words = F.when(F.trim(line) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(line), TOKEN_SPLIT))
+        )
+        ok = words >= min_words
+        if require_terminal_punct:
+            ok = ok & F.regexp_like(F.rtrim(line), F.lit(r'[.!?"]$'))
+        if drop_js_lines:
+            ok = ok & ~F.contains(F.lower(line), F.lit("javascript"))
+        return ok
+
+    kept = F.filter(ls, line_ok)
+    page_ok = F.size(kept) >= min_lines
+    if drop_lorem_pages:
+        page_ok = page_ok & ~F.contains(
+            F.lower(F.col(text_col)), F.lit("lorem ipsum")
+        )
+    if drop_brace_pages:
+        page_ok = page_ok & ~F.contains(F.col(text_col), F.lit("{"))
+    return df.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        page_ok.cast("int").alias("page_kept"),
+    )

@@ -1402,6 +1402,96 @@ def test_dsir_log_weights_matches_replica(spark):
     assert got_h == replica(lambda t: spark_xxhash64(t) % nb, v_override=nb)
 
 
+def test_remove_repeated_lines(spark):
+    """Within-doc line dedup: first occurrence survives, later exact
+    copies drop, blank lines always survive, order is preserved, and a
+    random corpus matches a sequential replica. Plan must be window-free
+    and shuffle-free (row-local)."""
+    import random as _random
+    import re as _re
+
+    from htmld_spark.functions.text import remove_repeated_lines
+
+    docs = [
+        (1, "a\nb\na\n\nb\nc"),        # dups of a and b; blank kept
+        (2, "x\nx\nx"),                # collapse to one line
+        (3, "only\nunique\nlines"),    # untouched
+        (4, ""),                       # blank doc: single blank line
+        (5, "\n\n"),                   # blank lines only — all kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in remove_repeated_lines(df).collect()
+    }
+    assert got[1] == ("a\nb\n\nc", 6, 2)
+    assert got[2] == ("x", 3, 2)
+    assert got[3] == ("only\nunique\nlines", 3, 0)
+    assert got[4] == ("", 1, 0)
+    assert got[5] == ("\n\n", 3, 0)
+    # sequential replica over a random corpus (also re-checks the hand
+    # cases above through the same code path)
+    rng = _random.Random(41)
+    lines_pool = ["aa", "bb", "cc", ""]
+    rand_docs = [
+        (10 + i, "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(0, 9))))
+        for i in range(40)
+    ]
+    all_docs = docs + rand_docs
+    df_all = spark.createDataFrame(all_docs, "doc_id long, text string")
+    expected = {}
+    for d, t in all_docs:
+        ls = t.split("\n")
+        seen, kept = set(), []
+        for line in ls:
+            if line == "" or line not in seen:
+                kept.append(line)
+                seen.add(line)
+        expected[d] = ("\n".join(kept), len(ls), len(ls) - len(kept))
+    got_all = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in remove_repeated_lines(df_all).collect()
+    }
+    assert got_all == expected
+    p = (
+        remove_repeated_lines(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"\bWindow \[", p)) == 0
+    assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_c4_line_rules(spark):
+    """C4 §2.2 line+page rules: terminal punctuation + min words keep a
+    line, 'javascript' lines drop, and lorem-ipsum / brace / too-few-line
+    pages are flagged page_kept=0."""
+    from htmld_spark.functions.text import c4_line_rules
+
+    good = "this is a proper sentence."
+    docs = [
+        (1, f"{good}\nanother full sentence here!\nis this kept too?\nno punct line"),
+        (2, f"{good}\nshort one.\nenable javascript to view this page.\nx.\ny"),
+        (3, f"{good}\n{good}\nlorem ipsum dolor sit amet."),
+        (4, f"{good}\n{good}\nfunction() {{ return 1; }}\n{good}"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines_kept, r.page_kept)
+        for r in c4_line_rules(df, min_words=4, min_lines=3).collect()
+    }
+    assert got[1] == (
+        f"{good}\nanother full sentence here!\nis this kept too?", 3, 1
+    )
+    # doc 2: 'short one.' (<4 words), javascript line, 'x.', 'y' all drop
+    assert got[2] == (good, 1, 0)
+    assert got[3][2] == 0  # lorem ipsum page dropped despite enough lines
+    assert got[4][2] == 0  # brace page dropped
+    assert got[5] == ("", 0, 0)
+
+
 def test_lm_and_dsir_degenerate_references_never_raise(spark):
     """Empty / blank-only reference corpora must not crash the LM or DSIR
     scorers: the add-α smoothing keeps every log defined (V ≥ 1), docs
