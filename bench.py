@@ -216,6 +216,8 @@ def run_headline(master: str) -> dict:
         "substring_dedup_hashed",
         "lm_perplexity",
         "dsir_importance",
+        "dedup_lines_within_doc",
+        "c4_line_rules",
     ):
         best = None
         for _ in range(2):
