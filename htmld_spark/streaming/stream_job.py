@@ -255,13 +255,23 @@ def ingest_epoch(
     )
 
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    # lazy localCheckpoint: the epoch takes several actions over the batch
+    # (bucket collect, band-key collect, anti-joins, final write) and in
+    # foreachBatch each would otherwise re-run the batch's extraction —
+    # the per-epoch instance of the extraction-diamond rule. Materializes
+    # once at the first action.
     batch_unique = (
         batch_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
     )
     man_dir = manifest_dir_for(data_dir)
     kept_all = _read_or_none(spark, data_dir)
+    # layout follows the existing corpus: appending bucketed partitions
+    # into a pre-bucketing corpus would leave MIXED directory depths,
+    # which parquet partition discovery rejects on the next epoch's read
+    bucketed_layout = kept_all is None or "_bucket" in kept_all.columns
     if kept_all is None:
         survivors = batch_unique
     else:
@@ -270,18 +280,26 @@ def ingest_epoch(
         # whole batch as self-duplicates and overwrite its partition with
         # nothing (data loss on crash-replay).
         ref = kept_all.filter(F.col("epoch_id") != epoch_id)
-        batch_buckets = [
-            r[0]
-            for r in batch_unique.select(
-                _bucket_of(text_col, n_buckets).alias("_b")
+        if bucketed_layout:
+            batch_buckets = [
+                r[0]
+                for r in batch_unique.select(
+                    _bucket_of(text_col, n_buckets).alias("_b")
+                )
+                .distinct()
+                .collect()  # bounded by n_buckets
+            ]
+            kept = (
+                ref.filter(F.col("_bucket").isin(batch_buckets))
+                .drop("epoch_id", "_bucket")
             )
-            .distinct()
-            .collect()  # bounded by n_buckets
-        ]
-        kept = (
-            ref.filter(F.col("_bucket").isin(batch_buckets))
-            .drop("epoch_id", "_bucket")
-        )
+        else:
+            # corpus written before bucketing existed (uniform old
+            # layout): full reference scan, and this epoch writes
+            # un-bucketed too — bucket pruning starts with a fresh
+            # corpus (or after rewriting old epochs); a mixed layout
+            # would fail parquet partition discovery outright.
+            kept = ref.drop("epoch_id")
         ref_keys = None
         if near:
             man_all = _read_or_none(spark, man_dir)
@@ -310,12 +328,15 @@ def ingest_epoch(
             batch_unique, kept, id_col=id_col, text_col=text_col, near=near,
             ref_band_keys=ref_keys,
         )
-    write_epoch(
-        survivors.withColumn("_bucket", _bucket_of(text_col, n_buckets)),
-        epoch_id,
-        data_dir,
-        extra_partition_cols=("_bucket",),
-    )
+    if bucketed_layout:
+        write_epoch(
+            survivors.withColumn("_bucket", _bucket_of(text_col, n_buckets)),
+            epoch_id,
+            data_dir,
+            extra_partition_cols=("_bucket",),
+        )
+    else:
+        write_epoch(survivors, epoch_id, data_dir)
     if near:
         write_epoch(
             minhash_band_keys(survivors, id_col, text_col)

@@ -324,6 +324,31 @@ def test_ingest_epoch_near_dedup_uses_manifest(spark, tmp_path_factory):
     assert {r.url for r in spark.read.parquet(out).collect()} == kept
 
 
+def test_ingest_epoch_pre_bucketing_corpus_stays_consistent(spark, tmp_path_factory):
+    """A kept corpus written before bucketing existed (plain epoch_id
+    layout) must still dedup correctly, and new epochs must FOLLOW the
+    old layout — mixing bucketed and un-bucketed partition depths would
+    fail parquet partition discovery on the next read."""
+    import os as _os
+
+    from htmld_spark.streaming.stream_job import ingest_epoch, write_epoch
+
+    out = str(tmp_path_factory.mktemp("ingest_oldlayout")) + "/data"
+    old = spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text")], "url string, text string"
+    )
+    write_epoch(old, 0, out)  # pre-bucketing layout: epoch_id only
+    b1 = spark.createDataFrame(
+        [("u3", "alpha text"), ("u4", "gamma text")], "url string, text string"
+    )
+    ingest_epoch(spark, b1, 1, out)
+    kept_df = spark.read.parquet(out)  # readable → layout consistent
+    assert "_bucket" not in kept_df.columns
+    assert {r.url for r in kept_df.collect()} == {"u1", "u2", "u4"}
+    ep1 = _os.path.join(out, "epoch_id=1")
+    assert not any(d.startswith("_bucket=") for d in _os.listdir(ep1))
+
+
 def test_ingest_epoch_corrupt_corpus_fails_loudly(spark, tmp_path_factory):
     """ADVICE r04: only a MISSING corpus means 'first epoch'. A corrupt
     reference (here: a garbage file where parquet should be) must raise,
