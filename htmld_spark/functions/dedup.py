@@ -88,28 +88,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    rows_per_band = num_perms // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_n)
     # ALL band keys in one projection + one explode — NOT a bands-way union:
     # each union branch is its own subplan, so at scale the expensive
     # shingle-explode aggregation would run `bands` times per join side
     # (measured: 15 scans / 32 aggregates in the post-AQE plan of the union
-    # form vs one sig pass here; exchange reuse only partially rescued it)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)],
-                    F.lit(b),
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    # form vs one sig pass here; exchange reuse only partially rescued it).
+    # The projection itself is shared with the incremental/streaming paths.
+    banded = minhash_band_keys(df, id_col, text_col, num_perms, bands, shingle_n)
     # lazy localCheckpoint: the candidate self-join references `banded` on
     # both sides and ReuseExchange does not fire for them (r4, plan-
     # verified on the simhash twin) — without it the shingle+signature
