@@ -42,13 +42,27 @@ def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as an array column (whole text if < n tokens)."""
+def _stage_tokens(df: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
+    """Project the token array ONCE into a bound column before any
+    higher-order function touches it. HOF lambdas are interpreted and an
+    inline expression referenced inside one re-evaluates PER ELEMENT —
+    the inline-split shingle builder re-split the whole doc for every
+    shingle position, O(tokens²) per doc (measured 280× at 30k tokens,
+    r5). A bound column stays bound because it is multi-referenced in the
+    consuming projection (CollapseProject only inlines single-use or
+    cheap aliases)."""
     toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
-    k = F.size(toks) - (n - 1)
+    return df.select(*keep_cols, F.col(text_col), toks.alias("_toks"))
+
+
+def _shingles_staged(text_col: str, n: int = 3):
+    """Word n-gram shingles over a ``_stage_tokens`` frame (whole trimmed
+    text if < n tokens). Lambda touches only the bound ``_toks`` column."""
+    tk = F.col("_toks")
+    k = F.size(tk) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
     )
     return F.when(k >= 1, grams).otherwise(F.array(F.trim(F.col(text_col))))
 
@@ -67,8 +81,9 @@ def minhash_signatures(
     # (xxhash64(xxhash64(shingle), i)) was ABBA-benchmarked at +18% — the
     # extra hash LAYER costs more than hashing the short shingle string k
     # times (xxh64 call overhead dominates below ~32 bytes). Kept direct.
-    exploded = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_n)).alias("shingle")
+    exploded = _stage_tokens(df, [F.col(id_col)], text_col).select(
+        F.col(id_col),
+        F.explode(_shingles_staged(text_col, shingle_n)).alias("shingle"),
     )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
@@ -132,9 +147,11 @@ def minhash_lsh_pairs(
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    sets_df = df.join(cand_ids, id_col, "left_semi").select(
+    sets_df = _stage_tokens(
+        df.join(cand_ids, id_col, "left_semi"), [F.col(id_col)], text_col
+    ).select(
         F.col(id_col),
-        F.array_distinct(_shingles(text_col, shingle_n)).alias("sset"),
+        F.array_distinct(_shingles_staged(text_col, shingle_n)).alias("sset"),
     )
     sa = sets_df.alias("sa")
     sb = sets_df.alias("sb")

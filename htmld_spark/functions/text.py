@@ -519,17 +519,22 @@ def enrich_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn("n_tokens", toks.cast("long")).withColumn(
         "pred_lang", _lang_pred(_lang_scores(text_col))
     ).withColumn("quality_bucket", bucket)
-    # winnow fingerprint, staged like winnow_fingerprint (zero shuffle)
+    # winnow fingerprint, staged like winnow_fingerprint (zero shuffle;
+    # bound _norm/_chars columns + char-array slices — the inline-expr
+    # and substring(i) forms are each O(chars²) per doc, r5 HOF rule)
     k, w = 8, 4
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    out = out.withColumn(
+        "_norm", F.regexp_replace(F.lower(text), r"\s+", " ")
+    ).withColumn("_chars", F.split(F.col("_norm"), ""))
+    norm, chars = F.col("_norm"), F.col("_chars")
+    n_grams = F.greatest(F.size(chars) - (k - 1), F.lit(0))
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(norm, i, k)),
+        lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i, k))),
     )
     out = out.withColumn("_ng", n_grams).withColumn(
         "_gh", F.when(n_grams > 0, gram_hashes).otherwise(F.array(F.xxhash64(norm)))
-    )
+    ).drop("_norm", "_chars")
     n_windows = F.col("_ng") - (w - 1)
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
@@ -577,13 +582,33 @@ def winnow_fingerprint(
     the old version's per-corpus shuffle.
 
     Returns (id, n_grams, n_selected, winnow_fp)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    # Two O(chars²)-per-doc traps fixed here (r5, both measured):
+    # (1) the transform lambda must reference BOUND columns only — an
+    #     inline regexp_replace re-normalized the full text per gram
+    #     position (280× at 30k elements);
+    # (2) substring(col, i, k) itself is O(i) — UTF8String seeks the
+    #     char offset from the string start (110 s for one 200 KB doc) —
+    #     so the k-grams slice a bound CHAR-ARRAY instead (1.4 s).
+    # Same gram strings → same hashes → goldens unchanged.
+    normed = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    ).select(
+        F.col(id_col),
+        F.col("_norm"),
+        F.split(F.col("_norm"), "").alias("_chars"),
+    )
+    norm, chars = F.col("_norm"), F.col("_chars")
+    # size(_chars)-based (== length(_norm) for non-empty; split('','')
+    # is [''] but the ≥0 clamp hides it) — ALSO the second `_chars`
+    # reference that keeps CollapseProject from inlining the split into
+    # the lambda (single-use aliases get re-inlined → per-element split)
+    n_grams = F.greatest(F.size(chars) - (k - 1), F.lit(0))
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.xxhash64(F.substring(norm, i, k)),
+        lambda i: F.xxhash64(F.concat_ws("", F.slice(chars, i, k))),
     )
-    staged = df.select(
+    staged = normed.select(
         F.col(id_col),
         n_grams.alias("n_grams"),
         F.when(n_grams > 0, gram_hashes)
@@ -1157,22 +1182,24 @@ def contamination_flags(
     broadcast-join + per-doc count, no corpus-vs-corpus shuffle. Raise
     ``n`` (13 in GPT-3's report) to reduce false positives."""
 
-    def grams(text_expr, k):
-        toks = F.split(F.trim(text_expr), TOKEN_SPLIT)
-        cnt = F.size(toks) - (k - 1)
+    def gram_rows(src_df, keep_cols, txt_col, k):
+        # tokens staged into a bound column — the inline-split lambda form
+        # re-split the doc per gram position (O(tokens²), r5 HOF rule)
+        staged = src_df.select(
+            *keep_cols,
+            F.split(F.trim(F.col(txt_col)), TOKEN_SPLIT).alias("_toks"),
+        )
+        tk = F.col("_toks")
+        cnt = F.size(tk) - (k - 1)
         g = F.transform(
             F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
         )
-        return F.when(cnt >= 1, g).otherwise(F.array().cast("array<string>"))
+        arr = F.when(cnt >= 1, g).otherwise(F.array().cast("array<string>"))
+        return staged.select(*keep_cols, F.explode(arr).alias("gram"))
 
-    eval_grams = (
-        eval_df.select(F.explode(grams(F.col(eval_text_col), n)).alias("gram"))
-        .distinct()
-    )
-    doc_grams = df.select(
-        F.col(id_col), F.explode(grams(F.col(text_col), n)).alias("gram")
-    )
+    eval_grams = gram_rows(eval_df, [], eval_text_col, n).distinct()
+    doc_grams = gram_rows(df, [F.col(id_col)], text_col, n)
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
         .groupBy(id_col)
@@ -1398,18 +1425,23 @@ def bigram_topk(
 ) -> DataFrame:
     """Corpus-wide top-k word bigrams: explode per-doc bigram arrays,
     count, deterministic (count desc, bigram asc) top-k. Shuffle carries
-    (bigram, partial count) — map-side combined."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
-    nb = F.size(toks) - 1
+    (bigram, partial count) — map-side combined. Tokens are staged into a
+    bound column first (inline split inside the transform lambda re-split
+    the doc per bigram position — O(tokens²), the r5 HOF-lambda rule)."""
+    staged = df.select(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT).alias("_toks")
+    )
+    tk = F.col("_toks")
+    nb = F.size(tk) - 1
     bigrams = F.when(
         nb >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(nb, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
         ),
     ).otherwise(F.array())
     return (
-        df.select(F.explode(bigrams).alias("bigram"))
+        staged.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -1602,43 +1634,54 @@ def remove_repeated_lines(
     n_lines, n_removed).
 
     Fully row-local and near-linear: (line, pos) structs are array_sorted
-    (equal lines become adjacent), first-of-run marking is one pass of
-    O(1) ``element_at`` random access (NO per-line array_position /
-    array_contains scan — that shape is quadratic on a mega-doc of
-    repeated lines, the L40 lesson), kept positions re-sort, and the doc
-    reassembles with one slice pass. O(n log n) per doc, zero shuffle,
-    zero Python; a DuckDB window twin is the oracle (the WINDOW lives in
-    the oracle only — the Spark side must stay window-free)."""
+    (equal lines become adjacent), first-of-run marking zips the sorted
+    array against its own 1-shifted copy, keepers re-sort by position and
+    reassemble. O(n log n) per doc, zero shuffle, zero Python; a DuckDB
+    window twin is the oracle (the WINDOW lives in the oracle only — the
+    Spark side must stay window-free).
+
+    HOF discipline (learned here the hard way): every lambda body below
+    touches ONLY its lambda variables — higher-order functions are
+    interpreted, and an outer EXPRESSION referenced inside a lambda is
+    re-evaluated per element (an element_at(array_sort(...), j) probe
+    re-sorted the whole doc for every line: quadratic-log on a mega-doc).
+    Outer arrays are only ever passed AS the HOF argument (evaluated once
+    per row) or zipped in; bounded-time-tested on a 100k-line doc."""
     ls = F.split(F.col(text_col), r"\n")
-    n = F.size(ls)
     pairs = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.struct(
-            F.element_at(ls, i + 1).alias("line"), i.alias("pos")
-        ),
+        ls,
+        lambda x, i: F.struct(x.alias("line"), i.cast("int").alias("pos")),
     )
     srt = F.array_sort(pairs)
-    # CASE (not OR) guards the j-1 lookup: disjunctions do not
-    # short-circuit in codegen and element_at(srt, 0) errors under ANSI
-    kept_j = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda j: F.when(
-            (j == 0) | (F.element_at(srt, j + 1)["line"] == ""), F.lit(True)
-        ).otherwise(
-            F.element_at(srt, j + 1)["line"] != F.element_at(srt, j)["line"]
+    shifted = F.concat(
+        F.array(F.lit(None).cast("struct<line:string,pos:int>")),
+        F.slice(srt, 1, F.greatest(F.size(ls) - 1, F.lit(0))),
+    )
+    marked = F.zip_with(
+        srt,
+        shifted,
+        lambda cur, prev: F.struct(
+            cur["pos"].alias("pos"),
+            cur["line"].alias("line"),
+            (
+                prev.isNull()
+                | (cur["line"] == "")
+                | (cur["line"] != prev["line"])
+            ).alias("keep"),
         ),
     )
-    kept_pos = F.array_sort(
-        F.transform(kept_j, lambda j: F.element_at(srt, j + 1)["pos"])
+    kept = F.array_sort(
+        F.transform(
+            F.filter(marked, lambda m: m["keep"]),
+            lambda m: F.struct(m["pos"].alias("pos"), m["line"].alias("line")),
+        )
     )
-    rebuilt = F.concat_ws(
-        "\n", F.transform(kept_pos, lambda p: F.element_at(ls, p + 1))
-    )
+    rebuilt = F.concat_ws("\n", F.transform(kept, lambda s: s["line"]))
     return df.select(
         F.col(id_col),
         rebuilt.alias("text_clean"),
-        n.cast("int").alias("n_lines"),
-        (n - F.size(kept_pos)).cast("int").alias("n_removed"),
+        F.size(ls).cast("int").alias("n_lines"),
+        (F.size(ls) - F.size(kept)).cast("int").alias("n_removed"),
     )
 
 

@@ -1463,6 +1463,61 @@ def test_remove_repeated_lines(spark):
     assert "Exchange" not in p and "EvalPython" not in p
 
 
+def test_token_gram_ops_bounded_on_mega_doc(spark):
+    """r5 HOF-lambda rule: an inline expression referenced inside a
+    higher-order-function lambda re-evaluates PER ELEMENT (measured 280×
+    at 30k tokens) — so every gram/shingle builder must stage its token
+    array (or normalized text) as a bound column. Pins minhash
+    signatures, winnow fingerprints, bigram_topk and contamination_flags
+    to bounded time on a 30k-token / ~200 KB doc (the old inline forms
+    took minutes each)."""
+    import time as _time
+
+    from htmld_spark.functions.dedup import minhash_signatures
+    from htmld_spark.functions.text import (
+        bigram_topk,
+        contamination_flags,
+        winnow_fingerprint,
+    )
+
+    n = 30_000
+    text = " ".join(f"w{i % 500}" for i in range(n))  # ~200 KB, dup-heavy
+    df = spark.createDataFrame(
+        [(1, text), (2, "small doc here")], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(9, text[:400])], "doc_id long, text string")
+    for name, run in (
+        ("minhash_signatures", lambda: minhash_signatures(df).collect()),
+        ("winnow_fingerprint", lambda: winnow_fingerprint(df).collect()),
+        ("bigram_topk", lambda: bigram_topk(df, k=5).collect()),
+        ("contamination_flags", lambda: contamination_flags(df, eval_df).collect()),
+    ):
+        t0 = _time.monotonic()
+        out = run()
+        elapsed = _time.monotonic() - t0
+        assert elapsed < 30.0, f"{name} took {elapsed:.1f}s on a 30k-token doc"
+        assert len(out) > 0
+
+
+def test_remove_repeated_lines_bounded_on_mega_doc(spark):
+    """A 100k-line doc that is 99.9% repeats must finish in bounded time:
+    the first-of-run mark is O(1) element_at random access, never a
+    per-line array scan (which would be ~10^10 comparisons here)."""
+    import time as _time
+
+    from htmld_spark.functions.text import remove_repeated_lines
+
+    n = 100_000
+    text = "\n".join(f"line{i % 100}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = _time.monotonic()
+    r = remove_repeated_lines(df).collect()[0]
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 30.0, f"mega-doc took {elapsed:.1f}s"
+    assert r.n_lines == n and r.n_removed == n - 100
+    assert r.text_clean == "\n".join(f"line{i}" for i in range(100))
+
+
 def test_c4_line_rules(spark):
     """C4 §2.2 line+page rules: terminal punctuation + min words keep a
     line, 'javascript' lines drop, and lorem-ipsum / brace / too-few-line
