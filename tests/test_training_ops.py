@@ -1486,11 +1486,21 @@ def test_token_gram_ops_bounded_on_mega_doc(spark):
         [(1, text), (2, "small doc here")], "doc_id long, text string"
     )
     eval_df = spark.createDataFrame([(9, text[:400])], "doc_id long, text string")
+    from htmld_spark.functions.text import (
+        chunk_documents,
+        dsir_log_weights,
+        lm_perplexity,
+    )
+
     for name, run in (
         ("minhash_signatures", lambda: minhash_signatures(df).collect()),
         ("winnow_fingerprint", lambda: winnow_fingerprint(df).collect()),
         ("bigram_topk", lambda: bigram_topk(df, k=5).collect()),
         ("contamination_flags", lambda: contamination_flags(df, eval_df).collect()),
+        # multi-ref-guard dependents: bound _toks/_ts element_at probes
+        ("chunk_documents", lambda: chunk_documents(df, chunk_tokens=512).collect()),
+        ("lm_perplexity", lambda: lm_perplexity(df, eval_df).collect()),
+        ("dsir_log_weights", lambda: dsir_log_weights(df, eval_df).collect()),
     ):
         t0 = _time.monotonic()
         out = run()
