@@ -4,13 +4,14 @@ exact, MinHash+LSH, SimHash, n-gram Jaccard).
 Design for 100 TB:
 - exact dedup is a hash-groupBy (one shuffle on a 16-byte key, map-side
   partial agg);
-- MinHash signatures are computed with k min-aggregations over exploded
-  shingles (shuffle carries (doc_id, 8-byte hash) pairs, never text);
-  LSH banding turns the O(n²) pair search into b self-joins on band keys —
+- MinHash and SimHash signatures are ROW-LOCAL array folds (r5): k
+  array_min(transform) passes over the staged shingle array / a 64-lane
+  bit-count aggregate over token hashes — the signature stages have ZERO
+  shuffle; only (id, signature) rows ever leave the scan;
+- LSH banding turns the O(n²) pair search into b self-joins on band keys —
   each join is an equi-join Catalyst can shuffle-hash, and candidate
-  verification joins token sets only for candidate pairs;
-- SimHash is 64 conditional-sum aggregations over exploded token hashes —
-  all JVM-side, no Python.
+  verification joins token sets only for candidate pairs — all JVM-side,
+  no Python.
 
 The banding/blocking shape follows the public LSH-blocking literature for
 distributed entity resolution (cf. "SparkER: Scaling Entity Resolution in
