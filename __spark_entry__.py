@@ -652,6 +652,16 @@ def _q_substring_dedup_hashed(spark, sf_dir):
     return TX.remove_duplicate_ngrams(docs, n=8, hash_grams=True)
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance RESAMPLING: Gumbel top-100 over the L49 log
+    weights with deterministic per-id Lehmer-LCG noise — reproducible,
+    repartition-invariant, and SQL-expressible (the oracle composes the
+    dsir_importance twin with the same LCG/Gumbel arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    return TX.dsir_select(docs, tgt, n_take=100)
+
+
 def _q_dedup_lines_within_doc(spark, sf_dir):
     """RefinedWeb-style within-doc line dedup over a synthesized
     repeated-line corpus (text, blank, text, text — every doc exercises
@@ -1011,20 +1021,21 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (77 entries as of round 5). Window policy:
+    the registry grows past 50 (78 entries as of round 5). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
-    rest. r5 window: the 7 new entries (at-scale config twins, star-CC
+    rest. r5 window: the 8 new entries (at-scale config twins, star-CC
     keep set, L48 lm_perplexity, L49 dsir_importance, L50
-    dedup_lines_within_doc, L51 c4_line_rules), then the 20-entry r4
+    dedup_lines_within_doc, L51 c4_line_rules, L52 dsir_select), then the 20-entry r4
     tail rotated back in (VERDICT r04 #2: spans_array_ops .. hash_split,
     last driver rows r3), then the 3 entries whose behavior changed this
     round (substring_dedup: linear-gap reassembly; chunk_documents:
     blank-doc token count 0 + oracle; pack_shards: checkpointed
     single-execution partitioning), then the stable extraction +
     relational batteries up to the 50 cutoff (which now lands after
-    stream_session_counts: the asof pair, set_ops_hosts, pivot_orders
-    and topk_parts_per_brand join the rotated-out tail). Every
+    stream_window_counts: stream_session_counts, the asof pair,
+    set_ops_hosts, pivot_orders and topk_parts_per_brand join the
+    rotated-out tail). Every
     rotated-out entry is driver-green in r4,
     unchanged, and re-verified locally via
     `python tools/check_contract.py` (r5: all 77 green). Keep this note
@@ -1038,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
         "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
         "c4_line_rules": _q_c4_line_rules,  # L51
+        "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
         # --- r4 tail rotated back in (VERDICT r04 #2) ---
         "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -2075,4 +2087,16 @@ def oracle_sql() -> dict[str, str]:
     oracles["substring_dedup_hashed"] = oracles["substring_dedup"]
     oracles["dedup_simhash_wide"] = oracles["dedup_simhash"]
     oracles["dedup_minhash_keep_star"] = oracles["dedup_minhash_keep"]
+    # DSIR selection composes the scoring twin with the same deterministic
+    # Lehmer-LCG Gumbel arithmetic (temperature 1.0)
+    oracles["dsir_select"] = f"""
+        WITH w AS ({oracles['dsir_importance']})
+        SELECT doc_id, n_tokens, log_importance,
+               round(log_importance
+                     + (-ln(-ln((((doc_id * 48271) % 2147483647) + 0.5)
+                                / 2147483647))), 4) AS sel_score
+        FROM w
+        ORDER BY sel_score DESC, doc_id
+        LIMIT 100
+    """
     return oracles

@@ -1732,3 +1732,51 @@ def c4_line_rules(
         F.size(kept).cast("int").alias("n_lines_kept"),
         page_ok.cast("int").alias("page_kept"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    n_take: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    alpha: float = 1.0,
+    n_buckets: int | None = None,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR importance RESAMPLING (the selection step of Xie et al. 2023
+    — ``dsir_log_weights`` is the scoring step): draw ``n_take``
+    documents without replacement with probability ∝ exp(log w / T) via
+    the Gumbel top-k trick — rank by log w / T + Gumbel noise and keep
+    the top k. Noise is DETERMINISTIC per id (a Lehmer LCG uniform,
+    u = ((id·48271 mod (2³¹−1)) + 0.5)/(2³¹−1), g = −ln(−ln u)) so runs
+    are reproducible and the selection is repartition-invariant — and,
+    unlike seeded RNG sampling, SQL-expressible for the oracle.
+    Requires a NUMERIC id (the LCG runs on the id value; hash string ids
+    to int64 upstream). ``temperature`` → 0 approaches deterministic
+    top-k by weight; large T approaches uniform. Returns
+    (id, n_tokens, log_importance, sel_score) for the selected docs.
+
+    Shape at 10^12 docs: scoring is ``dsir_log_weights`` (one corpus
+    pass + feature join); selection is a global top-k — TakeOrdered
+    (per-partition heaps + driver merge of k), never a full sort."""
+    if n_take < 1:
+        raise ValueError(f"n_take must be >= 1, got {n_take}")
+    w = dsir_log_weights(
+        df, target_df, id_col, text_col, target_text_col, alpha, n_buckets
+    )
+    m = 2147483647  # 2^31 - 1 (Lehmer modulus)
+    u = (F.pmod(F.col(id_col).cast("long") * 48271, F.lit(m)) + 0.5) / m
+    gumbel = -F.log(-F.log(u))
+    score = F.col("log_importance") / F.lit(float(temperature)) + gumbel
+    return (
+        w.select(
+            F.col(id_col),
+            "n_tokens",
+            "log_importance",
+            F.round(score, 4).alias("sel_score"),
+        )
+        .orderBy(F.col("sel_score").desc(), F.col(id_col))
+        .limit(n_take)
+    )

@@ -1557,6 +1557,49 @@ def test_c4_line_rules(spark):
     assert got[5] == ("", 0, 0)
 
 
+def test_dsir_select_gumbel_topk(spark):
+    """DSIR resampling: deterministic across repartitioning (LCG noise is
+    id-keyed, not RNG), low temperature converges to pure weight top-k,
+    the plan uses TakeOrdered (never a global sort), and every selected
+    id comes from the scored set."""
+    import re as _re
+
+    from htmld_spark.functions.text import dsir_log_weights, dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, ("spark plans " * (i % 5 + 1)).strip()) for i in range(1, 60)]
+        + [(100 + i, "bananas pears oranges kiwi") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(900, "spark plans shuffle catalyst")], "doc_id long, text string"
+    )
+    sel = dsir_select(docs, tgt, n_take=10)
+    a = sorted(r.doc_id for r in sel.collect())
+    b = sorted(
+        r.doc_id for r in dsir_select(docs.repartition(7), tgt, n_take=10).collect()
+    )
+    assert a == b and len(a) == 10
+    # T → 0: selection = pure top-k by log weight (ties broken by noise)
+    w = {
+        r.doc_id: r.log_importance
+        for r in dsir_log_weights(docs, tgt).collect()
+    }
+    cold = sorted(
+        r.doc_id
+        for r in dsir_select(docs, tgt, n_take=5, temperature=1e-9).collect()
+    )
+    top_w = sorted(w.values(), reverse=True)[4]
+    assert all(w[d] >= top_w for d in cold)
+    p = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    # join-side SortMergeJoin sorts are per-partition (global=false);
+    # the top-k itself must never become a global sort stage
+    assert len(_re.findall(r"Sort \[[^\]]*\], true", p)) == 0
+    with pytest.raises(ValueError):
+        dsir_select(docs, tgt, n_take=0)
+
+
 def test_lm_and_dsir_degenerate_references_never_raise(spark):
     """Empty / blank-only reference corpora must not crash the LM or DSIR
     scorers: the add-α smoothing keeps every log defined (V ≥ 1), docs
