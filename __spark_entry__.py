@@ -652,6 +652,13 @@ def _q_substring_dedup_hashed(spark, sf_dir):
     return TX.remove_duplicate_ngrams(docs, n=8, hash_grams=True)
 
 
+def _q_host_term_divergence(spark, sf_dir):
+    """Per-host unigram KL divergence vs the corpus over the pages
+    fixture — one token pass, corpus marginal derived from the
+    (host, token) counts, 1-row broadcast grand total. DuckDB twin."""
+    return TX.host_term_divergence(_pages(spark, sf_dir), min_host_tokens=50)
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR importance RESAMPLING: Gumbel top-100 over the L49 log
     weights with deterministic per-id Lehmer-LCG noise — reproducible,
@@ -1021,22 +1028,21 @@ def _q_multimodal_frame_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (78 entries as of round 5). Window policy:
+    the registry grows past 50 (79 entries as of round 5). Window policy:
     (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
     changed this round next, (3) stable driver-green entries fill the
     rest. r5 window: the 8 new entries (at-scale config twins, star-CC
     keep set, L48 lm_perplexity, L49 dsir_importance, L50
-    dedup_lines_within_doc, L51 c4_line_rules, L52 dsir_select), then the 20-entry r4
+    dedup_lines_within_doc, L51 c4_line_rules, L52 dsir_select, L53 host_term_divergence), then the 20-entry r4
     tail rotated back in (VERDICT r04 #2: spans_array_ops .. hash_split,
     last driver rows r3), then the 3 entries whose behavior changed this
     round (substring_dedup: linear-gap reassembly; chunk_documents:
     blank-doc token count 0 + oracle; pack_shards: checkpointed
     single-execution partitioning), then the stable extraction +
     relational batteries up to the 50 cutoff (which now lands after
-    stream_window_counts: stream_session_counts, the asof pair,
-    set_ops_hosts, pivot_orders and topk_parts_per_brand join the
-    rotated-out tail). Every
-    rotated-out entry is driver-green in r4,
+    sessionize: both stream_* rows, the asof pair, set_ops_hosts,
+    pivot_orders and topk_parts_per_brand join the rotated-out tail).
+    Every rotated-out entry is driver-green in r4,
     unchanged, and re-verified locally via
     `python tools/check_contract.py` (r5: all 77 green). Keep this note
     current."""
@@ -1050,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
         "c4_line_rules": _q_c4_line_rules,  # L51
         "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
+        "host_term_divergence": _q_host_term_divergence,  # L53 host KL
         # --- r4 tail rotated back in (VERDICT r04 #2) ---
         "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -2098,5 +2105,33 @@ def oracle_sql() -> dict[str, str]:
         FROM w
         ORDER BY sel_score DESC, doc_id
         LIMIT 100
+    """
+    oracles["host_term_divergence"] = f"""
+        WITH toks AS (
+          SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                 CASE WHEN length(trim(text)) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+')
+                 END AS ts
+          FROM read_parquet('{fx}')
+        ), hc AS (
+          SELECT host, unnest(ts) AS tok FROM toks
+        ), c AS (
+          SELECT host, tok, count(*) AS c FROM hc GROUP BY 1, 2
+        ), cc AS (
+          SELECT tok, sum(c) AS cc FROM c GROUP BY 1
+        ), nh AS (
+          SELECT host, sum(c) AS nh FROM c GROUP BY 1
+        ), nc AS (
+          SELECT sum(cc) AS nc FROM cc
+        )
+        SELECT c.host, CAST(max(nh.nh) AS BIGINT) AS n_tokens,
+               round(sum((c.c / nh.nh)
+                         * (ln(c.c / nh.nh) - ln(cc.cc / nc.nc))), 4)
+                 AS kl_divergence
+        FROM c
+        JOIN cc USING (tok) JOIN nh USING (host) CROSS JOIN nc
+        GROUP BY c.host
+        HAVING CAST(max(nh.nh) AS BIGINT) >= 50
     """
     return oracles

@@ -1600,6 +1600,54 @@ def test_dsir_select_gumbel_topk(spark):
         dsir_select(docs, tgt, n_take=0)
 
 
+def test_host_term_divergence(spark):
+    """Host-level KL vs corpus: matches a sequential replica, a host that
+    mirrors the corpus mix scores near 0, an off-distribution host scores
+    strictly higher, and sub-threshold hosts are dropped."""
+    import math as _math
+
+    # spam must be a MINORITY of corpus tokens: KL(host‖corpus) measures
+    # distance from the corpus mix, and a host that IS most of the corpus
+    # is by construction central (first draft made spam 54% of tokens and
+    # the mainstream hosts diverged more)
+    docs = (
+        [(f"https://a.example/{i}", "spark plans shuffle catalyst join") for i in range(40)]
+        + [(f"https://b.example/{i}", "spark plans shuffle catalyst join") for i in range(40)]
+        + [(f"https://spam.example/{i}", "buy cheap pills now " * 3) for i in range(5)]
+        + [("https://tiny.example/1", "only three tokens")]
+    )
+    df = spark.createDataFrame(docs, "url string, text string")
+    from htmld_spark.functions.text import host_term_divergence
+
+    got = {
+        r.host: (r.n_tokens, r.kl_divergence)
+        for r in host_term_divergence(df, min_host_tokens=10).collect()
+    }
+    assert "tiny.example" not in got  # below min_host_tokens
+    # sequential replica
+    from collections import Counter, defaultdict
+
+    hc = defaultdict(Counter)
+    for u, t in docs:
+        host = u.split("/")[2]
+        hc[host].update(t.split())
+    corpus = Counter()
+    for c in hc.values():
+        corpus.update(c)
+    nc = sum(corpus.values())
+    for host, c in hc.items():
+        n = sum(c.values())
+        if n < 10:
+            continue
+        kl = sum(
+            (v / n) * _math.log((v / n) / (corpus[t] / nc))
+            for t, v in c.items()
+        )
+        assert got[host] == (n, round(kl, 4)), host
+    # a/b mirror each other AND dominate the corpus mix; spam diverges
+    assert got["spam.example"][1] > got["a.example"][1] >= 0
+
+
 def test_lm_and_dsir_degenerate_references_never_raise(spark):
     """Empty / blank-only reference corpora must not crash the LM or DSIR
     scorers: the add-α smoothing keeps every log defined (V ≥ 1), docs
