@@ -35,10 +35,17 @@ def demo_curate(spark) -> None:
 
 
 def demo_quality_models(spark) -> None:
-    """2. LM perplexity (CCNet) + DSIR importance vs a reference slice."""
+    """2. LM perplexity (CCNet), DSIR importance + Gumbel top-k
+    resampling, and per-host distribution drift."""
     from pyspark.sql import functions as F
 
-    from htmld_spark.functions.text import dsir_log_weights, lm_perplexity
+    from htmld_spark.functions.text import (
+        dsir_log_weights,
+        dsir_select,
+        host_term_divergence,
+        lm_perplexity,
+    )
+    from fixtures.gen_pages import ensure_pages
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ref = docs.filter(F.col("doc_id") % 10 == 0)  # the "trusted" slice
@@ -49,6 +56,12 @@ def demo_quality_models(spark) -> None:
     joined.orderBy("bigram_ppl").show(5)
     print("least reference-like:")
     joined.orderBy(F.col("bigram_ppl").desc()).show(5)
+    print("DSIR Gumbel top-5 resample (deterministic):")
+    dsir_select(docs, ref, n_take=5, n_buckets=4096).show()
+    print("per-host KL divergence vs the corpus (drift/spam triage):")
+    host_term_divergence(spark.read.parquet(ensure_pages("0.001"))).orderBy(
+        F.col("kl_divergence").desc()
+    ).show(5)
 
 
 def demo_streaming_ingest(spark) -> None:
