@@ -232,6 +232,7 @@ def dedup_against_reference(
     bands: int = 4,
     shingle_n: int = 3,
     ref_band_keys: DataFrame | None = None,
+    new_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL crawl dedup: keep rows of ``new_df`` that duplicate
     nothing in the (already-kept) ``ref_df`` — the production shape for
@@ -253,6 +254,13 @@ def dedup_against_reference(
        ``minhash_band_keys``) to skip re-computing reference signatures
        from text — the streaming-ingest shape, where the reference corpus
        grows every epoch but its keys were already computed on arrival.
+       Pass ``new_band_keys`` (an (id, band, band_key) frame over
+       ``new_df``, ideally checkpointed) to skip re-computing the NEW
+       side's signatures too — the streaming epoch computes the batch's
+       keys once and reuses them here, for its bucket-prune set, and for
+       the manifest write. Keys of rows the exact stage already dropped
+       are harmless: the resulting ids are anti-joined against the
+       exact-stage survivors, where those rows no longer exist.
 
     Returns the surviving rows of ``new_df`` (all original columns)."""
     ref_hashes = ref_df.select(F.md5(F.col(text_col)).alias("content_hash"))
@@ -269,9 +277,12 @@ def dedup_against_reference(
             ref_df, id_col, text_col, num_perms, bands, shingle_n
         )
     ref_keys = ref_band_keys.select("band", "band_key").distinct()
+    if new_band_keys is None:
+        new_band_keys = minhash_band_keys(
+            survivors, id_col, text_col, num_perms, bands, shingle_n
+        )
     hit_ids = (
-        minhash_band_keys(survivors, id_col, text_col, num_perms, bands, shingle_n)
-        .join(ref_keys, ["band", "band_key"], "left_semi")
+        new_band_keys.join(ref_keys, ["band", "band_key"], "left_semi")
         .select(id_col)
         .distinct()
     )

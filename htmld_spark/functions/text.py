@@ -1479,8 +1479,10 @@ def lm_perplexity(
 
     Shape at 10^12 docs: the LM is TWO map-side-combinable groupBys over
     the (much smaller) reference slice — the bigram table and its prefix
-    marginal — materialized once via lazy localCheckpoint (the V scalar
-    is a bounded 1-row collect off the same checkpoint); the corpus pass
+    marginal — materialized once via lazy localCheckpoint; the tokenized
+    reference itself is ALSO checkpointed so the ref parquet is scanned
+    exactly once (the V scalar's 1-row collect and the bigram table both
+    read that checkpoint, not a second ref scan); the corpus pass
     is one narrow bigram explode, a join on the bigram key (broadcast
     when the LM fits, AQE shuffle-hash otherwise), and one per-doc
     partial-agg sum. No Python anywhere."""
@@ -1497,7 +1499,8 @@ def lm_perplexity(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    ref_base = ref_df.select(ref_toks.alias("_ts"))
+    # one ref scan + tokenize, shared by the bigram table AND the V collect
+    ref_base = ref_df.select(ref_toks.alias("_ts")).localCheckpoint(eager=False)
     c2 = (
         ref_base.select(F.explode(bigram_arr).alias("bg"))
         .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -1799,18 +1802,32 @@ def host_term_divergence(
     kl_divergence) rounded to 4.
 
     Shape at 10^12 docs: ONE token pass — (host, token) counts via a
-    map-side-combinable groupBy; the corpus marginal, the host totals
-    and the grand total all derive from that counts table (two more
-    partial-agg groupBys and a 1-row broadcast cross join — no second
-    corpus scan, no driver collect); one join on the token key and a
-    final per-host sum. All JVM-side."""
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    map-side-combinable groupBy, lazily localCheckpointed (the counts
+    table feeds FOUR consumers — cc, nh, nc and the final join — and
+    without the checkpoint column pruning defeats ReuseExchange and the
+    corpus is re-tokenized four times; the r5 plan showed 4 scans / 0
+    ReusedExchange); the corpus marginal, the host totals and the grand
+    total all derive from the checkpointed table (two more partial-agg
+    groupBys and a 1-row broadcast cross join — no second corpus scan,
+    no driver collect); one join on the token key and a final per-host
+    sum. All JVM-side.
+
+    Host extraction uses try_parse_url (plain parse_url RAISES on
+    unparseable urls in Spark 4 — one malformed crawl URL would fail the
+    job), null-coalesced to '' to match the DuckDB oracle's no-match
+    behavior. For host:port / user@host URLs Spark strips port/userinfo
+    while the oracle's regex keeps them; the fixture contract assumes
+    plain well-formed http(s) hosts (documented on both sides)."""
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
+    )
     toks = _guarded_tokens(text_col)
     hc = (
         df.select(host.alias("host"), toks.alias("_ts"))
         .select("host", F.explode(F.col("_ts")).alias("tok"))
         .groupBy("host", "tok")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)  # ONE tokenize pass shared by all 4 uses
     )
     cc = hc.groupBy("tok").agg(F.sum("_c").alias("_cc"))
     nh = hc.groupBy("host").agg(F.sum("_c").alias("_nh"))

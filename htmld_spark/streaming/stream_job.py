@@ -244,7 +244,16 @@ def ingest_epoch(
     (band, band_key) MANIFEST partitioned by (epoch_id, _bkb =
     pmod(band_key, n_buckets)); subsequent epochs anti-join against the
     manifest pruned to the batch's band-key buckets — never re-tokenizing
-    the accumulated text corpus. Size n_buckets so one bucket of the
+    the accumulated text corpus. Epochs ingested BEFORE the manifest
+    existed (e.g. a near=False history switched to near=True) are
+    BACKFILLED on first need: any data epoch missing from the manifest
+    gets its band keys computed from its stored survivors and written as
+    that epoch's manifest partition, a one-time cost per legacy epoch —
+    without it those epochs' near-duplicates would be silently admitted
+    forever (ADVICE r05). The batch's own band keys are computed ONCE per
+    epoch (lazy localCheckpoint) and shared by the bucket-prune set, the
+    anti-join, and the manifest write (ADVICE r05 — they were previously
+    recomputed up to three times). Size n_buckets so one bucket of the
     mature corpus ≈ one batch (e.g. 4096 at crawl scale); 16 keeps the
     fixture partition count sane."""
     from pyspark.sql.window import Window
@@ -268,6 +277,15 @@ def ingest_epoch(
     )
     man_dir = manifest_dir_for(data_dir)
     kept_all = _read_or_none(spark, data_dir)
+    batch_keys = None
+    if near:
+        # ONE signature pass over the batch, shared by the bucket-prune
+        # collect, the anti-join inside dedup_against_reference, and the
+        # manifest write below (each is a separate action; without the
+        # checkpoint the shingle/minhash work would re-run per consumer)
+        batch_keys = minhash_band_keys(
+            batch_unique, id_col, text_col
+        ).localCheckpoint(eager=False)
     # layout follows the existing corpus: appending bucketed partitions
     # into a pre-bucketing corpus would leave MIXED directory depths,
     # which parquet partition discovery rejects on the next epoch's read
@@ -303,10 +321,47 @@ def ingest_epoch(
         ref_keys = None
         if near:
             man_all = _read_or_none(spark, man_dir)
+            # BACKFILL (ADVICE r05): every reference epoch must have
+            # manifest coverage, or near-duplicates of pre-manifest
+            # epochs (e.g. a near=False history) are admitted forever.
+            # One-time cost per legacy epoch; both collects are bounded
+            # by the epoch count (ints only).
+            ref_epochs = {
+                r[0] for r in ref.select("epoch_id").distinct().collect()
+            }
+            man_epochs = (
+                set()
+                if man_all is None
+                else {
+                    r[0]
+                    for r in man_all.select("epoch_id").distinct().collect()
+                }
+            )
+            drop_cols = [
+                c for c in ("epoch_id", "_bucket") if c in kept_all.columns
+            ]
+            for e in sorted(ref_epochs - man_epochs):
+                write_epoch(
+                    minhash_band_keys(
+                        kept_all.filter(F.col("epoch_id") == e).drop(*drop_cols),
+                        id_col,
+                        text_col,
+                    )
+                    .withColumn(
+                        "_bkb",
+                        F.pmod("band_key", F.lit(n_buckets)).cast("int"),
+                    )
+                    .select("band", "band_key", "_bkb"),
+                    e,
+                    man_dir,
+                    extra_partition_cols=("_bkb",),
+                )
+            if ref_epochs - man_epochs:
+                man_all = _read_or_none(spark, man_dir)
             if man_all is not None:
                 bkb = [
                     r[0]
-                    for r in minhash_band_keys(batch_unique, id_col, text_col)
+                    for r in batch_keys
                     .select(F.pmod("band_key", F.lit(n_buckets)).alias("_b"))
                     .distinct()
                     .collect()  # bounded by n_buckets
@@ -316,17 +371,13 @@ def ingest_epoch(
                     .filter(F.col("_bkb").isin(bkb))
                     .select("band", "band_key")
                 )
-            else:
-                # corpus predates the manifest (e.g. ingested with
-                # near=False): fall back to computing reference keys from
-                # the FULL un-pruned corpus once; this epoch writes its
-                # manifest below, converging the store to manifest-based.
-                ref_keys = minhash_band_keys(
-                    ref.drop("epoch_id", "_bucket"), id_col, text_col
-                )
+            # man_all can only still be None when the reference has zero
+            # epochs of its own (a pure replay of the one existing epoch):
+            # ref is empty, so the empty-manifest fallback inside
+            # dedup_against_reference sees an empty ref too — no keys lost.
         survivors = dedup_against_reference(
             batch_unique, kept, id_col=id_col, text_col=text_col, near=near,
-            ref_band_keys=ref_keys,
+            ref_band_keys=ref_keys, new_band_keys=batch_keys,
         )
     if bucketed_layout:
         write_epoch(
@@ -338,8 +389,10 @@ def ingest_epoch(
     else:
         write_epoch(survivors, epoch_id, data_dir)
     if near:
+        # reuse the checkpointed batch keys: semi-join down to the epoch's
+        # survivors instead of recomputing signatures a second time
         write_epoch(
-            minhash_band_keys(survivors, id_col, text_col)
+            batch_keys.join(survivors.select(id_col), id_col, "left_semi")
             .withColumn("_bkb", F.pmod("band_key", F.lit(n_buckets)).cast("int"))
             .select("band", "band_key", "_bkb"),
             epoch_id,

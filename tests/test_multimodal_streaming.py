@@ -324,6 +324,52 @@ def test_ingest_epoch_near_dedup_uses_manifest(spark, tmp_path_factory):
     assert {r.url for r in spark.read.parquet(out).collect()} == kept
 
 
+def test_ingest_epoch_backfills_pre_manifest_epochs(spark, tmp_path_factory):
+    """ADVICE r05: a kept corpus ingested BEFORE the manifest existed
+    (near=False history) must be backfilled when near=True turns on —
+    otherwise near-duplicates of those legacy epochs are silently
+    admitted forever. After the backfill, the manifest covers every data
+    epoch and later epochs prune normally."""
+    import os as _os
+
+    from htmld_spark.streaming.stream_job import ingest_epoch, manifest_dir_for
+
+    out = str(tmp_path_factory.mktemp("ingest_backfill")) + "/data"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    b0 = spark.createDataFrame(
+        [("u1", base), ("u2", "completely different content about spark plans")],
+        "url string, text string",
+    )
+    ingest_epoch(spark, b0, 0, out, near=False)  # pre-manifest history
+    assert not _os.path.isdir(manifest_dir_for(out))
+    # u3 = near dup (band-colliding pinned pair) of legacy u1; u4 = novel
+    b1 = spark.createDataFrame(
+        [
+            ("u3", base.replace("garden", "meadow")),
+            ("u4", "an entirely unrelated novel document body here"),
+        ],
+        "url string, text string",
+    )
+    ingest_epoch(spark, b1, 1, out, near=True)
+    kept = {r.url for r in spark.read.parquet(out).collect()}
+    assert "u3" not in kept  # near dup of the PRE-manifest epoch dropped
+    assert kept == {"u1", "u2", "u4"}
+    man_df = spark.read.parquet(manifest_dir_for(out))
+    # backfill wrote epoch 0's keys; epoch 1 wrote its own
+    assert {r.epoch_id for r in man_df.select("epoch_id").distinct().collect()} == {0, 1}
+    # a later near-dup of the legacy epoch still prunes via the manifest
+    # (meadow is the PINNED band-colliding edit; other edits are
+    # probabilistic — see the test above)
+    b2 = spark.createDataFrame(
+        [("u5", base.replace("garden", "meadow"))], "url string, text string"
+    )
+    ingest_epoch(spark, b2, 2, out, near=True)
+    assert {r.url for r in spark.read.parquet(out).collect()} == {"u1", "u2", "u4"}
+
+
 def test_ingest_epoch_pre_bucketing_corpus_stays_consistent(spark, tmp_path_factory):
     """A kept corpus written before bucketing existed (plain epoch_id
     layout) must still dedup correctly, and new epochs must FOLLOW the
