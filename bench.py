@@ -218,14 +218,41 @@ def run_headline(master: str) -> dict:
         "dsir_importance",
         "dedup_lines_within_doc",
         "c4_line_rules",
+        # round-6 additions (VERDICT r05 #6: every oracled operator gets a
+        # bench row so a plan regression surfaces — the curate-diamond lesson)
+        "dsir_select",
+        "host_term_divergence",
     ):
         best = None
         for _ in range(2):
             t0 = time.monotonic()
-            qs[name](spark, SF_DIR).count()
+            df = qs[name](spark, SF_DIR)
+            df.count()
             t = time.monotonic() - t0
             best = t if best is None else min(best, t)
         extra[name] = round(best, 3)
+
+    # plan-shape fingerprints for the diamond-prone extras: these queries'
+    # checkpointed counts tables MUST hide the upstream tokenize — a scan
+    # or Generate count above the recorded shape is a reintroduced diamond
+    # (host_term_divergence shipped with exactly that 4× bug in r5).
+    import re as _re2
+
+    extra_plan_shapes = {}
+    for name in ("dsir_select", "host_term_divergence", "lm_perplexity"):
+        plan_str = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        extra_plan_shapes[name] = {
+            "parquet_scans": len(_re2.findall(r"Scan parquet", plan_str)),
+            "generates": len(_re2.findall(r"Generate ", plan_str)),
+            "checkpoint_scans": len(_re2.findall(r"Scan ExistingRDD", plan_str)),
+            "reused_exchanges": len(_re2.findall(r"ReusedExchange", plan_str)),
+        }
+    assert extra_plan_shapes["host_term_divergence"]["parquet_scans"] == 0, (
+        "host_term_divergence: tokenize diamond reintroduced"
+    )
 
     total = round(sum(timings.values()), 3)
     # byte-normalized extraction throughput (round-4 attribution: fixture
@@ -248,6 +275,7 @@ def run_headline(master: str) -> dict:
         "extract_docs_per_sec": round(n_docs / t_ex, 1),
         "extract_mb_per_sec": round(input_bytes / 1e6 / t_ex, 2),
         "extra_queries": extra,
+        "extra_plan_shapes": extra_plan_shapes,
         "curate_e2e": curate_e2e,
     }
     spark.stop()

@@ -1770,7 +1770,12 @@ def dsir_select(
         df, target_df, id_col, text_col, target_text_col, alpha, n_buckets
     )
     m = 2147483647  # 2^31 - 1 (Lehmer modulus)
-    u = (F.pmod(F.col(id_col).cast("long") * 48271, F.lit(m)) + 0.5) / m
+    # pre-reduce the id into [0, m) BEFORE the multiply: full-range int64
+    # ids (e.g. xxhash64(url) from curate()) overflow id*48271 under ANSI
+    # mode; pmod(id, m)*48271 < 2^47 is always safe, and for the small
+    # non-negative ids the oracle uses, pmod(id, m) == id — identical u.
+    rid = F.pmod(F.col(id_col).cast("long"), F.lit(m))
+    u = (F.pmod(rid * 48271, F.lit(m)) + 0.5) / m
     gumbel = -F.log(-F.log(u))
     score = F.col("log_importance") / F.lit(float(temperature)) + gumbel
     return (

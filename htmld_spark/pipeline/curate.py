@@ -51,6 +51,11 @@ def curate(
     lm_ref: DataFrame | None = None,
     max_bigram_ppl: float | None = None,
     lm_ref_text_col: str = "text",
+    dsir_target: DataFrame | None = None,
+    dsir_take: int | None = None,
+    dsir_n_buckets: int | None = None,
+    dsir_temperature: float = 1.0,
+    dsir_target_text_col: str = "text",
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -89,6 +94,20 @@ def curate(
     dropped by the gate; the default ``min_tokens=5`` already removes
     them. Both parameters must be given together.
 
+    ``dsir_target`` + ``dsir_take`` apply DSIR importance RESAMPLING
+    (Xie et al. 2023; ``functions/text.dsir_select`` = L49 scoring + L52
+    Gumbel top-k) right after the LM gate — the model-quality chain
+    CCNet→DSIR in one pass: documents are scored against the target
+    corpus's hashed feature distribution and ``dsir_take`` of them are
+    kept with probability ∝ exp(log w / T). The url is hashed to int64
+    for the deterministic per-id Gumbel noise (an xxhash64 collision
+    merges two urls' keep decisions — odds ~n²/2⁶⁴, irrelevant below
+    10¹⁸ docs). Same plan-diamond rule as the LM gate: the frame feeds
+    both the scoring pass and the semi-join back, so it is lazily
+    localCheckpointed first. ``dsir_n_buckets`` selects the paper's
+    hashed feature space (recommended at scale; None = exact vocab).
+    Both parameters must be given together.
+
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
     ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
@@ -102,6 +121,11 @@ def curate(
         raise ValueError(
             "lm_ref and max_bigram_ppl must be given together (the LM gate"
             " needs both a reference corpus and a threshold)"
+        )
+    if (dsir_target is None) != (dsir_take is None):
+        raise ValueError(
+            "dsir_target and dsir_take must be given together (importance"
+            " resampling needs both a target corpus and a sample size)"
         )
     extracted = extract_df(
         pages.select(*[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]),
@@ -158,6 +182,27 @@ def curate(
             .select("url")
         )
         gated = gated.join(keep_ids, "url", "left_semi")
+    if dsir_target is not None:
+        from htmld_spark.functions.text import dsir_select
+
+        # same diamond rule as the LM gate: `gated` feeds the DSIR scoring
+        # pass AND the semi-join back — checkpoint so the extraction (and
+        # the LM gate's join, when stacked) materializes once.
+        gated = gated.localCheckpoint(eager=False)
+        sel = dsir_select(
+            gated.withColumn("_dsir_id", F.xxhash64("url")),
+            dsir_target,
+            n_take=int(dsir_take),
+            id_col="_dsir_id",
+            target_text_col=dsir_target_text_col,
+            n_buckets=dsir_n_buckets,
+            temperature=dsir_temperature,
+        ).select("_dsir_id")
+        gated = (
+            gated.withColumn("_dsir_id", F.xxhash64("url"))
+            .join(sel, "_dsir_id", "left_semi")
+            .drop("_dsir_id")
+        )
 
     # exact content dedup: md5(text), keep deterministic first (url, ts)
     w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")

@@ -175,6 +175,54 @@ def test_curate_lm_perplexity_gate(spark):
     base.unpersist(); tight.unpersist()
 
 
+def test_curate_dsir_resampling(spark):
+    """VERDICT r05 #5: dsir_target + dsir_take compose DSIR importance
+    resampling (L49 scoring + L52 Gumbel top-k) into curate() after the
+    LM-gate slot. A take ≥ the corpus is a no-op (every gated doc has
+    ≥ min_tokens tokens, so every doc scores); a small take bounds the
+    output; runs are deterministic; the plan keeps the single-extraction
+    shape in BOTH near-dedup modes; half-given params raise."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    target = pages.filter(F.pmod(F.xxhash64("url"), F.lit(7)) == 0).select("text")
+    base = curate(pages, min_tokens=3, max_per_host=500).cache()
+    n_base = base.count()
+    loose = curate(
+        pages, min_tokens=3, max_per_host=500,
+        dsir_target=target, dsir_take=10 * n_base, dsir_n_buckets=64,
+    )
+    assert (
+        base.exceptAll(loose).count() == 0 and loose.exceptAll(base).count() == 0
+    )
+    take = max(2, n_base // 3)
+    tight = curate(
+        pages, min_tokens=3, max_per_host=500,
+        dsir_target=target, dsir_take=take, dsir_n_buckets=64,
+    ).cache()
+    n_tight = tight.count()
+    assert 0 < n_tight <= take  # downstream dedup/quota can only shrink it
+    again = curate(
+        pages, min_tokens=3, max_per_host=500,
+        dsir_target=target, dsir_take=take, dsir_n_buckets=64,
+    )
+    assert tight.exceptAll(again).count() == 0 and again.exceptAll(tight).count() == 0
+    # stacked with the LM gate + minhash near-dedup: still one extraction
+    ref = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0).select("text")
+    for mode in ("winnow", "minhash"):
+        stacked = curate(
+            pages, min_tokens=3, max_per_host=500, near_dedup=mode,
+            lm_ref=ref, max_bigram_ppl=1e9,
+            dsir_target=target, dsir_take=take, dsir_n_buckets=64,
+        )
+        assert stacked.count() <= take
+        p = stacked._jdf.queryExecution().executedPlan().toString()
+        assert p.count("MapInArrow") <= 1 and "BatchEvalPython" not in p
+    with pytest.raises(ValueError):
+        curate(pages, dsir_target=target)
+    with pytest.raises(ValueError):
+        curate(pages, dsir_take=5)
+    base.unpersist(); tight.unpersist()
+
+
 def test_curate_gopher_gate(spark):
     """gopher_gate applies the Gopher rule set as an inline row-local
     filter; the survivors must be exactly the gopher_rules passes-subset

@@ -1648,6 +1648,83 @@ def test_host_term_divergence(spark):
     assert got["spam.example"][1] > got["a.example"][1] >= 0
 
 
+def test_host_divergence_mega_host_bounded(spark):
+    """VERDICT r05 #8(a): a MEGA-HOST carrying ~50% of all corpus tokens
+    (the template-farm skew the operator exists for) — bounded time,
+    replica-exact values. Being half the corpus makes the mega-host
+    central by construction (the corpus mix ≈ its own mix), so a small
+    genuinely off-distribution host must out-diverge it."""
+    import math as _math
+    import time as _time
+    from collections import Counter, defaultdict
+
+    from htmld_spark.functions.text import host_term_divergence
+
+    body = " ".join(f"w{i % 40}" for i in range(60))
+    docs = (
+        [(f"https://mega.example/{i}", body) for i in range(2000)]
+        + [(f"https://h{i}.example/1", body) for i in range(1990)]
+        + [(f"https://spam.example/{i}", "buy cheap pills now " * 15) for i in range(10)]
+    )
+    df = spark.createDataFrame(docs, "url string, text string").repartition(8)
+    t0 = _time.monotonic()
+    got = {
+        r.host: (r.n_tokens, r.kl_divergence)
+        for r in host_term_divergence(df, min_host_tokens=10).collect()
+    }
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 60.0, f"mega-host corpus took {elapsed:.1f}s"
+    hc = defaultdict(Counter)
+    for u, t in docs:
+        hc[u.split("/")[2]].update(t.split())
+    corpus = Counter()
+    for c in hc.values():
+        corpus.update(c)
+    ncorp = sum(corpus.values())
+    assert sum(hc["mega.example"].values()) / ncorp > 0.49  # the skew is real
+    for host in ("mega.example", "h0.example", "spam.example"):
+        c = hc[host]
+        n = sum(c.values())
+        kl = sum(
+            (v / n) * _math.log((v / n) / (corpus[t] / ncorp))
+            for t, v in c.items()
+        )
+        assert got[host] == (n, round(kl, 4)), host
+    assert got["spam.example"][1] > got["mega.example"][1] >= 0
+
+
+def test_lm_perplexity_high_oov_bounded(spark):
+    """VERDICT r05 #8(b): a corpus whose tokens are ~100% OOV vs the LM
+    reference — every bigram falls through to the add-1 floor. Values
+    stay finite, symmetric all-OOV docs score identically, an in-domain
+    doc (the reference text itself) scores strictly lower, and the run
+    is bounded on 2k docs with disjoint per-doc vocabularies (worst case
+    for the bigram join: zero key overlap, the LM side contributes
+    nothing and every corpus bigram must still get the smoothed floor)."""
+    import math as _math
+    import time as _time
+
+    from htmld_spark.functions.text import lm_perplexity
+
+    ref_text = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame([(0, ref_text)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"oov{i}x{j}" for j in range(30))) for i in range(1, 2001)]
+        + [(9999, ref_text)],
+        "doc_id long, text string",
+    ).repartition(8)
+    t0 = _time.monotonic()
+    ppl = {r.doc_id: r.bigram_ppl for r in lm_perplexity(docs, ref).collect()}
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 60.0, f"high-OOV corpus took {elapsed:.1f}s"
+    assert len(ppl) == 2001
+    oov_vals = {v for k, v in ppl.items() if k != 9999}
+    assert len(oov_vals) == 1  # symmetric all-OOV docs → identical floor ppl
+    floor = oov_vals.pop()
+    assert _math.isfinite(floor) and floor > 0
+    assert ppl[9999] < floor  # in-domain text beats the OOV floor
+
+
 def test_lm_and_dsir_degenerate_references_never_raise(spark):
     """Empty / blank-only reference corpora must not crash the LM or DSIR
     scorers: the add-α smoothing keeps every log defined (V ≥ 1), docs

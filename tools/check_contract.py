@@ -124,7 +124,14 @@ def main(names: list[str]) -> int:
         else:
             print(f"OK    {name}: {len(sr)} rows match ({dt:.1f}s)")
     spark.stop()
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    # registry bookkeeping, printed by the TOOL so round docs quote it
+    # instead of hand-maintaining counts (VERDICT r05 "what's wrong" #2:
+    # hand-kept numbers rotted three rounds running)
+    print(
+        f"\nregistry: {len(qs)} entries, {len(oracles)} value-oracled, "
+        f"{len(qs) - len(oracles)} rows-only; checked {len(targets)} this run"
+    )
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
 
