@@ -1025,83 +1025,93 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _q_paragraph_dedup_keep(spark, sf_dir):
+    """L54 corpus-level paragraph dedup, FIRST-OCCURRENCE keep (Dolma
+    §4.1): non-first occurrences of duplicated non-empty paragraphs drop
+    corpus-wide, docs reassembled in order; blank paragraphs are
+    structure and always survive. One hash groupBy (singleton keys
+    pruned) + join back + per-doc reassembly. The fixture corpus has NO
+    cross-doc duplicate paragraphs (measured), so the query plants two
+    boilerplate paragraphs on id-slices — every doc_id%7 doc gains a
+    cookie banner, every %11 doc a footer (plus a blank separator) —
+    exercising drop, keep-first, and blank-preservation. DuckDB window
+    twin composes the same corpus."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\ncookie banner accept all\n\nsite footer nav")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("\nsite footer nav")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.dedup_paragraphs_corpus(docs, id_col="doc_id")
+
+
+def _q_tf_idf_top_terms(spark, sf_dir):
+    """L55 per-document TF-IDF top-k terms (Spärck Jones 1972; smoothed
+    sklearn idf): (id, term) counts + vocabulary-sized df table + 1-row
+    broadcast N, window top-k over the counted table. DuckDB twin is the
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tf_idf_top_terms(docs, id_col="doc_id", k=3)
+
+
+def _q_temperature_sample(spark, sf_dir):
+    """L56 temperature-rebalanced multilingual sampling (XLM-R, Conneau
+    et al. 2020 §3.1: q_l ∝ p_l^α): per-lang counts via one bounded
+    collect, rates in deterministic sorted-lang order, then the
+    content-stable stratified keep-hash. Golden-oracled via the
+    pure-Python xxh64 + rate replica."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return TX.temperature_sample(docs, alpha=0.3, sample_frac=0.5)
+
+
+def _q_semdedup_keep(spark, sf_dir):
+    """L57 SemDeDup (Abbas et al. 2023) semantic dedup over embeddings:
+    deterministic seeded-Lloyd k-means (the IVF coarse quantizer,
+    bounded hash-threshold sample), within-cluster cosine ≥ τ pairs,
+    keep-lowest-id representative. Golden-oracled by the pure-Python
+    replica (sample, fit, assignment, fold-order cosine, keep rule)."""
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, tau=0.3, sample_mod=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
-    the registry grows past 50 (79 entries as of round 5). Window policy:
-    (1) never-driver-verified entries first, (2) entries whose BEHAVIOR
-    changed this round next, (3) stable driver-green entries fill the
-    rest. r5 window: the 8 new entries (at-scale config twins, star-CC
-    keep set, L48 lm_perplexity, L49 dsir_importance, L50
-    dedup_lines_within_doc, L51 c4_line_rules, L52 dsir_select, L53 host_term_divergence), then the 20-entry r4
-    tail rotated back in (VERDICT r04 #2: spans_array_ops .. hash_split,
-    last driver rows r3), then the 3 entries whose behavior changed this
-    round (substring_dedup: linear-gap reassembly; chunk_documents:
-    blank-doc token count 0 + oracle; pack_shards: checkpointed
-    single-execution partitioning), then the stable extraction +
-    relational batteries up to the 50 cutoff (which now lands after
-    sessionize: both stream_* rows, the asof pair, set_ops_hosts,
-    pivot_orders and topk_parts_per_brand join the rotated-out tail).
-    Every rotated-out entry is driver-green in r4,
-    unchanged, and re-verified locally via
-    `python tools/check_contract.py` (r5: all 77 green). Keep this note
-    current."""
+    the registry grows past 50. Window policy: (1) never-driver-verified
+    entries first, (2) entries whose BEHAVIOR changed this round next,
+    (3) the stalest rotated-out tail, (4) stable driver-green entries
+    fill the rest. The registry COUNT is printed by
+    `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
+    not hand-maintain the number here). r6 window: the 4 new L54–L57
+    entries, then the 3 whose plans/behavior changed this round
+    (host_term_divergence: checkpointed single token pass +
+    try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
+    id pre-reduction), then the FULL 29-entry r5 tail rotated back in
+    (VERDICT r05 #3: stream_window_counts .. ngram_repetition, last
+    driver rows r4), then the r5-new six, the r5 behavior trio, and the
+    flagship goldens up to the 50 cutoff. Every rotated-out entry is
+    driver-green in r5, unchanged, and re-verified locally via
+    check_contract each round. Keep this note current."""
     return {
-        # --- r5: never-driver-verified (new at-scale config twins) ---
-        "substring_dedup_hashed": _q_substring_dedup_hashed,
-        "dedup_simhash_wide": _q_dedup_simhash_wide,  # golden (Manku keys)
-        "dedup_minhash_keep_star": _q_dedup_minhash_keep_star,  # golden
-        "lm_perplexity": _q_lm_perplexity,  # L48 CCNet-style LM filter
-        "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
-        "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
-        "c4_line_rules": _q_c4_line_rules,  # L51
-        "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
+        # --- r6: never-driver-verified (new operators) ---
+        "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
+        "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
+        "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
+        "semdedup_keep": _q_semdedup_keep,  # L57 golden (replayed fit)
+        # --- plans/behavior changed in r6 → stay in the driver window ---
         "host_term_divergence": _q_host_term_divergence,  # L53 host KL
-        # --- r4 tail rotated back in (VERDICT r04 #2) ---
-        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
-        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
-        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
-        "embed_cosine_topk": _q_embed_cosine_topk,
-        "embed_batch_topk": _q_embed_batch_topk,
-        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
-        "host_top_terms": _q_host_top_terms,
-        "decontaminate": _q_decontaminate,
-        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
-        "text_token_stats": _q_text_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "gopher_rules": _q_gopher_rules,
-        "hash_split": _q_hash_split,
-        # --- behavior changed in r5 → must stay in the driver window ---
-        "substring_dedup": _q_substring_dedup,  # linear-gap reassembly
-        "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
-        "pack_shards": _q_pack_shards,  # single-execution partitioning
-        # extraction engine + pipeline (golden oracles on the pages fixture)
-        "extract_main_text": _q_extract_main_text,
-        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
-        "spans_tag_histogram": _q_spans_tag_histogram,  # golden (tc_*)
-        "select_counts": _q_select_counts,  # golden (sel_* battery)
-        "select_extract": _q_select_extract,  # golden (se_*)
-        "outer_html_main": _q_outer_html_main,  # golden (main_outer_html)
-        "pages_dedup_latest": _q_pages_dedup_latest,
-        "pages_host_counts": _q_pages_host_counts,
-        # relational operators over driver tables
-        "q1_pricing": _q_q1_pricing,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "window_running_qty": _q_window_running_qty,
-        "customers_without_orders": _q_customers_without_orders,
-        "rollup_docs": _q_rollup_docs,
-        "cube_events": _q_cube_events,
-        "json_props": _q_json_props,
-        "events_daily": _q_events_daily,
-        "sessionize": _q_sessionize,
+        "lm_perplexity": _q_lm_perplexity,  # L48 CCNet-style LM filter
+        "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
+        # --- r5 tail rotated back in (VERDICT r05 #3; last driver rows r4) ---
         "stream_window_counts": _q_stream_window_counts,
         "stream_session_counts": _q_stream_session_counts,  # R16 session windows
         "asof_join_events": _q_asof_join_events,
@@ -1109,8 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_hosts": _q_set_ops_hosts,
         "pivot_orders": _q_pivot_orders,
         "topk_parts_per_brand": _q_topk_parts_per_brand,
-        # --- r5 rotated-out tail: driver-green in r4, unchanged; locally
-        # re-verified via tools/check_contract.py each round ---
         "repetition_features": _q_repetition_features,
         "compression_ratio": _q_compression_ratio,
         "pii_scrub": _q_pii_scrub,
@@ -1135,6 +1143,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": _q_host_quota,  # two-phase + salted pre-prune
         "boilerplate_line_removal": _q_boilerplate_line_removal,
         "ngram_repetition": _q_ngram_repetition,  # hash-gram 1-pass
+        # --- window fill: r5-new six (driver rows r5) ---
+        "substring_dedup_hashed": _q_substring_dedup_hashed,
+        "dedup_simhash_wide": _q_dedup_simhash_wide,  # golden (Manku keys)
+        "dedup_minhash_keep_star": _q_dedup_minhash_keep_star,  # golden
+        "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
+        "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
+        "c4_line_rules": _q_c4_line_rules,  # L51
+        # --- window fill: r5 behavior trio + flagship goldens ---
+        "substring_dedup": _q_substring_dedup,  # linear-gap reassembly
+        "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
+        "pack_shards": _q_pack_shards,  # single-execution partitioning
+        "extract_main_text": _q_extract_main_text,
+        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
+        "select_counts": _q_select_counts,  # golden (sel_* battery)
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
+        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
+        # ---------------- 50-entry driver cutoff lands here ----------------
+        # r6 rotated-out tail: driver-green in r5, unchanged; locally
+        # re-verified via tools/check_contract.py each round
+        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
+        "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_batch_topk": _q_embed_batch_topk,
+        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
+        "host_top_terms": _q_host_top_terms,
+        "decontaminate": _q_decontaminate,
+        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
+        "text_token_stats": _q_text_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "gopher_rules": _q_gopher_rules,
+        "hash_split": _q_hash_split,
+        "spans_tag_histogram": _q_spans_tag_histogram,  # golden (tc_*)
+        "select_extract": _q_select_extract,  # golden (se_*)
+        "outer_html_main": _q_outer_html_main,  # golden (main_outer_html)
+        "pages_dedup_latest": _q_pages_dedup_latest,
+        "pages_host_counts": _q_pages_host_counts,
+        "q1_pricing": _q_q1_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "window_running_qty": _q_window_running_qty,
+        "customers_without_orders": _q_customers_without_orders,
+        "rollup_docs": _q_rollup_docs,
+        "cube_events": _q_cube_events,
+        "json_props": _q_json_props,
+        "events_daily": _q_events_daily,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -1724,6 +1784,72 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY host ORDER BY n DESC, term) AS INT) AS rk
             FROM c QUALIFY rk <= 5
         """,
+        # L54 corpus-level paragraph dedup, first-occurrence keep: the
+        # global keeper of a duplicated non-empty paragraph is its min
+        # (doc_id, pos) occurrence; blank paragraphs always survive
+        "paragraph_dedup_keep": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+                         'cookie banner accept all' || chr(10) || chr(10) ||
+                         'site footer nav'
+                       WHEN doc_id % 11 = 0 THEN text || chr(10) ||
+                         'site footer nav'
+                       ELSE text
+                     END AS text
+              FROM documents
+            ), base AS (
+              SELECT doc_id, string_split(text, chr(10)) AS paras
+              FROM aug
+            ), ex AS (
+              SELECT doc_id, i AS pos, paras[i] AS para
+              FROM base, unnest(range(1, len(paras) + 1)) AS u(i)
+            ), r AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, pos) AS rn
+              FROM ex WHERE para <> ''
+            ), k AS (
+              SELECT doc_id, pos, para FROM r WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, para FROM ex WHERE para = ''
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+                     count(*) AS n_kept
+              FROM k GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   CAST(len(b.paras) AS INT) AS n_paras,
+                   CAST(len(b.paras) - coalesce(a.n_kept, 0) AS INT)
+                     AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        # L55 per-doc TF-IDF top-k (smoothed sklearn idf), same
+        # tokenization as host_top_terms
+        "tf_idf_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t
+              WHERE length(term) >= 4 GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, term, tf,
+                   round(tf * (ln((1 + n_docs) / (1 + dfreq)) + 1), 4)
+                     AS tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY round(tf * (ln((1 + n_docs) / (1 + dfreq)) + 1), 4)
+                       DESC, term) AS INT) AS rk
+            FROM tf JOIN dft USING (term) CROSS JOIN n
+            QUALIFY rk <= 3
+        """,
         "embed_batch_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding FROM embeddings
@@ -1923,6 +2049,18 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             f"SELECT doc_id, lang FROM "
             f"read_parquet('{os.path.join(gold, 'stratified_sample.parquet')}')"
+        ),
+        # L56 temperature-rebalanced multilingual sample: rates + keep
+        # hash replayed by the pure-Python replica
+        "temperature_sample": (
+            f"SELECT doc_id, lang FROM "
+            f"read_parquet('{os.path.join(gold, 'temperature_sample.parquet')}')"
+        ),
+        # L57 SemDeDup keep set: Lloyd fit + assignment + fold-order
+        # cosine + keep-lowest-id rule replayed by the pure-Python replica
+        "semdedup_keep": (
+            f"SELECT vec_id, ivf_cell FROM "
+            f"read_parquet('{os.path.join(gold, 'semdedup_keep.parquet')}')"
         ),
         "host_quota": f"""
             SELECT url, warc_ts FROM (

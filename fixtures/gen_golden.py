@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "12"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "14"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -274,6 +274,27 @@ def golden_stratified_sample(
     return out
 
 
+def golden_temperature_sample(
+    rows: list[tuple[int, str]],
+    alpha: float = 0.3,
+    sample_frac: float = 0.5,
+) -> list[tuple[int, str]]:
+    """Replicates functions/text.temperature_sample over (doc_id, lang):
+    per-language rates min(1, S·q_l/n_l) with q_l ∝ (n_l/N)^α computed
+    in sorted-language order (bit-identical float sequence to the Spark
+    driver's temperature_rates), then the same xxh64 keep-hash as
+    golden_stratified_sample."""
+    counts: dict[str, int] = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    total = sum(counts.values())
+    qs = {l: (counts[l] / total) ** alpha for l in sorted(counts)}
+    z = sum(qs[l] for l in sorted(qs))
+    target = sample_frac * total
+    rates = {l: min(1.0, target * (qs[l] / z) / counts[l]) for l in sorted(qs)}
+    return golden_stratified_sample(rows, rates, default_rate=0.0)
+
+
 # ------------------------------------------------------------------ embeddings family
 
 
@@ -414,6 +435,92 @@ def golden_ann_ivf(
         scored.append((vid, _round_half_up(cos, 6)))
     scored.sort(key=lambda t: (-t[1], t[0]))
     return scored[:k]
+
+
+def golden_semdedup(
+    vec_ids: list[int],
+    embeddings: list[list[float]],
+    n_cells: int = 16,
+    tau: float = 0.3,
+    seed: int = 42,
+    n_iter: int = 20,
+    sample_mod: int = 2,
+    sample_limit: int = 100_000,
+) -> list[tuple[int, int]]:
+    """Replays similarity.semdedup_keep: the pinned Lloyd fit over the
+    hash-threshold sample (identical spec to golden_ann_ivf), full-table
+    assignment, then the keep-lowest-id one-shot rule — vec j dropped
+    iff ANY i < j in its cluster has half-up-round(cos, 6) ≥ tau, cosine
+    via the float32-cast left-fold (Spark's array<float> → double cast +
+    aggregate fold order). Returns kept (vec_id, cell) sorted by id."""
+    import math
+
+    import numpy as np
+
+    sampled = [
+        i
+        for i in range(len(vec_ids))
+        if ((spark_xxhash64(Long(vec_ids[i])) % sample_mod) + sample_mod)
+        % sample_mod
+        == 0
+    ]
+    order = sorted(sampled, key=lambda i: vec_ids[i])[:sample_limit]
+    X = np.stack([np.asarray(embeddings[i], dtype=np.float64) for i in order])
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=n_cells, replace=False)
+    cents = X[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = np.array(
+            [int(np.argmin(((cents - v) ** 2).sum(axis=1))) for v in X]
+        )
+        new = cents.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    cents = np.round(cents, 6)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    by_cell: dict[int, list[int]] = {}
+    for i, vid in enumerate(vec_ids):
+        v = np.asarray(embeddings[i], dtype=np.float64)
+        c = int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        by_cell.setdefault(c, []).append(i)
+    idx_of = {vid: i for i, vid in enumerate(vec_ids)}
+    dropped: set[int] = set()
+    kept: list[tuple[int, int]] = []
+    for c, members in by_cell.items():
+        ms = sorted(members, key=lambda i: vec_ids[i])
+        casted = {
+            i: [float(np.float64(np.float32(x))) for x in embeddings[i]]
+            for i in ms
+        }
+        norms = {i: fold_norm(casted[i]) for i in ms}
+        for jpos, j in enumerate(ms):
+            for i in ms[:jpos]:
+                cos = fold_dot(casted[i], casted[j]) / (norms[i] * norms[j])
+                if _round_half_up(cos, 6) >= tau:
+                    dropped.add(vec_ids[j])
+                    break
+        kept.extend(
+            (vec_ids[i], c) for i in ms if vec_ids[i] not in dropped
+        )
+    kept.sort()
+    return kept
 
 
 def golden_lsh_near_pairs(
@@ -574,6 +681,20 @@ def ensure_golden(sf_dir: str) -> str:
         os.path.join(out_dir, "ann_ivf_topk.parquet"),
     )
 
+    sd = golden_semdedup(
+        et.column("vec_id").to_pylist(),
+        et.column("embedding").to_pylist(),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in sd], pa.int64()),
+                "ivf_cell": pa.array([r[1] for r in sd], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "semdedup_keep.parquet"),
+    )
+
     np_pairs = golden_lsh_near_pairs(
         et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()
     )
@@ -618,6 +739,20 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "stratified_sample.parquet"),
+    )
+
+    # temperature-rebalanced multilingual sample (XLM-R q_l ∝ p_l^α)
+    temp = golden_temperature_sample(
+        list(zip(lt.column("doc_id").to_pylist(), lt.column("lang").to_pylist()))
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in temp], pa.int64()),
+                "lang": pa.array([r[1] for r in temp], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "temperature_sample.parquet"),
     )
 
     # incremental (new-vs-reference) dedup: odd doc_ids vs even doc_ids

@@ -556,3 +556,68 @@ def ann_lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    n_cells: int = 16,
+    tau: float = 0.95,
+    sample_limit: int = 100_000,
+    sample_mod: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means cluster the
+    embedding space, then WITHIN each cluster treat pairs with cosine ≥
+    ``tau`` as semantic duplicates and keep one representative. The
+    coarse quantizer is ``ivf_build_sampled``'s deterministic seeded
+    Lloyd fit (bounded hash-threshold sample + Arrow-batch assignment) —
+    SemDeDup and the IVF ANN index share one set of centroids, exactly
+    how a production table ships them. Representative rule:
+    KEEP-LOWEST-ID — vec j is dropped iff some i < j in its cluster has
+    round(cos(i, j), 6) ≥ tau. This is the deterministic one-shot
+    relaxation of the paper's sweep (it can only drop MORE than a greedy
+    chain, never keep a ≥-tau pair intact; the paper's
+    keep-lowest-centroid-similarity choice of WHICH member survives is a
+    ranking detail this swaps for id order). Returns kept
+    (id, ivf_cell) rows, golden-oracled by the pure-Python replica
+    (fixtures/gen_golden.py replays sample, fit, assignment, fold-order
+    cosine and the keep rule exactly).
+
+    Shape at 10^12 docs: the pairwise verify is CLUSTER-bounded — the
+    paper itself accepts within-cluster quadratic cost and sizes k so
+    clusters stay tractable (their 50k clusters on 12.8B docs ≈ 256k
+    docs/cluster); size ``n_cells`` accordingly (≈ n_rows / 10^5). The
+    assigned frame feeds the self-join twice plus the final anti-join —
+    THREE consumers of the Arrow assignment pass — so it is lazily
+    localCheckpointed (the plan-diamond rule; without it the assignment
+    and its upstream scan re-run per consumer). The self-join shuffles
+    on the cell key; the anti-join is on the id key (AQE broadcasts the
+    dropped-id side — duplicates are a small fraction of the corpus)."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    assigned, _cents = ivf_build_sampled(
+        df, n_cells=n_cells, sample_limit=sample_limit,
+        sample_mod=sample_mod, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    slim = assigned.select(
+        F.col(id_col), F.col("ivf_cell"), F.col(vec_col)
+    ).localCheckpoint(eager=False)
+    a, b = slim.alias("a"), slim.alias("b")
+    va = F.col(f"a.{vec_col}").cast("array<double>")
+    vb = F.col(f"b.{vec_col}").cast("array<double>")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6) >= tau
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return slim.join(dropped, id_col, "left_anti").select(id_col, "ivf_cell")

@@ -1852,3 +1852,180 @@ def host_term_divergence(
         )
         .filter(F.col("n_tokens") >= min_host_tokens)
     )
+
+
+def dedup_paragraphs_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-level paragraph dedup with FIRST-OCCURRENCE keep (Dolma,
+    Soldaini et al. 2024 §4.1 "paragraph deduplication"; RefinedWeb,
+    Penedo et al. 2023 runs the same shape at sequence level): every
+    non-first occurrence of a duplicated NON-EMPTY paragraph
+    (newline-separated block) is dropped corpus-wide — the occurrence
+    with the smallest (id, position) survives — and each document is
+    reassembled from its surviving paragraphs in original order. Unlike
+    ``remove_boilerplate_lines`` (which drops frequent lines from EVERY
+    document) one copy of each paragraph always survives, so no content
+    is lost from the corpus — the Dolma policy for training-data dedup.
+    Empty paragraphs are structure, not content: always kept (the
+    blank-line rule remove_boilerplate_lines established). Returns
+    (id, text_clean, n_paras, n_removed).
+
+    Shape at 10^12 docs: posexplode paragraphs → ONE map-side-combinable
+    groupBy on the 16-byte md5 paragraph hash computing the keeper
+    min(struct(id, pos)) and the occurrence count (singleton hashes are
+    pruned before the join — the overwhelming majority in a deduped
+    corpus never re-shuffles) → join back on the hash key (AQE picks
+    broadcast vs shuffle-hash; the dup-key table is corpus-duplicate-
+    sized, not corpus-sized) → per-document ordered reassembly via
+    sort_array(collect_list(struct(pos, para))). No Python anywhere."""
+    paras = F.split(F.col(text_col), r"\n")
+    ex = df.select(F.col(id_col), F.posexplode(paras).alias("pos", "para"))
+    nonblank = ex.filter(F.length("para") > 0).withColumn(
+        "_ph", F.md5("para")
+    )
+    dup_keys = (
+        nonblank.groupBy("_ph")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_ph", "_keep")
+    )
+    kept_nonblank = (
+        nonblank.join(dup_keys, "_ph", "left")
+        .filter(
+            F.col("_keep").isNull()
+            | ((F.col("_keep")[id_col] == F.col(id_col))
+               & (F.col("_keep")["pos"] == F.col("pos")))
+        )
+        .select(id_col, "pos", "para")
+    )
+    kept = kept_nonblank.unionByName(
+        ex.filter(F.length("para") == 0).select(id_col, "pos", "para")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = df.select(F.col(id_col), F.size(paras).alias("_total"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("_total").cast("int").alias("n_paras"),
+        (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 4,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (Spärck Jones 1972; the
+    smoothed idf variant scikit-learn popularized): tf(t,d) = raw count
+    of t in d; idf(t) = ln((1+N)/(1+df(t))) + 1 over the corpus;
+    deterministic (tfidf desc, term asc) top-k per document. The
+    keyword-extraction primitive behind topical corpus audits and
+    domain-mixture labeling. Lowercased whitespace tokens of length ≥
+    ``min_len`` (the host_top_terms convention). Returns
+    (id, term, tf, tfidf, rk) with tfidf rounded to 4.
+
+    Shape at 10^12 docs: (id, term) counts via one map-side-combinable
+    groupBy; df(t) from a second partial-agg groupBy over the DISTINCT
+    (id, term) pairs already in hand (vocabulary-sized, not corpus-
+    sized); N via a 1-row broadcast cross join (no driver collect); one
+    join on the term key (AQE broadcasts the vocab side when it fits)
+    and one per-document top-k window over the counted table — never
+    over raw tokens."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.length("term") >= min_len
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df(t) over distinct (id, term): tf is already that set, one groupBy
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    idf = F.log((1 + F.col("_n")) / (1 + F.col("_df"))) + 1
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.3,
+    sample_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (XLM-R, Conneau et al.
+    2020 §3.1; mBERT's exponential smoothing): sample languages with
+    probability q_l ∝ p_l^α where p_l is the language's corpus share —
+    α < 1 UPSAMPLES the tail relative to its share, so low-resource
+    languages keep more of their documents than head languages. Given a
+    target size S = ``sample_frac``·N, language l's keep rate is
+    min(1, S·q_l / n_l). Selection reuses ``stratified_sample``'s
+    content-stable keep-hash (pmod(xxhash64(key, salt), 1e6) — same key
+    keeps identically across runs and repartitioning; golden-oracled via
+    the pure-Python xxh64 replica).
+
+    Shape at 10^12 docs: ONE map-side-combinable per-language count
+    groupBy, then a BOUNDED collect (#languages rows — hundreds at
+    most), rates computed driver-side in deterministic sorted-language
+    order (bit-identical to the pure-Python replica — a distributed
+    float sum's addition order would not be), then the row-local
+    predicate-pushable keep filter. Zero joins, zero extra passes."""
+    if not 0 < sample_frac <= 1:
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded by the number of languages
+    }
+    rates = temperature_rates(counts, alpha=alpha, sample_frac=sample_frac)
+    return stratified_sample(
+        df, rates=rates, stratum_col=stratum_col, key_col=key_col,
+        default_rate=0.0,
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.3, sample_frac: float = 0.5
+) -> dict[str, float]:
+    """Driver-side rate table for ``temperature_sample`` — deterministic
+    sorted-stratum order so the float math is bit-identical between the
+    Spark path and the pure-Python golden replica."""
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    qs = {l: (counts[l] / total) ** alpha for l in sorted(counts)}
+    z = sum(qs[l] for l in sorted(qs))
+    target = sample_frac * total
+    return {
+        l: min(1.0, target * (qs[l] / z) / counts[l]) for l in sorted(qs)
+    }

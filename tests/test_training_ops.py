@@ -1825,3 +1825,148 @@ def test_round3_text_ops_never_raise_and_deterministic(spark):
     assert len(outs["ngram"]) == len(nasty)
     assert len(outs["decon"]) == len(nasty)
     assert len(outs["substr"]) == len(nasty)
+
+
+def test_dedup_paragraphs_corpus(spark):
+    """L54 Dolma-style corpus paragraph dedup: first (id, pos) occurrence
+    of a duplicated non-empty paragraph survives, later ones drop; blank
+    paragraphs always survive; empty docs pass through."""
+    from htmld_spark.functions.text import dedup_paragraphs_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon para here\n\nunique one"),
+            (2, "common para here\nsecond doc text\ncommon para here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs_corpus(df).collect()}
+    # doc 1 holds the keeper copy (min (id, pos)) and its blank line
+    assert out[1].text_clean == "alpha beta\ncommon para here\n\nunique one"
+    assert (out[1].n_paras, out[1].n_removed) == (4, 0)
+    # doc 2 loses BOTH its copies (within-doc repeat of a cross-doc dup)
+    assert out[2].text_clean == "second doc text"
+    assert (out[2].n_paras, out[2].n_removed) == (3, 2)
+    assert out[3].text_clean == "" and out[3].n_removed == 0
+    # deterministic + repartition-invariant
+    again = {
+        r.doc_id: r.text_clean
+        for r in dedup_paragraphs_corpus(df.repartition(7)).collect()
+    }
+    assert again == {k: v.text_clean for k, v in out.items()}
+
+
+def test_tf_idf_top_terms_matches_replica(spark):
+    """L55 TF-IDF: smoothed idf ln((1+N)/(1+df))+1, deterministic
+    (tfidf desc, term asc) top-k — matched against a sequential replica."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from htmld_spark.functions.text import tf_idf_top_terms
+
+    rows = [
+        (1, "spark plans spark catalyst tungsten shuffle"),
+        (2, "spark spark novel words appear here"),
+        (3, "catalyst optimizer rules fire here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rk): (r.term, r.tf, r.tfidf)
+        for r in tf_idf_top_terms(df, k=2).collect()
+    }
+    tfs = {
+        d: Counter(
+            t for t in _re.split(r"\s+", txt.lower().strip()) if len(t) >= 4
+        )
+        for d, txt in rows
+    }
+    dft = Counter(t for c in tfs.values() for t in c)
+    n = len(rows)
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (t, tf, round(tf * (math.log((1 + n) / (1 + dft[t])) + 1), 4))
+                for t, tf in c.items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:2]
+        for rk, (t, tf, s) in enumerate(scored, 1):
+            assert got[(d, rk)] == (t, tf, s), (d, rk)
+
+
+def test_temperature_sample_properties(spark):
+    """L56: α<1 upsamples the tail — the low-resource language's keep
+    rate exceeds the head's; α=1 reduces to proportional sampling (every
+    rate = sample_frac); rates cap at 1; bad params raise."""
+    import pytest as _pytest
+
+    from htmld_spark.functions.text import temperature_rates, temperature_sample
+
+    counts = {"en": 900, "sw": 100}
+    r_03 = temperature_rates(counts, alpha=0.3, sample_frac=0.5)
+    assert r_03["sw"] > r_03["en"]
+    r_1 = temperature_rates(counts, alpha=1.0, sample_frac=0.5)
+    assert abs(r_1["en"] - 0.5) < 1e-12 and abs(r_1["sw"] - 0.5) < 1e-12
+    assert temperature_rates({"en": 1}, sample_frac=1.0)["en"] == 1.0
+    assert temperature_rates({}) == {}
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(90)] + [(1000 + i, "sw") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    samp = temperature_sample(df, alpha=0.3, sample_frac=0.5)
+    by = {r[0]: r[1] for r in samp.groupBy("lang").count().collect()}
+    # content-stable: identical on a repartitioned rerun
+    again = temperature_sample(df.repartition(5), alpha=0.3, sample_frac=0.5)
+    assert sorted(r.doc_id for r in samp.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    assert by.get("sw", 0) / 10 > by.get("en", 0) / 90  # tail kept a bigger share
+    with _pytest.raises(ValueError):
+        temperature_sample(df, sample_frac=0.0)
+    with _pytest.raises(ValueError):
+        temperature_sample(df, alpha=-0.1)
+
+
+def test_semdedup_keep_properties(spark):
+    """L57 SemDeDup: near-identical embeddings in one cluster collapse to
+    the lowest id; orthogonal ones all survive; raising tau keeps a
+    superset; deterministic across repartitioning; bad tau raises."""
+    import pytest as _pytest
+
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    # 3 tight groups of near-identical vectors + 2 singletons, dim 4
+    def v(base, eps):
+        return [base[j] + (eps if j == 0 else 0.0) for j in range(4)]
+
+    rows = []
+    for g, base in enumerate(
+        ([10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0])
+    ):
+        for i in range(3):
+            rows.append((g * 10 + i, v(base, eps=0.01 * i)))
+    rows += [(95, [5.0, 5.0, 0.0, 0.0]), (96, [0.0, 0.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r.vec_id
+        for r in semdedup_keep(df, n_cells=4, tau=0.99, sample_mod=1).collect()
+    )
+    # each tight group collapses to its lowest id; singletons survive
+    assert set(kept) >= {0, 10, 20, 95, 96}
+    assert not ({1, 2, 11, 12, 21, 22} & set(kept))
+    strict = sorted(
+        r.vec_id
+        for r in semdedup_keep(df, n_cells=4, tau=0.999999, sample_mod=1).collect()
+    )
+    assert set(strict) >= set(kept)  # higher tau keeps a superset
+    again = sorted(
+        r.vec_id
+        for r in semdedup_keep(
+            df.repartition(5), n_cells=4, tau=0.99, sample_mod=1
+        ).collect()
+    )
+    assert again == kept
+    with _pytest.raises(ValueError):
+        semdedup_keep(df, tau=0.0)
