@@ -1025,6 +1025,23 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """X8 PDF text extraction (the north rule's "PDF/layout parse" leg;
+    engine/pdf.py — forgiving xref-free parse, FlateDecode/ASCIIHex
+    streams, §9.4 text operators with y-motion line breaks): one
+    MapInArrow crossing over the deterministic PDF fixture
+    (fixtures/gen_pdfs.py — expected text composed INDEPENDENTLY from
+    the logical lines while the PDF encodes them through varied spec
+    mechanisms: TJ kerns, hex strings, escapes, x-only Td gaps,
+    compressed streams, garbage xrefs, junk-prefixed headers). Golden
+    oracle: the fixture's text column IS the expectation, byte-exact."""
+    from fixtures.gen_pdfs import ensure_pdfs
+    from htmld_spark.functions.udfs import extract_pdf_df
+
+    df = spark.read.parquet(ensure_pdfs()).select("pdf_id", "pdf")
+    return extract_pdf_df(df).select("pdf_id", "text", "n_pages")
+
+
 def _q_paragraph_dedup_keep(spark, sf_dir):
     """L54 corpus-level paragraph dedup, FIRST-OCCURRENCE keep (Dolma
     §4.1): non-first occurrences of duplicated non-empty paragraphs drop
@@ -1091,8 +1108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 4 new L54–L57
-    entries, then the 3 whose plans/behavior changed this round
+    not hand-maintain the number here). r6 window: the 5 new entries
+    (X8 pdf_extract, L54–L57), then the 3 whose plans/behavior changed
+    this round
     (host_term_divergence: checkpointed single token pass +
     try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
     id pre-reduction), then the FULL 29-entry r5 tail rotated back in
@@ -1103,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     check_contract each round. Keep this note current."""
     return {
         # --- r6: never-driver-verified (new operators) ---
+        "pdf_extract": _q_pdf_extract,  # X8 PDF leg, golden (fixture text)
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
         "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
@@ -1158,8 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         "select_counts": _q_select_counts,  # golden (sel_* battery)
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
-        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         # ---------------- 50-entry driver cutoff lands here ----------------
+        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         # r6 rotated-out tail: driver-green in r5, unchanged; locally
         # re-verified via tools/check_contract.py each round
         "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
@@ -1211,6 +1230,9 @@ def oracle_sql() -> dict[str, str]:
 
     gold = ensure_golden("/root/testdata/sf0.01")
     media_gold = ensure_media()
+    from fixtures.gen_pdfs import ensure_pdfs
+
+    pdf_fx = ensure_pdfs()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1240,6 +1262,11 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         # golden oracles: the fixture's text column IS the expected output
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
+        # X8 PDF leg: the fixture's independently composed text column IS
+        # the byte-exact expectation (fixtures/gen_pdfs.py)
+        "pdf_extract": (
+            f"SELECT pdf_id, text, n_pages FROM read_parquet('{pdf_fx}')"
+        ),
         # selector battery / spans / serialization goldens — all composed
         # independently at fixture-gen time (fixtures/gen_pages.py)
         "select_counts": f"SELECT url, warc_ts, {sel_cols} FROM read_parquet('{fx}')",

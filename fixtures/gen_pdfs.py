@@ -1,0 +1,190 @@
+"""Deterministic synthetic PDF fixture with independently composed
+expected text (the gen_pages.py philosophy applied to the PDF leg of the
+north rule's extraction tier).
+
+Each row starts from LOGICAL page lines (seeded pseudo-sentences,
+including Latin-1 accents and characters that need literal-string
+escaping). The EXPECTED text is composed directly from those lines
+("\\n" within a page, "\\n\\n" between pages) — while the PDF bytes are
+built by an independent writer that encodes the same lines through
+varied spec mechanisms the extractor must normalize away:
+
+- show operators: plain ``(…) Tj``; word-split ``[(w) -250 (w)] TJ``
+  (kern = word gap); hex-string ``<…> Tj``; ``'`` next-line-show;
+  two-segment lines via an x-only ``Td`` (word gap, same line);
+- escapes: ``\\( \\) \\\\``, an octal-escaped char, Latin-1 bytes;
+- line motion: ``0 -14 Td`` vs ``T*`` (with ``14 TL``);
+- stream encoding: raw, FlateDecode (zlib), ASCIIHexDecode;
+- file structure: 1–3 pages; a correct xref table, or a deliberately
+  GARBAGE xref (the extractor is xref-free), or junk bytes prepended
+  before %PDF (both appear constantly in crawled PDFs).
+
+Corrupted/truncated PDFs are exercised by the never-raise unit battery
+(tests/test_pdf.py), not here — a corrupt payload has no independently
+composable expectation.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
+PDF_FIXTURE_VERSION = "1"
+N_ROWS = 120
+
+_WORDS = (
+    "spark catalyst tungsten shuffle partition executor arrow batch "
+    "corpus crawl extract parse token lineage resume checkpoint "
+    "résumé naïve café jalapeño Zürich façade "
+    "value(x) path\\seg (nested) a=b*c"
+).split()
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _line_ops(line: str, rng: random.Random) -> str:
+    """Encode one logical line as show-operator ops (no line motion)."""
+    mode = rng.randrange(5)
+    if mode == 0:
+        return f"({_esc(line)}) Tj"
+    if mode == 1 and " " in line:
+        words = line.split(" ")
+        parts = " -250 ".join(f"({_esc(w)})" for w in words)
+        return f"[{parts}] TJ"
+    if mode == 2:
+        hx = line.encode("latin-1", errors="replace").hex()
+        return f"<{hx}> Tj"
+    if mode == 3 and " " in line:
+        # two segments joined by an x-only Td (word gap, same line)
+        k = line.index(" ")
+        a, b = line[:k], line[k + 1 :]
+        return f"({_esc(a)}) Tj 40 0 Td ({_esc(b)}) Tj"
+    # octal-escape the first character
+    first = line[0]
+    code = ord(first.encode("latin-1", errors="replace"))
+    return f"(\\{code:03o}{_esc(line[1:])}) Tj"
+
+
+def _page_content(lines: list[str], rng: random.Random) -> bytes:
+    use_tstar = rng.random() < 0.5
+    ops = ["BT", "/F1 12 Tf", "14 TL", "72 720 Td"]
+    for idx, line in enumerate(lines):
+        if idx:
+            ops.append("T*" if use_tstar else "0 -14 Td")
+        ops.append(_line_ops(line, rng))
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
+    """Assemble a complete PDF: catalog, page tree, per-page content
+    streams (encoding drawn per stream), xref (sometimes garbage),
+    sometimes junk before the header."""
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    n_pages = len(pages)
+    kid_nums = [3 + 2 * p for p in range(n_pages)]
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    kids = " ".join(f"{k} 0 R" for k in kid_nums)
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for p, lines in enumerate(pages):
+        content_num = kid_nums[p] + 1
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        raw = _page_content(lines, rng)
+        enc = rng.randrange(3)
+        if enc == 0:
+            body, filt = raw, b""
+        elif enc == 1:
+            body, filt = zlib.compress(raw, 6), b" /Filter /FlateDecode"
+        else:
+            body, filt = raw.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body)
+        )
+
+    head = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
+    if rng.random() < 0.2:  # crawl reality: junk before the header
+        head = b"HTTP/1.1 200 OK\r\nX-Junk: yes\r\n\r\n" + head
+    out = bytearray(head)
+    offsets = []
+    for num, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    if rng.random() < 0.3:  # garbage xref: extractor must not care
+        out += b"xref\n0 1\n9999999999 00000 n \n"
+    else:
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def draw_pdf_row(i: int):
+    """One (pdf_id, pdf_bytes, expected_text, n_pages) row."""
+    rng = random.Random(0xC0FFEE + i)
+    n_pages = rng.randint(1, 3)
+    pages = []
+    for _p in range(n_pages):
+        n_lines = rng.randint(2, 6)
+        lines = []
+        for _l in range(n_lines):
+            k = rng.randint(3, 8)
+            lines.append(" ".join(rng.choice(_WORDS) for _ in range(k)))
+        pages.append(lines)
+    expected = "\n\n".join("\n".join(ls) for ls in pages)
+    return i, _make_pdf(pages, rng), expected, n_pages
+
+
+def ensure_pdfs() -> str:
+    """Generate + cache the fixture parquet. Returns its path."""
+    os.makedirs(DATA_DIR, exist_ok=True)
+    path = os.path.join(DATA_DIR, "pdfs.parquet")
+    marker = os.path.join(DATA_DIR, "_DONE")
+    if os.path.exists(marker) and os.path.exists(path):
+        with open(marker) as f:
+            if f.read().strip() == PDF_FIXTURE_VERSION:
+                return path
+    rows = [draw_pdf_row(i) for i in range(N_ROWS)]
+    pq.write_table(
+        pa.table(
+            {
+                "pdf_id": pa.array([r[0] for r in rows], pa.int64()),
+                "pdf": pa.array([r[1] for r in rows], pa.binary()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "n_pages": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+        path,
+    )
+    with open(marker, "w") as f:
+        f.write(PDF_FIXTURE_VERSION)
+    return path
+
+
+if __name__ == "__main__":
+    p = ensure_pdfs()
+    t = pq.read_table(p)
+    print(p, t.num_rows, "rows,", sum(len(x) for x in t.column("pdf").to_pylist()), "pdf bytes")

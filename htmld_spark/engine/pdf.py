@@ -1,0 +1,600 @@
+"""Forgiving PDF text extraction — the "PDF/layout parse" leg of the
+extraction tier (BASELINE.json north_rule names "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics"; the HTML legs live in tokenizer.py /
+dom.py / extract.py).
+
+Built from the PUBLIC PDF 1.7 spec (ISO 32000-1): §7.3 object syntax and
+string escapes, §7.4.4 FlateDecode, §7.5 file structure, §9.4 text
+objects and show operators. Like the HTML engine this module imports no
+Spark, is deterministic, and NEVER raises on any byte input — the same
+forgiving-parser stance dom.py takes for tag soup, applied to PDF:
+
+- xref-FREE object discovery: a sequential scan for ``N G obj …
+  endobj`` finds every object body, so broken or absent xref tables,
+  incremental-update files, prepended garbage and truncated tails all
+  still yield whatever objects survive (real crawls are full of such
+  PDFs; a spec-strict xref reader would reject them outright). When the
+  same object number appears twice (incremental updates) the LAST
+  occurrence wins, matching update semantics.
+- page ORDER: Root → /Pages → /Kids tree walk when the trailer (or a
+  /Type/Catalog scan) resolves; else /Type/Page objects in file order;
+  else every decoded stream containing a ``BT`` text object, in file
+  order. Each rung of the ladder degrades coverage, never correctness
+  of what IS emitted.
+- streams: ``/Length`` is advisory only — the stream body runs to the
+  nearest ``endstream`` (bogus or indirect lengths tolerated).
+  FlateDecode decompresses via zlib with a partial-output salvage path
+  (``decompressobj`` keeps whatever decoded before a corrupt tail);
+  ASCIIHexDecode is supported; unknown filters skip the stream.
+- text: inside BT…ET, ``Tj``/``'``/``"`` and ``TJ`` emit; ``Td``/``TD``
+  with a y-translation, ``T*`` and a ``Tm`` whose y changes start a new
+  line (the layout heuristic: y-motion = line break, x-only motion =
+  same line); a TJ kern ≤ −``TJ_SPACE_KERN`` thousandths em emits one
+  space (the standard word-gap encoding). Literal-string escapes
+  (\\n \\r \\t \\b \\f, octal, line continuations, nested parens) and
+  hex strings follow §7.3.4.
+- encoding: single-byte strings decode as PDFDocEncoding ≈ Latin-1;
+  strings with a UTF-16BE BOM decode as UTF-16BE. Type0/CID multi-byte
+  fonts and per-font /ToUnicode CMaps are OUT OF SCOPE for v1 — their
+  bytes still decode deterministically (they just are not CID-mapped),
+  and ``layout parse`` here means text order/line structure, not font
+  cartography. Form XObjects (/Do) are not recursed.
+
+Pages are joined with a blank line ("\\n\\n"), lines within a page with
+"\\n"; whitespace-only lines are dropped. ``extract_pdf_text`` returns
+str; ``pdf_page_count`` returns the number of pages the ladder found.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+TJ_SPACE_KERN = 180.0  # |kern| (thousandths of an em) treated as a word gap
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_OBJ_RE = re.compile(rb"(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})[\x00\t\n\x0c\r ]+obj\b")
+
+_ESC = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+
+
+# ------------------------------------------------------------------ low-level lexing
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and data[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '('. Returns (raw bytes, index past the closing ')')."""
+    out = bytearray()
+    n = len(data)
+    depth = 1
+    i += 1
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash escape
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in _ESC:
+                out.append(_ESC[e])
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                v = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    v = v * 8 + (data[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(v & 0xFF)
+            elif e in b"\r\n":  # line continuation: swallow EOL
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: emit the char itself (spec §7.3.4.2)
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """data[i] == '<' (single). Returns (raw bytes, index past '>')."""
+    n = len(data)
+    i += 1
+    digits = []
+    while i < n and data[i] != 0x3E:
+        c = data[i]
+        if c in b"0123456789abcdefABCDEF":
+            digits.append(chr(c))
+        i += 1
+    if i < n:
+        i += 1  # '>'
+    if len(digits) % 2:
+        digits.append("0")  # odd count: pad (spec §7.3.4.3)
+    try:
+        raw = bytes.fromhex("".join(digits))
+    except ValueError:  # unreachable after filtering, but never raise
+        raw = b""
+    return raw, i
+
+
+def _decode_text(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+# ------------------------------------------------------------------ object values
+
+
+def _parse_value(data: bytes, i: int):
+    """Parse one PDF object value at ``i``. Returns (value, next_index).
+    Values: dict → {name_str: value}, list, ("name", str), ("ref", int),
+    bytes (strings), int/float, True/False/None. Unparseable input yields
+    (None, i+1) — progress is always made, nothing raises."""
+    n = len(data)
+    i = _skip_ws(data, i)
+    if i >= n:
+        return None, n
+    c = data[i]
+    if c == 0x3C and i + 1 < n and data[i + 1] == 0x3C:  # <<
+        i += 2
+        d: dict = {}
+        while True:
+            i = _skip_ws(data, i)
+            if i >= n:
+                break
+            if data[i] == 0x3E and i + 1 < n and data[i + 1] == 0x3E:
+                i += 2
+                break
+            if data[i] != 0x2F:  # malformed key: skip one token
+                _, i2 = _parse_value(data, i)
+                i = max(i2, i + 1)
+                continue
+            key, i = _parse_name(data, i)
+            val, i = _parse_value(data, i)
+            d[key] = val
+        return d, i
+    if c == 0x5B:  # [
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(data, i)
+            if i >= n or data[i] == 0x5D:
+                i = min(i + 1, n)
+                break
+            val, i2 = _parse_value(data, i)
+            if i2 <= i:
+                i2 = i + 1
+            arr.append(val)
+            i = i2
+        return arr, i
+    if c == 0x2F:  # /Name
+        name, i = _parse_name(data, i)
+        return ("name", name), i
+    if c == 0x28:
+        s, i = _parse_literal_string(data, i)
+        return s, i
+    if c == 0x3C:
+        s, i = _parse_hex_string(data, i)
+        return s, i
+    if c in b"+-.0123456789":
+        j = i + 1
+        while j < n and data[j] in b"+-.0123456789":
+            j += 1
+        tok = data[i:j]
+        try:
+            num = int(tok)
+        except ValueError:
+            try:
+                num = float(tok)
+            except ValueError:
+                return None, j
+        # "N G R" indirect reference lookahead
+        if isinstance(num, int) and num >= 0:
+            k = _skip_ws(data, j)
+            m = k
+            while m < n and 0x30 <= data[m] <= 0x39:
+                m += 1
+            if m > k:
+                m2 = _skip_ws(data, m)
+                if m2 < n and data[m2 : m2 + 1] == b"R" and (
+                    m2 + 1 >= n
+                    or data[m2 + 1] in _WS
+                    or data[m2 + 1] in _DELIM
+                ):
+                    return ("ref", num), m2 + 1
+        return num, j
+    for lit, val, ln in ((b"true", True, 4), (b"false", False, 5), (b"null", None, 4)):
+        if data[i : i + ln] == lit:
+            return val, i + ln
+    return None, i + 1
+
+
+def _parse_name(data: bytes, i: int) -> tuple[str, int]:
+    """data[i] == '/'. #xx hex escapes per §7.3.5."""
+    n = len(data)
+    j = i + 1
+    out = bytearray()
+    while j < n and data[j] not in _WS and data[j] not in _DELIM:
+        if data[j] == 0x23 and j + 2 < n:
+            try:
+                out.append(int(data[j + 1 : j + 3], 16))
+                j += 3
+                continue
+            except ValueError:
+                pass
+        out.append(data[j])
+        j += 1
+    return out.decode("latin-1"), j
+
+
+# ------------------------------------------------------------------ file structure
+
+
+_STREAM_RE = re.compile(rb"\bstream(?:\r\n|\n|\r)")
+
+
+def _strip_stream_eol(stream: bytes) -> bytes:
+    # spec: the EOL before endstream is not stream data
+    if stream.endswith(b"\r\n"):
+        return stream[:-2]
+    if stream.endswith(b"\n") or stream.endswith(b"\r"):
+        return stream[:-1]
+    return stream
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
+    """Sequential xref-free object scan. Returns {obj_num: (dict, stream
+    bytes or None)}; last definition of a number wins (incremental
+    updates). Stream extent: a VALID integer ``/Length`` that lands on an
+    ``endstream`` is trusted exactly; otherwise (bogus or indirect
+    Length) the body runs to the nearest ``endstream``, or to EOF for a
+    truncated tail. A ``consumed`` pointer skips spurious ``N G obj``
+    byte patterns occurring INSIDE compressed stream data, so binary
+    streams cannot spoof object boundaries. (``\\bstream`` cannot match
+    inside ``endstream`` — no word boundary between 'd' and 's'.)"""
+    objs: dict[int, tuple[dict, bytes | None]] = {}
+    consumed = 0
+    for m in _OBJ_RE.finditer(data):
+        if m.start() < consumed:
+            continue
+        start = m.end()
+        sm = _STREAM_RE.search(data, start)
+        e_obj = data.find(b"endobj", start)
+        has_stream = sm is not None and (e_obj == -1 or sm.start() < e_obj)
+        stream = None
+        if has_stream:
+            dict_part = data[start : sm.start()]
+            val, _ = _parse_value(dict_part, 0)
+            d = val if isinstance(val, dict) else {}
+            s_start = sm.end()
+            length = d.get("Length")
+            end = None
+            if isinstance(length, int) and 0 <= length <= len(data) - s_start:
+                tail = data[s_start + length : s_start + length + 16]
+                probe = tail.lstrip(b"\r\n \t")
+                if probe.startswith(b"endstream"):
+                    stream = data[s_start : s_start + length]
+                    end = (
+                        s_start + length + (len(tail) - len(probe)) + len(b"endstream")
+                    )
+            if end is None:  # bogus/indirect Length: nearest endstream
+                es = data.find(b"endstream", s_start)
+                if es == -1:  # truncated tail: salvage to EOF
+                    stream = data[s_start:]
+                    end = len(data)
+                else:
+                    stream = _strip_stream_eol(data[s_start:es])
+                    end = es + len(b"endstream")
+            consumed = end
+        else:
+            body_end = e_obj if e_obj != -1 else len(data)
+            val, _ = _parse_value(data[start:body_end], 0)
+            d = val if isinstance(val, dict) else {}
+            consumed = body_end
+        try:
+            num = int(m.group(1))
+        except ValueError:  # unreachable given the regex; belt and braces
+            continue
+        objs[num] = (d, stream)
+    return objs
+
+
+def _filters_of(d: dict) -> list[str]:
+    f = d.get("Filter")
+    if f is None:
+        return []
+    if isinstance(f, tuple) and f[0] == "name":
+        return [f[1]]
+    if isinstance(f, list):
+        return [x[1] for x in f if isinstance(x, tuple) and x[0] == "name"]
+    return []
+
+
+def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
+    if raw is None:
+        return None
+    data = raw
+    for filt in _filters_of(d) or [None]:
+        if filt is None:
+            continue
+        if filt in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                # salvage whatever decoded before the corruption
+                try:
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    return None
+        elif filt in ("ASCIIHexDecode", "AHx"):
+            end = data.find(b">")
+            hx = data[: end if end != -1 else len(data)]
+            hx = bytes(c for c in hx if c in b"0123456789abcdefABCDEF")
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                data = bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                return None
+        else:  # unsupported filter (DCT, LZW, …): not a text stream
+            return None
+    return data
+
+
+def _page_content_streams(objs: dict) -> list[bytes]:
+    """The page-order ladder. Returns one decoded content blob per page."""
+    # rung 1: Root → Pages → Kids walk
+    root_num = None
+    for num, (d, _s) in objs.items():
+        if d.get("Type") == ("name", "Catalog"):
+            root_num = num
+    pages: list[dict] = []
+    if root_num is not None:
+        cat = objs[root_num][0]
+        seen: set[int] = set()
+
+        def walk(node_ref, depth=0):
+            if depth > 64:
+                return
+            if isinstance(node_ref, tuple) and node_ref[0] == "ref":
+                if node_ref[1] in seen:
+                    return
+                seen.add(node_ref[1])
+                entry = objs.get(node_ref[1])
+                if entry is None:
+                    return
+                node = entry[0]
+            elif isinstance(node_ref, dict):
+                node = node_ref
+            else:
+                return
+            t = node.get("Type")
+            if t == ("name", "Page"):
+                pages.append(node)
+            else:  # Pages node (or typeless intermediate): recurse kids
+                kids = node.get("Kids")
+                if isinstance(kids, list):
+                    for kid in kids:
+                        walk(kid, depth + 1)
+
+        walk(cat.get("Pages"))
+    # rung 2: /Type/Page objects in file order
+    if not pages:
+        pages = [
+            d for _num, (d, _s) in sorted(objs.items())
+            if d.get("Type") == ("name", "Page")
+        ]
+    out: list[bytes] = []
+    for page in pages:
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            if not (isinstance(r, tuple) and r and r[0] == "ref"):
+                continue
+            entry = objs.get(r[1])
+            if entry is None:
+                continue
+            dec = _decode_stream(entry[0], entry[1])
+            if dec:
+                parts.append(dec)
+        if parts:
+            out.append(b"\n".join(parts))
+    # rung 3: any decoded stream containing a BT text object, file order
+    if not out:
+        for _num, (d, s) in sorted(objs.items()):
+            dec = _decode_stream(d, s)
+            if dec and b"BT" in dec:
+                out.append(dec)
+    return out
+
+
+# ------------------------------------------------------------------ content streams
+
+
+def _content_text_lines(data: bytes) -> list[str]:
+    """Run the §9.4 text operators over one content stream; returns the
+    emitted lines (y-motion = line break)."""
+    lines: list[str] = []
+    cur: list[str] = []
+    stack: list = []
+    arr: list | None = None
+    in_text = False
+    last_tm_y: float | None = None
+
+    def flush():
+        nonlocal cur
+        if cur:
+            line = "".join(cur)
+            if line.strip():
+                lines.append(line)
+            cur = []
+
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # comment
+            while i < n and data[i] not in b"\r\n":
+                i += 1
+            continue
+        if c == 0x28:
+            s, i = _parse_literal_string(data, i)
+            (arr if arr is not None else stack).append(s)
+            continue
+        if c == 0x3C and not (i + 1 < n and data[i + 1] == 0x3C):
+            s, i = _parse_hex_string(data, i)
+            (arr if arr is not None else stack).append(s)
+            continue
+        if c == 0x3C:  # << inline dict (BDC property lists etc.): parse+drop
+            _d, i = _parse_value(data, i)
+            continue
+        if c == 0x5B:
+            arr = []
+            i += 1
+            continue
+        if c == 0x5D:
+            if arr is not None:
+                stack.append(arr)
+                arr = None
+            i += 1
+            continue
+        if c == 0x2F:
+            name, i = _parse_name(data, i)
+            (arr if arr is not None else stack).append(("name", name))
+            continue
+        if c in b"+-.0123456789":
+            j = i + 1
+            while j < n and data[j] in b"+-.0123456789":
+                j += 1
+            try:
+                num = float(data[i:j])
+            except ValueError:
+                num = 0.0
+            (arr if arr is not None else stack).append(num)
+            i = j
+            continue
+        # operator keyword
+        j = i
+        while j < n and data[j] not in _WS and data[j] not in _DELIM:
+            j += 1
+        if j == i:  # stray delimiter: skip
+            i += 1
+            continue
+        op = data[i:j]
+        i = j
+        if op == b"BT":
+            in_text = True
+            flush()
+            last_tm_y = None
+        elif op == b"ET":
+            flush()
+            in_text = False
+        elif in_text and op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                cur.append(_decode_text(stack[-1]))
+        elif in_text and op == b"'":
+            flush()
+            if stack and isinstance(stack[-1], bytes):
+                cur.append(_decode_text(stack[-1]))
+        elif in_text and op == b'"':
+            flush()
+            if stack and isinstance(stack[-1], bytes):
+                cur.append(_decode_text(stack[-1]))
+        elif in_text and op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        cur.append(_decode_text(el))
+                    elif isinstance(el, float) and el <= -TJ_SPACE_KERN:
+                        if cur and not cur[-1].endswith(" "):
+                            cur.append(" ")
+        elif in_text and op in (b"Td", b"TD"):
+            if len(stack) >= 2 and isinstance(stack[-1], float):
+                ty = stack[-1]
+                tx = stack[-2] if isinstance(stack[-2], float) else 0.0
+                if ty != 0.0:
+                    flush()
+                elif tx != 0.0 and cur and not cur[-1].endswith(" "):
+                    cur.append(" ")  # x-only motion inside a line: word gap
+        elif in_text and op == b"T*":
+            flush()
+        elif in_text and op == b"Tm":
+            if len(stack) >= 6 and isinstance(stack[-1], float):
+                ty = stack[-1]
+                if last_tm_y is not None and ty != last_tm_y:
+                    flush()
+                last_tm_y = ty
+        # every operator consumes its operands; clear to prevent leakage
+        stack.clear()
+        if len(lines) > 1_000_000:  # adversarial-input emission cap
+            break
+    flush()
+    return lines
+
+
+# ------------------------------------------------------------------ public surface
+
+
+def extract_pdf(data) -> tuple[str, int]:
+    """One parse → (text, n_pages). Never raises; ("", 0) when nothing
+    parses. Pages joined with a blank line, lines with newlines;
+    n_pages counts pages the page-order ladder found (with or without
+    text)."""
+    try:
+        if isinstance(data, str):
+            data = data.encode("latin-1", errors="replace")
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            return "", 0
+        blobs = _page_content_streams(_scan_objects(bytes(data)))
+        pages = []
+        for blob in blobs:
+            lines = _content_text_lines(blob)
+            if lines:
+                pages.append("\n".join(lines))
+        return "\n\n".join(pages), len(blobs)
+    except Exception:  # absolute backstop: the engine contract is no-raise
+        return "", 0
+
+
+def extract_pdf_text(data) -> str:
+    """Extract text from PDF bytes. Never raises; "" when nothing parses."""
+    return extract_pdf(data)[0]
+
+
+def pdf_page_count(data) -> int:
+    """Number of pages the page-order ladder found. Never raises."""
+    return extract_pdf(data)[1]

@@ -363,3 +363,60 @@ ENGINE_META = {
     "engine_version": ENGINE_VERSION,
     "rules_version": MAIN_TEXT_RULES_VERSION,
 }
+
+
+# --------------------------------------------------------------------- PDF leg
+
+PDF_EXTRACT_SCHEMA = (
+    "pdf_id bigint, text string, n_pages int, n_bytes bigint, parse_ok boolean"
+)
+
+
+def make_pdf_extract_fn(
+    byte_budget: int = DEFAULT_BYTE_BUDGET,
+    id_col: str = "pdf_id",
+    data_col: str = "pdf",
+):
+    """mapInArrow kernel for the PDF leg of the extraction tier
+    (engine/pdf.py — the north rule's "PDF/layout parse"). Same shape as
+    the HTML kernel: one JVM↔Python crossing per Arrow batch, byte-budget
+    re-chunking for oversized blobs, never-throw per document."""
+    from htmld_spark.engine.pdf import extract_pdf
+
+    def pdf_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            id_arr = batch.column(names.index(id_col))
+            pdf_col = batch.column(names.index(data_col))
+            for lo, hi in _slice_offsets(pdf_col, byte_budget):
+                raws = pdf_col.slice(lo, hi - lo).to_pylist()
+                texts: list[str] = []
+                n_pages: list[int] = []
+                n_bytes: list[int] = []
+                ok: list[bool] = []
+                for raw in raws:
+                    raw = raw or b""
+                    txt, np_ = extract_pdf(raw)
+                    texts.append(txt)
+                    n_pages.append(np_)
+                    n_bytes.append(len(raw))
+                    ok.append(np_ > 0)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        id_arr.slice(lo, hi - lo),
+                        pa.array(texts, pa.string()),
+                        pa.array(n_pages, pa.int32()),
+                        pa.array(n_bytes, pa.int64()),
+                        pa.array(ok, pa.bool_()),
+                    ],
+                    names=[id_col, "text", "n_pages", "n_bytes", "parse_ok"],
+                )
+
+    return pdf_batches
+
+
+def extract_pdf_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Apply the PDF extraction engine to a (pdf_id, pdf) DataFrame →
+    (pdf_id, text, n_pages, n_bytes, parse_ok). One MapInArrow crossing,
+    exactly like the HTML ``extract_df``."""
+    return df.mapInArrow(make_pdf_extract_fn(byte_budget), PDF_EXTRACT_SCHEMA)

@@ -1,0 +1,192 @@
+"""PDF text extraction engine (engine/pdf.py): fixture parity, the
+never-raise contract on adversarial bytes, and spec-corner behaviors
+(escapes, hex strings, TJ kerning, Tm line breaks, page-order ladder,
+incremental updates, stream-length tolerance)."""
+
+import random
+import zlib
+
+from fixtures.gen_pdfs import N_ROWS, draw_pdf_row
+from htmld_spark.engine.pdf import extract_pdf_text, pdf_page_count
+
+
+def _pdf(objects: list[bytes], trailer_root: bool = True) -> bytes:
+    out = bytearray(b"%PDF-1.7\n")
+    for num, body in enumerate(objects, 1):
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    if trailer_root:
+        out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _one_page(content: bytes) -> bytes:
+    return _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        ]
+    )
+
+
+def test_fixture_parity_and_determinism():
+    """Every fixture row extracts byte-identically to the independently
+    composed expectation, twice (deterministic)."""
+    for i in range(N_ROWS):
+        _pid, pdf, expected, n_pages = draw_pdf_row(i)
+        assert extract_pdf_text(pdf) == expected, f"row {i}"
+        assert extract_pdf_text(pdf) == expected, f"row {i} (rerun)"
+        assert pdf_page_count(pdf) == n_pages, f"row {i} pages"
+
+
+def test_never_raises_on_adversarial_bytes():
+    rng = random.Random(7)
+    _pid, pdf, _e, _n = draw_pdf_row(0)
+    payloads = [
+        b"",
+        b"%PDF-1.7",
+        bytes(range(256)) * 64,
+        bytes(rng.randrange(256) for _ in range(4096)),
+        b"(" * 100_000,
+        b"1 0 obj\n<< /Length 99999999 >>\nstream\nabc",  # truncated stream
+        b"1 0 obj\n<< " * 5000,  # deep dict nesting attempt
+        b"[" * 50_000 + b"]" * 10,
+        b"1 0 obj << /Type /Page >>",  # no endobj, no contents
+        pdf[: len(pdf) // 2],  # truncated mid-file
+        pdf[:-40],  # truncated tail
+        None,
+        12345,
+        "a string, not bytes",
+    ]
+    # bit-flip corruption of a real fixture PDF at 50 seeded positions
+    for _ in range(50):
+        b = bytearray(pdf)
+        b[rng.randrange(len(b))] ^= 0xFF
+        payloads.append(bytes(b))
+    for p in payloads:
+        t = extract_pdf_text(p)
+        assert isinstance(t, str)
+        assert extract_pdf_text(p) == t  # deterministic even on garbage
+        assert isinstance(pdf_page_count(p), int)
+
+
+def test_string_escapes_and_hex():
+    content = (
+        rb"BT ( a\(b\)c\\d\101e ) Tj T* <48656c6c6f2> Tj ET"
+    )  # odd hex digit count pads with 0 -> "Hello" + \x20
+    out = extract_pdf_text(_one_page(content))
+    assert out == " a(b)c\\dAe \nHello "
+
+
+def test_line_continuation_and_octal_overflow():
+    content = b"BT (ab\\\ncd) Tj T* (\\777x) Tj ET"  # \777 & 0xFF = 0xFF
+    out = extract_pdf_text(_one_page(content))
+    assert out == "abcd\n\xffx"
+
+
+def test_utf16be_string():
+    s = "héllo".encode("utf-16-be")
+    content = b"BT <feff" + s.hex().encode() + b"> Tj ET"
+    assert extract_pdf_text(_one_page(content)) == "héllo"
+
+
+def test_tj_kern_threshold():
+    """Kern <= -180 is a word gap; smaller magnitudes are intra-word."""
+    content = b"BT [(a) -250 (b) -100 (c)] TJ ET"
+    assert extract_pdf_text(_one_page(content)) == "a bc"
+
+
+def test_tm_y_change_breaks_line():
+    content = (
+        b"BT 1 0 0 1 72 720 Tm (one) Tj 1 0 0 1 72 700 Tm (two) Tj "
+        b"1 0 0 1 300 700 Tm (three) Tj ET"
+    )
+    assert extract_pdf_text(_one_page(content)) == "one\ntwothree"
+
+
+def test_text_outside_bt_et_ignored():
+    content = b"(nope) Tj BT (yes) Tj ET (also nope) Tj"
+    assert extract_pdf_text(_one_page(content)) == "yes"
+
+
+def test_page_tree_order_beats_file_order():
+    """Kids order defines page order even when objects are stored
+    reversed in the file."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 16 >>\nstream\nBT (second) Tj ET\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Length 15 >>\nstream\nBT (first) Tj ET\nendstream",
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "first\n\nsecond"
+
+
+def test_fallback_rung2_no_catalog():
+    objs = [
+        b"<< /Type /Page /Contents 2 0 R >>",
+        b"<< >>\nstream\nBT (orphan page) Tj ET\nendstream",
+    ]
+    assert extract_pdf_text(_pdf(objs, trailer_root=False)) == "orphan page"
+
+
+def test_fallback_rung3_bare_stream():
+    raw = b"1 0 obj\n<< >>\nstream\nBT (bare) Tj ET\nendstream\nendobj\n"
+    assert extract_pdf_text(raw) == "bare"
+    assert pdf_page_count(raw) == 1
+
+
+def test_incremental_update_last_definition_wins():
+    base = _one_page(b"BT (old) Tj ET")
+    update = (
+        b"4 0 obj\n<< /Length 14 >>\nstream\nBT (new) Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(base + update) == "new"
+
+
+def test_bogus_length_falls_back_to_endstream():
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length 999999 >>\nstream\nBT (tolerant) Tj ET\nendstream",
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "tolerant"
+
+
+def test_flate_corrupt_tail_salvages_prefix():
+    good = zlib.compress(b"BT (salvaged line) Tj T* (lost) Tj ET", 6)
+    corrupt = good[: len(good) - 6]  # drop the deflate tail + adler
+    content = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(corrupt), corrupt)
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        content,
+    ]
+    out = extract_pdf_text(_pdf(objs))
+    assert "salvaged" in out  # prefix decoded despite the corrupt tail
+
+
+def test_binary_stream_cannot_spoof_objects():
+    """Compressed bytes containing 'N G obj' / 'endobj' byte patterns
+    must not clobber real objects (the consumed-pointer rule)."""
+    evil = zlib.compress(b"x" * 10 + b"\n3 0 obj\n<< /Type /Page >>\nendobj\n" + b"y" * 10)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(evil), evil),
+        b"<< /Length 14 >>\nstream\nBT (txt) Tj ET\nendstream",
+    ]
+    # page 3's contents (obj 4) decode to non-text noise; the real obj 3
+    # definition must survive the spoofed copy inside the stream
+    out = extract_pdf_text(_pdf(objs))
+    assert isinstance(out, str)
+    assert pdf_page_count(_pdf(objs)) == 1
