@@ -25,11 +25,18 @@ def demo_curate(spark) -> None:
     from htmld_spark.pipeline.curate import curate, curation_report
 
     pages = spark.read.parquet(ensure_pages("0.001"))
+    from htmld_spark.functions.udfs import extract_df
+
+    # stand-in "target domain": the extracted text of a small page slice
+    target = extract_df(pages.limit(60), with_spans=False).select("text")
     curated = curate(
         pages,
         near_dedup="winnow",  # or "minhash" for full clustering
         min_tokens=3,         # fixture docs are short — keep gates loose
         mixture={"en": 1.0, "de": 0.5, "fr": 1.0, "es": 1.0, "zh": 1.0},
+        dsir_target=target,   # r6: DSIR importance resampling after the
+        dsir_take=400,        # LM-gate slot (Xie et al. 2023), hashed
+        dsir_n_buckets=256,   # feature space, one-pass composition
     )
     curation_report(curated).show()
 

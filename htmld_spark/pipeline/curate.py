@@ -12,6 +12,10 @@ large-scale training-data pipeline would need"), one declarative plan:
       → optional Gopher rule gate (gopher_gate=) and model-based
         classifier gate (min_quality_score= — quality_score_expr
         inline, row-local)
+      → optional CCNet LM gate (lm_ref= + max_bigram_ppl=) and DSIR
+        importance resampling (dsir_target= + dsir_take= — Gumbel
+        top-k on target-matched importance), both diamond-safe via
+        lazy localCheckpoint
       → exact content dedup (md5, keep first url)               [shuffle 2]
       → near-dup dedup (winnow fingerprint — or near_dedup='minhash':
         LSH pairs → connected components → keep set)            [shuffle 3]
