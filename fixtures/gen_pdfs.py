@@ -17,7 +17,10 @@ varied spec mechanisms the extractor must normalize away:
 - stream encoding: raw, FlateDecode (zlib), ASCIIHexDecode;
 - file structure: 1–3 pages; a correct xref table, or a deliberately
   GARBAGE xref (the extractor is xref-free), or junk bytes prepended
-  before %PDF (both appear constantly in crawled PDFs).
+  before %PDF (both appear constantly in crawled PDFs); ~1/3 of rows
+  use the modern PDF-1.5+ layout with the catalog/page-tree dicts
+  inside a compressed /Type/ObjStm object stream (spec §7.5.7 — how
+  most crawled PDFs actually ship their page dicts).
 
 Corrupted/truncated PDFs are exercised by the never-raise unit battery
 (tests/test_pdf.py), not here — a corrupt payload has no independently
@@ -37,7 +40,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "1"
+PDF_FIXTURE_VERSION = "2"
 N_ROWS = 120
 
 _WORDS = (
@@ -86,25 +89,49 @@ def _page_content(lines: list[str], rng: random.Random) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+def _objstm(embedded: list[tuple[int, bytes]]) -> bytes:
+    """Pack (objnum, dict body) pairs into a FlateDecode /Type/ObjStm
+    object body (spec §7.5.7: N (objnum, offset) header pairs, objects
+    at /First + offset)."""
+    bodies = b""
+    header_parts = []
+    for num, body in embedded:
+        header_parts.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(header_parts)).encode() + b"\n"
+    raw = header + bodies
+    comp = zlib.compress(raw, 6)
+    return (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (len(embedded), len(header), len(comp), comp)
+    )
+
+
 def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
     """Assemble a complete PDF: catalog, page tree, per-page content
     streams (encoding drawn per stream), xref (sometimes garbage),
-    sometimes junk before the header."""
-    objs: list[bytes] = []  # bodies; object number = index + 1
+    sometimes junk before the header — and sometimes the modern PDF-1.5+
+    layout where the catalog/page-tree DICTS live inside a compressed
+    /Type/ObjStm object stream (most crawled PDFs) while content streams
+    stay direct."""
     n_pages = len(pages)
     kid_nums = [3 + 2 * p for p in range(n_pages)]
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    dict_objs: list[tuple[int, bytes]] = [(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
     kids = " ".join(f"{k} 0 R" for k in kid_nums)
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
-    )  # 2
+    dict_objs.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    )
+    stream_objs: list[tuple[int, bytes]] = []
     for p, lines in enumerate(pages):
         content_num = kid_nums[p] + 1
-        objs.append(
+        dict_objs.append(
             (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Contents {content_num} 0 R >>"
-            ).encode()
+                kid_nums[p],
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {content_num} 0 R >>"
+                ).encode(),
+            )
         )
         raw = _page_content(lines, rng)
         enc = rng.randrange(3)
@@ -114,16 +141,25 @@ def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
             body, filt = zlib.compress(raw, 6), b" /Filter /FlateDecode"
         else:
             body, filt = raw.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
-        objs.append(
-            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body)
+        stream_objs.append(
+            (
+                content_num,
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(body), filt, body),
+            )
         )
+    if rng.random() < 0.35:  # modern layout: dicts inside an ObjStm
+        objstm_num = 2 * n_pages + 3
+        objs = [(objstm_num, _objstm(dict_objs))] + stream_objs
+    else:
+        objs = sorted(dict_objs + stream_objs)
 
     head = b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
     if rng.random() < 0.2:  # crawl reality: junk before the header
         head = b"HTTP/1.1 200 OK\r\nX-Junk: yes\r\n\r\n" + head
     out = bytearray(head)
     offsets = []
-    for num, body in enumerate(objs, 1):
+    for num, body in objs:
         offsets.append(len(out))
         out += b"%d 0 obj\n" % num
         out += body

@@ -326,7 +326,49 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
         except ValueError:  # unreachable given the regex; belt and braces
             continue
         objs[num] = (d, stream)
+    _inflate_object_streams(objs)
     return objs
+
+
+def _inflate_object_streams(objs: dict) -> None:
+    """PDF ≥1.5 object streams (/Type /ObjStm, spec §7.5.7): most modern
+    writers store the catalog/page-tree DICTS inside a compressed stream
+    — invisible to the top-level scan. Decode each ObjStm, parse its
+    ``N`` (objnum, offset) header pairs, and add the embedded objects.
+    Directly-scanned definitions win over ObjStm ones (an incremental
+    update appends direct objects; without xref generation bookkeeping
+    that is the deterministic conservative policy). Embedded objects
+    carry no streams (the spec forbids streams inside an ObjStm)."""
+    for _num, (d, s) in sorted(objs.items()):
+        if d.get("Type") != ("name", "ObjStm"):
+            continue
+        dec = _decode_stream(d, s)
+        if not dec:
+            continue
+        n = d.get("N")
+        first = d.get("First")
+        if not isinstance(n, int) or not isinstance(first, int):
+            continue
+        n = min(max(n, 0), 100_000)  # adversarial-header cap
+        pairs = []
+        i = 0
+        for _k in range(n):
+            i = _skip_ws(dec, i)
+            v1, i = _parse_value(dec, i)
+            i = _skip_ws(dec, i)
+            v2, i = _parse_value(dec, i)
+            if isinstance(v1, int) and isinstance(v2, int):
+                pairs.append((v1, v2))
+            else:
+                break
+        for objnum, off in pairs:
+            if objnum in objs:
+                continue  # direct definitions win
+            if not 0 <= first + off < len(dec):
+                continue
+            val, _ = _parse_value(dec, first + off)
+            if isinstance(val, dict):
+                objs[objnum] = (val, None)
 
 
 def _filters_of(d: dict) -> list[str]:

@@ -173,6 +173,45 @@ def test_flate_corrupt_tail_salvages_prefix():
     assert "salvaged" in out  # prefix decoded despite the corrupt tail
 
 
+def test_objstm_embedded_page_dicts():
+    """PDF ≥1.5 object streams: catalog + page-tree dicts live inside a
+    compressed /Type/ObjStm; only content streams are direct objects.
+    The extractor must inflate the ObjStm to find the pages — and a
+    direct definition of the same objnum must win over the embedded one."""
+    embedded = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = b""
+    header_parts = []
+    for num, body in embedded:
+        header_parts.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(header_parts)).encode() + b"\n"
+    comp = zlib.compress(header + bodies, 6)
+    objstm = (
+        b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (len(header), len(comp), comp)
+    )
+    content = b"BT (from objstm) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + b"5 0 obj\n" + objstm + b"\nendobj\n"
+        + b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    assert extract_pdf_text(pdf) == "from objstm"
+    assert pdf_page_count(pdf) == 1
+    # direct definition of objnum 3 overrides the embedded page dict
+    # (points Contents at a different stream)
+    override = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length 21 >>\nstream\nBT (direct wins) Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf + override) == "direct wins"
+
+
 def test_binary_stream_cannot_spoof_objects():
     """Compressed bytes containing 'N G obj' / 'endobj' byte patterns
     must not clobber real objects (the consumed-pointer rule)."""
