@@ -222,6 +222,7 @@ def run_headline(master: str) -> dict:
         # bench row so a plan regression surfaces — the curate-diamond lesson)
         "dsir_select",
         "host_term_divergence",
+        "pdf_extract",  # X8 PDF leg (120-doc fixture; plan shape is the signal)
     ):
         best = None
         for _ in range(2):

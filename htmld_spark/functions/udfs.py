@@ -420,3 +420,78 @@ def extract_pdf_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
     (pdf_id, text, n_pages, n_bytes, parse_ok). One MapInArrow crossing,
     exactly like the HTML ``extract_df``."""
     return df.mapInArrow(make_pdf_extract_fn(byte_budget), PDF_EXTRACT_SCHEMA)
+
+
+PDF_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "n_bytes bigint, n_pages int, parse_ok boolean, exec_partition_id int"
+)
+
+
+def make_pdf_pages_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Pages-shaped PDF kernel — the curation-pipeline twin of
+    ``make_extract_fn``: input (url, pdf[, warc_ts, lang]), passthrough
+    conventions identical to the HTML kernel, so ``curate(source='pdf')``
+    drops into the same downstream plan."""
+    from htmld_spark.engine.pdf import extract_pdf
+
+    def pdf_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            partition_id = ctx.partitionId() if ctx is not None else -1
+        except Exception:  # pragma: no cover - non-Spark context
+            partition_id = -1
+
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            pdf_col = batch.column(names.index("pdf"))
+            ts_col = batch.column(names.index("warc_ts")) if "warc_ts" in names else None
+            lang_col = batch.column(names.index("lang")) if "lang" in names else None
+            for lo, hi in _slice_offsets(pdf_col, byte_budget):
+                raws = pdf_col.slice(lo, hi - lo).to_pylist()
+                texts: list[str] = []
+                n_pages: list[int] = []
+                n_bytes: list[int] = []
+                ok: list[bool] = []
+                for raw in raws:
+                    raw = raw or b""
+                    txt, np_ = extract_pdf(raw)
+                    texts.append(txt)
+                    n_pages.append(np_)
+                    n_bytes.append(len(raw))
+                    ok.append(np_ > 0)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url_col.slice(lo, hi - lo),
+                        (
+                            ts_col.slice(lo, hi - lo)
+                            if ts_col is not None
+                            else pa.nulls(hi - lo, pa.timestamp("us"))
+                        ),
+                        (
+                            lang_col.slice(lo, hi - lo)
+                            if lang_col is not None
+                            else pa.nulls(hi - lo, pa.string())
+                        ),
+                        pa.array(texts, pa.string()),
+                        pa.array(n_bytes, pa.int64()),
+                        pa.array(n_pages, pa.int32()),
+                        pa.array(ok, pa.bool_()),
+                        pa.array([partition_id] * (hi - lo), pa.int32()),
+                    ],
+                    names=[
+                        "url", "warc_ts", "lang", "text", "n_bytes",
+                        "n_pages", "parse_ok", "exec_partition_id",
+                    ],
+                )
+
+    return pdf_batches
+
+
+def extract_pdf_pages_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Apply the PDF engine to a (url, pdf[, warc_ts, lang]) pages frame →
+    the HTML kernel's passthrough shape. One MapInArrow crossing."""
+    return df.mapInArrow(make_pdf_pages_fn(byte_budget), PDF_PAGES_SCHEMA)

@@ -60,6 +60,7 @@ def curate(
     dsir_n_buckets: int | None = None,
     dsir_temperature: float = 1.0,
     dsir_target_text_col: str = "text",
+    source: str = "html",
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -112,6 +113,13 @@ def curate(
     hashed feature space (recommended at scale; None = exact vocab).
     Both parameters must be given together.
 
+    ``source`` selects the extraction leg: ``'html'`` (default — the
+    forgiving HTML engine over an (url, warc_ts, html[, lang]) frame) or
+    ``'pdf'`` (the engine/pdf.py leg over (url, pdf[, warc_ts, lang]) —
+    the north rule's "PDF/layout parse" feeding the IDENTICAL downstream
+    plan: same one-MapInArrow crossing, same enrichment, gates, dedups,
+    quota and split — a PDF crawl curates exactly like an HTML crawl).
+
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
     ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
@@ -131,10 +139,23 @@ def curate(
             "dsir_target and dsir_take must be given together (importance"
             " resampling needs both a target corpus and a sample size)"
         )
-    extracted = extract_df(
-        pages.select(*[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]),
-        with_spans=False,
-    )
+    if source not in ("html", "pdf"):
+        raise ValueError(f"source must be 'html' or 'pdf', got {source!r}")
+    if source == "pdf":
+        from htmld_spark.functions.udfs import extract_pdf_pages_df
+
+        extracted = extract_pdf_pages_df(
+            pages.select(
+                *[c for c in ("url", "warc_ts", "pdf", "lang") if c in pages.columns]
+            )
+        ).drop("n_pages")
+    else:
+        extracted = extract_df(
+            pages.select(
+                *[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+            ),
+            with_spans=False,
+        )
     enriched = enrich_features(extracted)
 
     # re-crawl dedup: latest capture per url

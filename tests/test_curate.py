@@ -223,6 +223,49 @@ def test_curate_dsir_resampling(spark):
     base.unpersist(); tight.unpersist()
 
 
+def test_curate_pdf_source(spark):
+    """source='pdf' curates a PDF crawl through the IDENTICAL downstream
+    plan: the engine/pdf.py leg extracts (one MapInArrow), then the same
+    enrichment/gates/dedups/quota/split. Surviving rows carry exactly
+    the text the PDF engine extracts; re-crawl dedup keeps the latest
+    capture; the plan stays single-crossing; bad source raises."""
+    import datetime
+
+    from fixtures.gen_pdfs import N_ROWS, draw_pdf_row
+    from htmld_spark.engine.pdf import extract_pdf_text
+
+    rows = []
+    for i in range(N_ROWS):
+        _pid, pdf, _exp, _np = draw_pdf_row(i)
+        rows.append(
+            (
+                f"https://h{i % 5}.example/doc{i}",
+                datetime.datetime(2024, 1, 1 + i % 25),
+                pdf,
+            )
+        )
+    # re-crawl duplicate: same url as row 0, later capture, same bytes
+    rows.append(("https://h0.example/doc0", datetime.datetime(2024, 3, 1), rows[0][2]))
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, pdf binary")
+    cur = curate(pages, source="pdf", min_tokens=3, max_per_host=500).cache()
+    n = cur.count()
+    assert 0 < n < len(rows)
+    assert cur.select("url").distinct().count() == n
+    # survivors' text is exactly the PDF engine's output for their url
+    expected = {u: extract_pdf_text(p) for u, _ts, p in rows}
+    for r in cur.select("url", "text", "warc_ts").collect():
+        assert r.text == expected[r.url], r.url
+        if r.url == "https://h0.example/doc0":
+            assert r.warc_ts == datetime.datetime(2024, 3, 1)  # latest capture
+    p = curate(pages, source="pdf")._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    again = curate(pages, source="pdf", min_tokens=3, max_per_host=500)
+    assert cur.exceptAll(again).count() == 0 and again.exceptAll(cur).count() == 0
+    with pytest.raises(ValueError):
+        curate(pages, source="docx")
+    cur.unpersist()
+
+
 def test_curate_gopher_gate(spark):
     """gopher_gate applies the Gopher rule set as an inline row-local
     filter; the survivors must be exactly the gopher_rules passes-subset

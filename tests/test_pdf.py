@@ -6,6 +6,8 @@ incremental updates, stream-length tolerance)."""
 import random
 import zlib
 
+from hypothesis import given, settings, strategies as st
+
 from fixtures.gen_pdfs import N_ROWS, draw_pdf_row
 from htmld_spark.engine.pdf import extract_pdf_text, pdf_page_count
 
@@ -229,3 +231,32 @@ def test_binary_stream_cannot_spoof_objects():
     out = extract_pdf_text(_pdf(objs))
     assert isinstance(out, str)
     assert pdf_page_count(_pdf(objs)) == 1
+
+
+_BASE_PDF = draw_pdf_row(1)[1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_hypothesis_never_raises_on_binary(data):
+    t = extract_pdf_text(data)
+    assert isinstance(t, str)
+    assert extract_pdf_text(data) == t
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(_BASE_PDF) - 1),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=64),
+)
+def test_hypothesis_mutated_real_pdf_never_raises(pos, byte, cut):
+    """Real fixture PDF with one byte overwritten and/or the tail cut —
+    the shapes real crawls produce. Never raises, stays deterministic."""
+    b = bytearray(_BASE_PDF)
+    b[pos] = byte
+    mutated = bytes(b[: max(1, len(b) - cut)])
+    t = extract_pdf_text(mutated)
+    assert isinstance(t, str)
+    assert extract_pdf_text(mutated) == t
+    assert isinstance(pdf_page_count(mutated), int)
