@@ -263,6 +263,17 @@ def _parse_name(data: bytes, i: int) -> tuple[str, int]:
 _STREAM_RE = re.compile(rb"\bstream(?:\r\n|\n|\r)")
 
 
+def _parse_dict_tolerant(raw: bytes) -> dict:
+    """Per-object isolation: one pathological object body (e.g. a
+    nesting bomb that trips the recursion limit) must cost only ITS
+    dict, not blank the whole document via the top-level backstop."""
+    try:
+        val, _ = _parse_value(raw, 0)
+        return val if isinstance(val, dict) else {}
+    except Exception:
+        return {}
+
+
 def _strip_stream_eol(stream: bytes) -> bytes:
     # spec: the EOL before endstream is not stream data
     if stream.endswith(b"\r\n"):
@@ -294,8 +305,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
         stream = None
         if has_stream:
             dict_part = data[start : sm.start()]
-            val, _ = _parse_value(dict_part, 0)
-            d = val if isinstance(val, dict) else {}
+            d = _parse_dict_tolerant(dict_part)
             s_start = sm.end()
             length = d.get("Length")
             end = None
@@ -318,8 +328,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
             consumed = end
         else:
             body_end = e_obj if e_obj != -1 else len(data)
-            val, _ = _parse_value(data[start:body_end], 0)
-            d = val if isinstance(val, dict) else {}
+            d = _parse_dict_tolerant(data[start:body_end])
             consumed = body_end
         try:
             num = int(m.group(1))

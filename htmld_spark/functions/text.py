@@ -2006,6 +2006,10 @@ def temperature_sample(
         for r in df.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded by the number of languages
+        # NULL stratum rows can never be kept anyway (the keep filter's
+        # equality never matches NULL and default_rate is 0) — and a None
+        # key would break the sorted-language rate order, so drop it here
+        if r[0] is not None
     }
     rates = temperature_rates(counts, alpha=alpha, sample_frac=sample_frac)
     return stratified_sample(

@@ -260,3 +260,13 @@ def test_hypothesis_mutated_real_pdf_never_raises(pos, byte, cut):
     assert isinstance(t, str)
     assert extract_pdf_text(mutated) == t
     assert isinstance(pdf_page_count(mutated), int)
+
+
+def test_pathological_object_does_not_blank_document():
+    """One nesting-bomb object must cost only its own dict — the valid
+    page in the same file still extracts (per-object parse isolation,
+    not just the top-level backstop)."""
+    bomb = b"9 0 obj\n" + b"<< /A " * 4000 + b"\nendobj\n"
+    good = _one_page(b"BT (still here) Tj ET")
+    assert extract_pdf_text(good + bomb) == "still here"
+    assert extract_pdf_text(bomb + good) == "still here"
