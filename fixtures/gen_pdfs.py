@@ -20,7 +20,10 @@ varied spec mechanisms the extractor must normalize away:
   before %PDF (both appear constantly in crawled PDFs); ~1/3 of rows
   use the modern PDF-1.5+ layout with the catalog/page-tree dicts
   inside a compressed /Type/ObjStm object stream (spec §7.5.7 — how
-  most crawled PDFs actually ship their page dicts).
+  most crawled PDFs actually ship their page dicts); ~1/4 of rows use a
+  Type0 CID font: every line shown as 2-byte codes through a
+  FlateDecode /ToUnicode CMap the extractor must parse (§9.10.3 — the
+  CJK/subset-font layout).
 
 Corrupted/truncated PDFs are exercised by the never-raise unit battery
 (tests/test_pdf.py), not here — a corrupt payload has no independently
@@ -40,7 +43,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "2"
+PDF_FIXTURE_VERSION = "3"
 N_ROWS = 120
 
 _WORDS = (
@@ -107,6 +110,37 @@ def _objstm(embedded: list[tuple[int, bytes]]) -> bytes:
     )
 
 
+def _page_content_cid(lines: list[str], code_of: dict[str, int]) -> bytes:
+    """Page content for the CID-font variant: every line shown as 2-byte
+    codes through /FC (decoded via the ToUnicode CMap)."""
+    ops = ["BT", "/FC 12 Tf", "14 TL", "72 720 Td"]
+    for idx, line in enumerate(lines):
+        if idx:
+            ops.append("T*")
+        hx = "".join(f"{code_of[ch]:04x}" for ch in line)
+        ops.append(f"<{hx}> Tj")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def _tounicode_stream(code_of: dict[str, int]) -> bytes:
+    pairs = "\n".join(
+        f"<{code:04x}> <{ch.encode('utf-16-be').hex()}>"
+        for ch, code in sorted(code_of.items(), key=lambda kv: kv[1])
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        f"{len(code_of)} beginbfchar\n{pairs}\nendbfchar\n"
+        "endcmap\nend"
+    ).encode("latin-1")
+    comp = zlib.compress(cmap, 6)
+    return (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(comp), comp)
+    )
+
+
 def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
     """Assemble a complete PDF: catalog, page tree, per-page content
     streams (encoding drawn per stream), xref (sometimes garbage),
@@ -116,12 +150,35 @@ def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
     stay direct."""
     n_pages = len(pages)
     kid_nums = [3 + 2 * p for p in range(n_pages)]
+    # CID variant (~1/4): every line shown as 2-byte codes through a
+    # Type0 font whose FlateDecode ToUnicode CMap the extractor must
+    # parse — the layout of CJK/subset-font PDFs in real crawls
+    use_cid = rng.random() < 0.25
+    font_num, tounicode_num = 2 * n_pages + 4, 2 * n_pages + 5
+    code_of: dict[str, int] = {}
+    if use_cid:
+        chars = sorted({ch for ls in pages for line in ls for ch in line})
+        code_of = {ch: i + 1 for i, ch in enumerate(chars)}
+    res = (
+        f" /Resources << /Font << /FC {font_num} 0 R >> >>" if use_cid else ""
+    )
     dict_objs: list[tuple[int, bytes]] = [(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
     kids = " ".join(f"{k} 0 R" for k in kid_nums)
     dict_objs.append(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     )
     stream_objs: list[tuple[int, bytes]] = []
+    if use_cid:
+        stream_objs.append(
+            (
+                font_num,
+                (
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+                    f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        stream_objs.append((tounicode_num, _tounicode_stream(code_of)))
     for p, lines in enumerate(pages):
         content_num = kid_nums[p] + 1
         dict_objs.append(
@@ -129,11 +186,15 @@ def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
                 kid_nums[p],
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                    f"/Contents {content_num} 0 R >>"
+                    f"/Contents {content_num} 0 R{res} >>"
                 ).encode(),
             )
         )
-        raw = _page_content(lines, rng)
+        raw = (
+            _page_content_cid(lines, code_of)
+            if use_cid
+            else _page_content(lines, rng)
+        )
         enc = rng.randrange(3)
         if enc == 0:
             body, filt = raw, b""

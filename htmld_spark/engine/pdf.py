@@ -34,11 +34,14 @@ forgiving-parser stance dom.py takes for tag soup, applied to PDF:
   (\\n \\r \\t \\b \\f, octal, line continuations, nested parens) and
   hex strings follow §7.3.4.
 - encoding: single-byte strings decode as PDFDocEncoding ≈ Latin-1;
-  strings with a UTF-16BE BOM decode as UTF-16BE. Type0/CID multi-byte
-  fonts and per-font /ToUnicode CMaps are OUT OF SCOPE for v1 — their
-  bytes still decode deterministically (they just are not CID-mapped),
-  and ``layout parse`` here means text order/line structure, not font
-  cartography. Form XObjects (/Do) are not recursed.
+  strings with a UTF-16BE BOM decode as UTF-16BE. Multi-byte Type0/CID
+  fonts ARE supported via per-font /ToUnicode CMaps (§9.10.3:
+  codespacerange width, bfchar, bfrange incl. incremented and
+  array-destination forms): the page's /Resources /Font table is
+  resolved, ``Tf`` switches the active font, and show-operator bytes
+  decode as fixed-width code units through the CMap — unmapped 2-byte
+  codes fall back to UTF-16BE (the Identity-H-without-CMap reality).
+  Form XObjects (/Do) are not recursed.
 
 Pages are joined with a blank line ("\\n\\n"), lines within a page with
 "\\n"; whitespace-only lines are dropped. ``extract_pdf_text`` returns
@@ -422,8 +425,141 @@ def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
     return data
 
 
-def _page_content_streams(objs: dict) -> list[bytes]:
-    """The page-order ladder. Returns one decoded content blob per page."""
+def _deref(objs: dict, v, depth: int = 0):
+    """Follow ("ref", n) chains to a concrete value (dicts stay dicts;
+    a referenced stream object resolves to its dict)."""
+    while isinstance(v, tuple) and len(v) == 2 and v[0] == "ref" and depth < 16:
+        entry = objs.get(v[1])
+        if entry is None:
+            return None
+        v = entry[0]
+        depth += 1
+    return v
+
+
+def _parse_tounicode_cmap(dec: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (PDF §9.10.3 / Adobe CMap spec):
+    returns (code width in bytes, {code: unicode string}). Handles
+    codespacerange (defines the width), bfchar pairs, and bfrange with
+    either an incremented destination or an explicit array. Destination
+    hex strings are UTF-16BE. Tolerant: malformed sections are skipped."""
+    width = 2  # ToUnicode CMaps are overwhelmingly 2-byte (Identity-H)
+    mapping: dict[int, str] = {}
+    toks: list = []
+    i = 0
+    n = len(dec)
+    while i < n:  # minimal CMap lexer: hex strings, arrays, keywords
+        c = dec[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:
+            while i < n and dec[i] not in b"\r\n":
+                i += 1
+        elif c == 0x3C and not (i + 1 < n and dec[i + 1] == 0x3C):
+            s, i = _parse_hex_string(dec, i)
+            toks.append(s)
+        elif c == 0x5B:
+            val, i = _parse_value(dec, i)
+            toks.append(val if isinstance(val, list) else [])
+        else:
+            j = i
+            while j < n and dec[j] not in _WS and dec[j] not in _DELIM:
+                j += 1
+            if j == i:
+                i += 1
+                continue
+            toks.append(dec[i:j])
+            i = j
+
+    def _utf16(b: bytes) -> str:
+        return b.decode("utf-16-be", errors="replace")
+
+    def _inc(b: bytes, k: int) -> str:
+        # spec: only the LAST code unit of the destination increments
+        if len(b) < 2:
+            return _utf16(b)
+        last = int.from_bytes(b[-2:], "big") + k
+        return _utf16(b[:-2] + (last & 0xFFFF).to_bytes(2, "big"))
+
+    t = 0
+    mode = None
+    pend: list = []
+    while t < len(toks):
+        tok = toks[t]
+        t += 1
+        if isinstance(tok, bytes) and tok in (
+            b"begincodespacerange", b"beginbfchar", b"beginbfrange"
+        ):
+            mode = tok
+            pend = []
+        elif isinstance(tok, bytes) and tok in (
+            b"endcodespacerange", b"endbfchar", b"endbfrange"
+        ):
+            mode = None
+        elif mode == b"begincodespacerange":
+            if isinstance(tok, bytes):
+                width = max(1, min(len(tok), 4))
+        elif mode == b"beginbfchar":
+            pend.append(tok)
+            if len(pend) == 2:
+                src, dst = pend
+                pend = []
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    mapping[int.from_bytes(src, "big")] = _utf16(dst)
+        elif mode == b"beginbfrange":
+            pend.append(tok)
+            if len(pend) == 3:
+                lo, hi, dst = pend
+                pend = []
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                    continue
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = min(int.from_bytes(hi, "big"), lo_i + 65535)
+                if isinstance(dst, bytes):
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[lo_i + k] = _inc(dst, k)
+                elif isinstance(dst, list):
+                    for k, el in enumerate(dst):
+                        if lo_i + k > hi_i:
+                            break
+                        if isinstance(el, bytes):
+                            mapping[lo_i + k] = _utf16(el)
+    return width, mapping
+
+
+def _fonts_for_page(objs: dict, page: dict) -> dict[str, tuple[int, dict | None]]:
+    """Resolve the page's /Resources /Font table → {font name: (code
+    width, ToUnicode mapping or None)}. Simple fonts default to 1-byte
+    Latin-1 (no mapping); /Subtype /Type0 defaults to 2-byte codes even
+    without a ToUnicode (decoded as UTF-16BE — the common case when the
+    writer omitted the CMap but codes ARE unicode)."""
+    fonts: dict[str, tuple[int, dict | None]] = {}
+    res = _deref(objs, page.get("Resources"))
+    if not isinstance(res, dict):
+        return fonts
+    fdict = _deref(objs, res.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, fref in fdict.items():
+        fobj = _deref(objs, fref)
+        if not isinstance(fobj, dict):
+            continue
+        is_type0 = fobj.get("Subtype") == ("name", "Type0")
+        width, mapping = (2 if is_type0 else 1), None
+        tu = fobj.get("ToUnicode")
+        if isinstance(tu, tuple) and tu[0] == "ref":
+            entry = objs.get(tu[1])
+            if entry is not None:
+                dec = _decode_stream(entry[0], entry[1])
+                if dec:
+                    width, mapping = _parse_tounicode_cmap(dec)
+        fonts[name] = (width, mapping)
+    return fonts
+
+
+def _page_content_streams(objs: dict) -> list[tuple[bytes, dict]]:
+    """The page-order ladder. Returns one (decoded content blob, font
+    table) pair per page."""
     # rung 1: Root → Pages → Kids walk
     root_num = None
     for num, (d, _s) in objs.items():
@@ -465,7 +601,7 @@ def _page_content_streams(objs: dict) -> list[bytes]:
             d for _num, (d, _s) in sorted(objs.items())
             if d.get("Type") == ("name", "Page")
         ]
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict]] = []
     for page in pages:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
@@ -480,28 +616,61 @@ def _page_content_streams(objs: dict) -> list[bytes]:
             if dec:
                 parts.append(dec)
         if parts:
-            out.append(b"\n".join(parts))
+            out.append((b"\n".join(parts), _fonts_for_page(objs, page)))
     # rung 3: any decoded stream containing a BT text object, file order
     if not out:
         for _num, (d, s) in sorted(objs.items()):
             dec = _decode_stream(d, s)
             if dec and b"BT" in dec:
-                out.append(dec)
+                out.append((dec, {}))
     return out
 
 
 # ------------------------------------------------------------------ content streams
 
 
-def _content_text_lines(data: bytes) -> list[str]:
+def _decode_with_font(raw: bytes, font: tuple[int, dict | None] | None) -> str:
+    """Decode show-operator bytes through the ACTIVE font: simple fonts
+    (or no font info) → the Latin-1/UTF-16BE-BOM path; multi-byte fonts
+    → fixed-width code units mapped through the ToUnicode CMap, falling
+    back to UTF-16BE for unmapped codes (the Identity-H-without-CMap
+    reality); a trailing partial code unit is dropped (spec: ignore)."""
+    if font is None:
+        return _decode_text(raw)
+    width, mapping = font
+    if width <= 1 and mapping is None:
+        return _decode_text(raw)
+    if width <= 1:  # 1-byte font WITH a ToUnicode (e.g. symbolic simple font)
+        return "".join(
+            mapping.get(b, bytes([b]).decode("latin-1")) for b in raw
+        )
+    out = []
+    for i in range(0, len(raw) - (len(raw) % width), width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        if mapping is not None and code in mapping:
+            out.append(mapping[code])
+        else:
+            out.append(
+                raw[i : i + width].decode("utf-16-be", errors="replace")
+                if width == 2
+                else "�"
+            )
+    return "".join(out)
+
+
+def _content_text_lines(data: bytes, fonts: dict | None = None) -> list[str]:
     """Run the §9.4 text operators over one content stream; returns the
-    emitted lines (y-motion = line break)."""
+    emitted lines (y-motion = line break). ``fonts`` is the page's
+    resolved font table ({name: (code width, ToUnicode mapping)}); the
+    ``Tf`` operator switches the active decoding."""
     lines: list[str] = []
     cur: list[str] = []
     stack: list = []
     arr: list | None = None
     in_text = False
     last_tm_y: float | None = None
+    fonts = fonts or {}
+    cur_font: tuple[int, dict | None] | None = None
 
     def flush():
         nonlocal cur
@@ -574,22 +743,26 @@ def _content_text_lines(data: bytes) -> list[str]:
         elif op == b"ET":
             flush()
             in_text = False
+        elif op == b"Tf":
+            # operands: /FontName size — switch the active decoding
+            if len(stack) >= 2 and isinstance(stack[-2], tuple):
+                cur_font = fonts.get(stack[-2][1], cur_font)
         elif in_text and op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
-                cur.append(_decode_text(stack[-1]))
+                cur.append(_decode_with_font(stack[-1], cur_font))
         elif in_text and op == b"'":
             flush()
             if stack and isinstance(stack[-1], bytes):
-                cur.append(_decode_text(stack[-1]))
+                cur.append(_decode_with_font(stack[-1], cur_font))
         elif in_text and op == b'"':
             flush()
             if stack and isinstance(stack[-1], bytes):
-                cur.append(_decode_text(stack[-1]))
+                cur.append(_decode_with_font(stack[-1], cur_font))
         elif in_text and op == b"TJ":
             if stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
                     if isinstance(el, bytes):
-                        cur.append(_decode_text(el))
+                        cur.append(_decode_with_font(el, cur_font))
                     elif isinstance(el, float) and el <= -TJ_SPACE_KERN:
                         if cur and not cur[-1].endswith(" "):
                             cur.append(" ")
@@ -632,8 +805,8 @@ def extract_pdf(data) -> tuple[str, int]:
             return "", 0
         blobs = _page_content_streams(_scan_objects(bytes(data)))
         pages = []
-        for blob in blobs:
-            lines = _content_text_lines(blob)
+        for blob, fonts in blobs:
+            lines = _content_text_lines(blob, fonts)
             if lines:
                 pages.append("\n".join(lines))
         return "\n\n".join(pages), len(blobs)

@@ -270,3 +270,77 @@ def test_pathological_object_does_not_blank_document():
     good = _one_page(b"BT (still here) Tj ET")
     assert extract_pdf_text(good + bomb) == "still here"
     assert extract_pdf_text(bomb + good) == "still here"
+
+
+def _tounicode_cmap(mapping: dict[int, str]) -> bytes:
+    pairs = "\n".join(
+        f"<{code:04x}> <{dst.encode('utf-16-be').hex()}>"
+        for code, dst in mapping.items()
+    )
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"%d beginbfchar\n%s\nendbfchar\n"
+        b"endcmap\nend" % (len(mapping), pairs.encode())
+    )
+
+
+def test_type0_tounicode_cmap():
+    """A Type0 font with a /ToUnicode CMap: 2-byte codes map through
+    bfchar entries; an UNMAPPED code falls back to UTF-16BE; Tf switches
+    decoding between the CID font and a simple Latin-1 font."""
+    cmap = _tounicode_cmap({1: "H", 2: "i", 3: "日", 4: " "})
+    codes = bytes.fromhex("0001000200040003")  # H i ␠ 日
+    content = (
+        b"BT /F0 12 Tf <" + codes.hex().encode() + b"> Tj "
+        b"T* /F1 12 Tf (plain latin) Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F0 5 0 R /F1 6 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+        b"/ToUnicode 7 0 R >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(_tounicode_cmap({1: "H", 2: "i", 3: "日", 4: " "})),
+           _tounicode_cmap({1: "H", 2: "i", 3: "日", 4: " "})),
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "Hi 日\nplain latin"
+    # unmapped code 0x0041 in a Type0 WITHOUT ToUnicode → UTF-16BE "A"
+    objs2 = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F0 5 0 R >> >> >>",
+        b"<< /Length 26 >>\nstream\nBT /F0 9 Tf <00410042> Tj ET\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /NoCMap >>",
+    ]
+    assert extract_pdf_text(_pdf(objs2)) == "AB"
+
+
+def test_bfrange_incremented_and_array():
+    """bfrange destination forms: <lo> <hi> <dst> increments the last
+    UTF-16 unit; <lo> <hi> [..] maps positionally."""
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"              # 0x10..0x12 -> a b c
+        b"<0020> <0021> [<0058> <0059>]\n"     # 0x20, 0x21 -> X Y
+        b"endbfrange\nendcmap"
+    )
+    content = b"BT /F0 9 Tf <001000110012> Tj T* <00200021> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F0 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "abc\nXY"
