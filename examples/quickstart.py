@@ -85,6 +85,18 @@ def demo_dedup_and_mixing(spark) -> None:
     print("mixture kept", mixed.count(), "of", text.count(), "docs")
 
 
+def demo_pdf_extraction(spark) -> None:
+    """PDF leg (engine/pdf.py): the same pipeline over a PDF crawl —
+    extract via one MapInArrow, or run the whole curation with
+    curate(source='pdf')."""
+    from fixtures.gen_pdfs import ensure_pdfs
+    from htmld_spark.functions.udfs import extract_pdf_df
+
+    pdfs = spark.read.parquet(ensure_pdfs()).select("pdf_id", "pdf")
+    out = extract_pdf_df(pdfs)
+    out.select("pdf_id", "n_pages", "parse_ok", "text").show(3, truncate=40)
+
+
 def main() -> None:
     demo_engine_api()
     from htmld_spark.pipeline.session import get_spark
@@ -92,6 +104,7 @@ def main() -> None:
     spark = get_spark(master="local[4]", app_name="quickstart")
     try:
         demo_distributed_extraction(spark)
+        demo_pdf_extraction(spark)
         demo_curation(spark)
         demo_quality_filters(spark)
         demo_dedup_and_mixing(spark)
