@@ -23,7 +23,9 @@ varied spec mechanisms the extractor must normalize away:
   most crawled PDFs actually ship their page dicts); ~1/4 of rows use a
   Type0 CID font: every line shown as 2-byte codes through a
   FlateDecode /ToUnicode CMap the extractor must parse (§9.10.3 — the
-  CJK/subset-font layout).
+  CJK/subset-font layout); ~1/5 of rows start every page with a /Do of
+  a shared Form XObject running header (§8.10) the extractor must
+  splice in place.
 
 Corrupted/truncated PDFs are exercised by the never-raise unit battery
 (tests/test_pdf.py), not here — a corrupt payload has no independently
@@ -43,7 +45,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "3"
+PDF_FIXTURE_VERSION = "4"
 N_ROWS = 120
 
 _WORDS = (
@@ -141,7 +143,12 @@ def _tounicode_stream(code_of: dict[str, int]) -> bytes:
     )
 
 
-def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
+def _make_pdf(
+    pages: list[list[str]],
+    rng: random.Random,
+    use_cid: bool = False,
+    form_header: str | None = None,
+) -> bytes:
     """Assemble a complete PDF: catalog, page tree, per-page content
     streams (encoding drawn per stream), xref (sometimes garbage),
     sometimes junk before the header — and sometimes the modern PDF-1.5+
@@ -150,24 +157,33 @@ def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
     stay direct."""
     n_pages = len(pages)
     kid_nums = [3 + 2 * p for p in range(n_pages)]
-    # CID variant (~1/4): every line shown as 2-byte codes through a
-    # Type0 font whose FlateDecode ToUnicode CMap the extractor must
-    # parse — the layout of CJK/subset-font PDFs in real crawls
-    use_cid = rng.random() < 0.25
     font_num, tounicode_num = 2 * n_pages + 4, 2 * n_pages + 5
+    form_num = 2 * n_pages + 6
     code_of: dict[str, int] = {}
     if use_cid:
         chars = sorted({ch for ls in pages for line in ls for ch in line})
         code_of = {ch: i + 1 for i, ch in enumerate(chars)}
-    res = (
-        f" /Resources << /Font << /FC {font_num} 0 R >> >>" if use_cid else ""
-    )
+    use_form = form_header is not None
+    res = ""
+    if use_cid:
+        res = f" /Resources << /Font << /FC {font_num} 0 R >> >>"
+    elif use_form:
+        res = f" /Resources << /XObject << /XH {form_num} 0 R >> >>"
     dict_objs: list[tuple[int, bytes]] = [(1, b"<< /Type /Catalog /Pages 2 0 R >>")]
     kids = " ".join(f"{k} 0 R" for k in kid_nums)
     dict_objs.append(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     )
     stream_objs: list[tuple[int, bytes]] = []
+    if use_form:
+        fbody = _page_content([form_header], rng)
+        stream_objs.append(
+            (
+                form_num,
+                b"<< /Subtype /Form /Length %d >>\nstream\n%s\nendstream"
+                % (len(fbody), fbody),
+            )
+        )
     if use_cid:
         stream_objs.append(
             (
@@ -195,6 +211,8 @@ def _make_pdf(pages: list[list[str]], rng: random.Random) -> bytes:
             if use_cid
             else _page_content(lines, rng)
         )
+        if use_form:
+            raw = b"/XH Do\n" + raw
         enc = rng.randrange(3)
         if enc == 0:
             body, filt = raw, b""
@@ -251,8 +269,19 @@ def draw_pdf_row(i: int):
             k = rng.randint(3, 8)
             lines.append(" ".join(rng.choice(_WORDS) for _ in range(k)))
         pages.append(lines)
-    expected = "\n\n".join("\n".join(ls) for ls in pages)
-    return i, _make_pdf(pages, rng), expected, n_pages
+    # variants drawn HERE so the expectation composes independently:
+    # CID (~1/4): 2-byte codes through a ToUnicode CMap; form header
+    # (~1/5, exclusive): every page starts with a /Do'd running header
+    use_cid = rng.random() < 0.25
+    form_header = None
+    if not use_cid and rng.random() < 0.2:
+        form_header = " ".join(rng.choice(_WORDS) for _ in range(3))
+    eff_pages = (
+        [[form_header] + ls for ls in pages] if form_header else pages
+    )
+    expected = "\n\n".join("\n".join(ls) for ls in eff_pages)
+    pdf = _make_pdf(pages, rng, use_cid=use_cid, form_header=form_header)
+    return i, pdf, expected, n_pages
 
 
 def ensure_pdfs() -> str:

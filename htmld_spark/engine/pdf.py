@@ -25,7 +25,9 @@ forgiving-parser stance dom.py takes for tag soup, applied to PDF:
   nearest ``endstream`` (bogus or indirect lengths tolerated).
   FlateDecode decompresses via zlib with a partial-output salvage path
   (``decompressobj`` keeps whatever decoded before a corrupt tail);
-  ASCIIHexDecode is supported; unknown filters skip the stream.
+  LZWDecode (EarlyChange, prefix-salvaging, bomb-capped),
+  RunLengthDecode and ASCIIHexDecode are supported; unknown filters
+  (DCTDecode etc. — image data) skip the stream.
 - text: inside BT…ET, ``Tj``/``'``/``"`` and ``TJ`` emit; ``Td``/``TD``
   with a y-translation, ``T*`` and a ``Tm`` whose y changes start a new
   line (the layout heuristic: y-motion = line break, x-only motion =
@@ -41,7 +43,11 @@ forgiving-parser stance dom.py takes for tag soup, applied to PDF:
   resolved, ``Tf`` switches the active font, and show-operator bytes
   decode as fixed-width code units through the CMap — unmapped 2-byte
   codes fall back to UTF-16BE (the Identity-H-without-CMap reality).
-  Form XObjects (/Do) are not recursed.
+- FORM XObjects (§8.10): ``Do`` splices the form's text lines in place
+  — headers, watermarks and sometimes whole page bodies ship as forms;
+  each form decodes with its own /Resources fonts (inheriting the
+  caller's when absent), depth-capped and cycle-guarded. Image
+  XObjects are skipped (no text).
 
 Pages are joined with a blank line ("\\n\\n"), lines within a page with
 "\\n"; whitespace-only lines are dropped. ``extract_pdf_text`` returns
@@ -394,6 +400,72 @@ def _filters_of(d: dict) -> list[str]:
     return []
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (§7.4.4.2): MSB-first variable-width codes, 256 =
+    ClearTable, 257 = EOD, EarlyChange=1 (width bumps one code early).
+    Corrupt input salvages the decoded prefix — never raises."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return bytes(out)  # corrupt: salvage prefix
+                out += entry
+                prev = entry
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    return bytes(out)  # corrupt: salvage prefix
+                out += entry
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                prev = entry
+            if next_code >= (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+        if len(out) > 64 << 20:  # decompression-bomb cap
+            break
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): L ≤ 127 → copy L+1 literal bytes;
+    L ≥ 129 → repeat next byte 257−L times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
     if raw is None:
         return None
@@ -420,7 +492,11 @@ def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
                 data = bytes.fromhex(hx.decode("ascii"))
             except ValueError:
                 return None
-        else:  # unsupported filter (DCT, LZW, …): not a text stream
+        elif filt in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data)
+        elif filt in ("RunLengthDecode", "RL"):
+            data = _rle_decode(data)
+        else:  # unsupported filter (DCTDecode, JBIG2, …): not a text stream
             return None
     return data
 
@@ -527,14 +603,13 @@ def _parse_tounicode_cmap(dec: bytes) -> tuple[int, dict[int, str]]:
     return width, mapping
 
 
-def _fonts_for_page(objs: dict, page: dict) -> dict[str, tuple[int, dict | None]]:
-    """Resolve the page's /Resources /Font table → {font name: (code
+def _fonts_from_resources(objs: dict, res) -> dict[str, tuple[int, dict | None]]:
+    """Resolve a /Resources dict's /Font table → {font name: (code
     width, ToUnicode mapping or None)}. Simple fonts default to 1-byte
     Latin-1 (no mapping); /Subtype /Type0 defaults to 2-byte codes even
     without a ToUnicode (decoded as UTF-16BE — the common case when the
     writer omitted the CMap but codes ARE unicode)."""
     fonts: dict[str, tuple[int, dict | None]] = {}
-    res = _deref(objs, page.get("Resources"))
     if not isinstance(res, dict):
         return fonts
     fdict = _deref(objs, res.get("Font"))
@@ -557,9 +632,53 @@ def _fonts_for_page(objs: dict, page: dict) -> dict[str, tuple[int, dict | None]
     return fonts
 
 
-def _page_content_streams(objs: dict) -> list[tuple[bytes, dict]]:
+def _xobjects_from_resources(
+    objs: dict, res, inherited_fonts: dict, depth: int = 0,
+    seen: frozenset = frozenset(),
+) -> dict[str, tuple[bytes, dict, dict]]:
+    """Resolve a /Resources dict's /XObject table to the FORM XObjects
+    (§8.10 — headers, watermarks, and sometimes entire page bodies live
+    in them): {name: (decoded content, fonts, nested xobjects)}. A
+    form's own /Resources wins; absent one it inherits the caller's
+    fonts (spec-sanctioned fallback). Depth-capped and cycle-guarded
+    (a form referencing itself must not recurse forever)."""
+    out: dict[str, tuple[bytes, dict, dict]] = {}
+    if depth > 6 or not isinstance(res, dict):
+        return out
+    xdict = _deref(objs, res.get("XObject"))
+    if not isinstance(xdict, dict):
+        return out
+    for name, xref in xdict.items():
+        if not (isinstance(xref, tuple) and len(xref) == 2 and xref[0] == "ref"):
+            continue
+        if xref[1] in seen:
+            continue
+        entry = objs.get(xref[1])
+        if entry is None:
+            continue
+        xd, xs = entry
+        if xd.get("Subtype") != ("name", "Form"):
+            continue  # images etc. carry no text
+        blob = _decode_stream(xd, xs)
+        if not blob:
+            continue
+        xres = _deref(objs, xd.get("Resources"))
+        fonts = (
+            _fonts_from_resources(objs, xres)
+            if isinstance(xres, dict)
+            else inherited_fonts
+        )
+        nested = _xobjects_from_resources(
+            objs, xres if isinstance(xres, dict) else res, fonts,
+            depth + 1, seen | {xref[1]},
+        )
+        out[name] = (blob, fonts, nested)
+    return out
+
+
+def _page_content_streams(objs: dict) -> list[tuple[bytes, dict, dict]]:
     """The page-order ladder. Returns one (decoded content blob, font
-    table) pair per page."""
+    table, form-XObject table) triple per page."""
     # rung 1: Root → Pages → Kids walk
     root_num = None
     for num, (d, _s) in objs.items():
@@ -616,13 +735,16 @@ def _page_content_streams(objs: dict) -> list[tuple[bytes, dict]]:
             if dec:
                 parts.append(dec)
         if parts:
-            out.append((b"\n".join(parts), _fonts_for_page(objs, page)))
+            res = _deref(objs, page.get("Resources"))
+            fonts = _fonts_from_resources(objs, res)
+            xobs = _xobjects_from_resources(objs, res, fonts)
+            out.append((b"\n".join(parts), fonts, xobs))
     # rung 3: any decoded stream containing a BT text object, file order
     if not out:
         for _num, (d, s) in sorted(objs.items()):
             dec = _decode_stream(d, s)
             if dec and b"BT" in dec:
-                out.append((dec, {}))
+                out.append((dec, {}, {}))
     return out
 
 
@@ -658,11 +780,16 @@ def _decode_with_font(raw: bytes, font: tuple[int, dict | None] | None) -> str:
     return "".join(out)
 
 
-def _content_text_lines(data: bytes, fonts: dict | None = None) -> list[str]:
+def _content_text_lines(
+    data: bytes, fonts: dict | None = None, xobjects: dict | None = None
+) -> list[str]:
     """Run the §9.4 text operators over one content stream; returns the
-    emitted lines (y-motion = line break). ``fonts`` is the page's
-    resolved font table ({name: (code width, ToUnicode mapping)}); the
-    ``Tf`` operator switches the active decoding."""
+    emitted lines (y-motion = line break). ``fonts`` is the resolved
+    font table ({name: (code width, ToUnicode mapping)}); the ``Tf``
+    operator switches the active decoding. ``xobjects`` maps names to
+    (blob, fonts, nested) FORM XObjects — a ``Do`` splices the form's
+    text lines in place (recursion bounded by the resolver's depth cap
+    and cycle guard)."""
     lines: list[str] = []
     cur: list[str] = []
     stack: list = []
@@ -670,6 +797,7 @@ def _content_text_lines(data: bytes, fonts: dict | None = None) -> list[str]:
     in_text = False
     last_tm_y: float | None = None
     fonts = fonts or {}
+    xobjects = xobjects or {}
     cur_font: tuple[int, dict | None] | None = None
 
     def flush():
@@ -747,6 +875,13 @@ def _content_text_lines(data: bytes, fonts: dict | None = None) -> list[str]:
             # operands: /FontName size — switch the active decoding
             if len(stack) >= 2 and isinstance(stack[-2], tuple):
                 cur_font = fonts.get(stack[-2][1], cur_font)
+        elif op == b"Do":
+            # form XObject invocation: splice its text lines in place
+            if stack and isinstance(stack[-1], tuple):
+                xo = xobjects.get(stack[-1][1])
+                if xo is not None:
+                    flush()
+                    lines.extend(_content_text_lines(xo[0], xo[1], xo[2]))
         elif in_text and op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
                 cur.append(_decode_with_font(stack[-1], cur_font))
@@ -805,8 +940,8 @@ def extract_pdf(data) -> tuple[str, int]:
             return "", 0
         blobs = _page_content_streams(_scan_objects(bytes(data)))
         pages = []
-        for blob, fonts in blobs:
-            lines = _content_text_lines(blob, fonts)
+        for blob, fonts, xobs in blobs:
+            lines = _content_text_lines(blob, fonts, xobs)
             if lines:
                 pages.append("\n".join(lines))
         return "\n\n".join(pages), len(blobs)

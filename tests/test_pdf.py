@@ -344,3 +344,92 @@ def test_bfrange_incremented_and_array():
         b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
     ]
     assert extract_pdf_text(_pdf(objs)) == "abc\nXY"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal LZW encoder (EarlyChange=1) for the decoder test."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_bits = []
+
+    def emit(code, w):
+        out_bits.append((code, w))
+
+    emit(256, width)  # ClearTable
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    bitbuf = bits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        bitbuf = (bitbuf << wd) | code
+        bits += wd
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_and_rle_filters():
+    content = b"BT (lzw text here) Tj ET"
+    lzw = _lzw_encode(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+        % (len(lzw), lzw),
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "lzw text here"
+    # RunLengthDecode: literal run + repeat run
+    rle_content = b"BT (rle " + b"a" * 6 + b") Tj ET"
+    lit, rep = rle_content[:8], rle_content[8:]  # "BT (rle " + "aaaaaa) Tj ET"
+    enc = bytes([len(lit) - 1]) + lit + bytes([257 - 6, ord("a")])
+    enc += bytes([len(rep[6:]) - 1]) + rep[6:] + b"\x80"
+    objs[3] = (
+        b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n%s\nendstream"
+        % (len(enc), enc)
+    )
+    assert extract_pdf_text(_pdf(objs)) == "rle aaaaaa"
+
+
+def test_form_xobject_do_splices_text():
+    """A /Do of a Form XObject splices the form's lines (its own fonts);
+    a self-referencing form must not loop."""
+    form = b"BT /FF 9 Tf (from form) Tj ET"
+    content = b"BT (before) Tj ET /X1 Do BT (after) Tj ET"
+    cmap = _tounicode_cmap({})  # empty map; form font is 1-byte simple
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /X1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Subtype /Form /Length %d "
+        b"/Resources << /Font << /FF 6 0 R >> /XObject << /X1 5 0 R >> >> >>"
+        b"\nstream\n%s\nendstream" % (len(form), form),
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>",
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "before\nfrom form\nafter"
+    # self-reference inside the form: cycle guard, still extracts once
+    form2 = b"BT (looped) Tj ET /X1 Do"
+    objs[4] = (
+        b"<< /Subtype /Form /Length %d "
+        b"/Resources << /XObject << /X1 5 0 R >> >> >>"
+        b"\nstream\n%s\nendstream" % (len(form2), form2)
+    )
+    assert extract_pdf_text(_pdf(objs)) == "before\nlooped\nafter"
