@@ -1042,6 +1042,20 @@ def _q_pdf_extract(spark, sf_dir):
     return extract_pdf_df(df).select("pdf_id", "text", "n_pages")
 
 
+def _q_pdf_metadata(spark, sf_dir):
+    """X8b PDF document metadata (Info dict, spec §14.3.3 — crawl
+    metadata: title/producer/creation date): trailer /Info resolution
+    with a keyed-dict fallback for trailer-less crawl PDFs; one
+    MapInArrow. Golden oracle: the fixture's independently composed
+    metadata columns (nulls for the ~1/4 of rows without an Info
+    dict)."""
+    from fixtures.gen_pdfs import ensure_pdfs
+    from htmld_spark.functions.udfs import pdf_info_df
+
+    df = spark.read.parquet(ensure_pdfs()).select("pdf_id", "pdf")
+    return pdf_info_df(df)
+
+
 def _q_paragraph_dedup_keep(spark, sf_dir):
     """L54 corpus-level paragraph dedup, FIRST-OCCURRENCE keep (Dolma
     §4.1): non-first occurrences of duplicated non-empty paragraphs drop
@@ -1108,8 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 5 new entries
-    (X8 pdf_extract, L54–L57), then the 3 whose plans/behavior changed
+    not hand-maintain the number here). r6 window: the 6 new entries
+    (X8 pdf_extract + pdf_metadata, L54–L57), then the 3 whose plans/behavior changed
     this round
     (host_term_divergence: checkpointed single token pass +
     try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
@@ -1122,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r6: never-driver-verified (new operators) ---
         "pdf_extract": _q_pdf_extract,  # X8 PDF leg, golden (fixture text)
+        "pdf_metadata": _q_pdf_metadata,  # X8b Info dict, golden
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
         "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
@@ -1176,8 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": _q_extract_main_text,
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         "select_counts": _q_select_counts,  # golden (sel_* battery)
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
         # ---------------- 50-entry driver cutoff lands here ----------------
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         # r6 rotated-out tail: driver-green in r5, unchanged; locally
         # re-verified via tools/check_contract.py each round
@@ -1266,6 +1281,10 @@ def oracle_sql() -> dict[str, str]:
         # the byte-exact expectation (fixtures/gen_pdfs.py)
         "pdf_extract": (
             f"SELECT pdf_id, text, n_pages FROM read_parquet('{pdf_fx}')"
+        ),
+        "pdf_metadata": (
+            f"SELECT pdf_id, title, producer, creation_date "
+            f"FROM read_parquet('{pdf_fx}')"
         ),
         # selector battery / spans / serialization goldens — all composed
         # independently at fixture-gen time (fixtures/gen_pages.py)

@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "4"
+PDF_FIXTURE_VERSION = "5"
 N_ROWS = 120
 
 _WORDS = (
@@ -148,6 +148,7 @@ def _make_pdf(
     rng: random.Random,
     use_cid: bool = False,
     form_header: str | None = None,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Assemble a complete PDF: catalog, page tree, per-page content
     streams (encoding drawn per stream), xref (sometimes garbage),
@@ -164,6 +165,7 @@ def _make_pdf(
         chars = sorted({ch for ls in pages for line in ls for ch in line})
         code_of = {ch: i + 1 for i, ch in enumerate(chars)}
     use_form = form_header is not None
+    info_num = 2 * n_pages + 7
     res = ""
     if use_cid:
         res = f" /Resources << /Font << /FC {font_num} 0 R >> >>"
@@ -175,6 +177,9 @@ def _make_pdf(
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     )
     stream_objs: list[tuple[int, bytes]] = []
+    if info:
+        body = " ".join(f"/{k} ({_esc(v)})" for k, v in sorted(info.items()))
+        stream_objs.append((info_num, f"<< {body} >>".encode("latin-1")))
     if use_form:
         fbody = _page_content([form_header], rng)
         stream_objs.append(
@@ -250,15 +255,19 @@ def _make_pdf(
         out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
         for off in offsets:
             out += b"%010d 00000 n \n" % off
-    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+    info_ref = b" /Info %d 0 R" % info_num if info else b""
+    out += b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n" % (
         len(objs) + 1,
+        info_ref,
         xref_at,
     )
     return bytes(out)
 
 
 def draw_pdf_row(i: int):
-    """One (pdf_id, pdf_bytes, expected_text, n_pages) row."""
+    """One (pdf_id, pdf_bytes, expected_text, n_pages, title, producer,
+    creation_date) row — the last three None when the row has no Info
+    dict."""
     rng = random.Random(0xC0FFEE + i)
     n_pages = rng.randint(1, 3)
     pages = []
@@ -280,8 +289,23 @@ def draw_pdf_row(i: int):
         [[form_header] + ls for ls in pages] if form_header else pages
     )
     expected = "\n\n".join("\n".join(ls) for ls in eff_pages)
-    pdf = _make_pdf(pages, rng, use_cid=use_cid, form_header=form_header)
-    return i, pdf, expected, n_pages
+    # document-information dict (~3/4 of rows): composed HERE, so the
+    # expected metadata columns are independent of the extractor
+    info = None
+    if rng.random() < 0.75:
+        info = {
+            "Title": " ".join(rng.choice(_WORDS) for _ in range(2)),
+            "Producer": f"synthwriter {i % 3}.{i % 7}",
+            "CreationDate": f"D:2024{1 + i % 12:02d}{1 + i % 28:02d}090000Z",
+        }
+    pdf = _make_pdf(
+        pages, rng, use_cid=use_cid, form_header=form_header, info=info
+    )
+    meta = info or {}
+    return (
+        i, pdf, expected, n_pages,
+        meta.get("Title"), meta.get("Producer"), meta.get("CreationDate"),
+    )
 
 
 def ensure_pdfs() -> str:
@@ -301,6 +325,9 @@ def ensure_pdfs() -> str:
                 "pdf": pa.array([r[1] for r in rows], pa.binary()),
                 "text": pa.array([r[2] for r in rows], pa.string()),
                 "n_pages": pa.array([r[3] for r in rows], pa.int32()),
+                "title": pa.array([r[4] for r in rows], pa.string()),
+                "producer": pa.array([r[5] for r in rows], pa.string()),
+                "creation_date": pa.array([r[6] for r in rows], pa.string()),
             }
         ),
         path,

@@ -957,3 +957,47 @@ def extract_pdf_text(data) -> str:
 def pdf_page_count(data) -> int:
     """Number of pages the page-order ladder found. Never raises."""
     return extract_pdf(data)[1]
+
+
+_INFO_KEYS = (
+    "Title", "Author", "Subject", "Keywords", "Creator", "Producer",
+    "CreationDate", "ModDate",
+)
+
+
+def pdf_info(data) -> dict[str, str]:
+    """Document Information dictionary (§14.3.3): resolve the trailer's
+    /Info reference — falling back to any dict carrying standard info
+    keys and no /Type (crawled PDFs routinely lose their trailers) —
+    and return the present standard entries decoded as text. Never
+    raises; {} when nothing parses."""
+    try:
+        if isinstance(data, str):
+            data = data.encode("latin-1", errors="replace")
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            return {}
+        data = bytes(data)
+        objs = _scan_objects(data)
+        info = None
+        t = data.rfind(b"trailer")
+        if t != -1:
+            td = _parse_dict_tolerant(data[t + 7 : t + 7 + 4096])
+            ref = td.get("Info")
+            if isinstance(ref, tuple) and len(ref) == 2 and ref[0] == "ref":
+                entry = objs.get(ref[1])
+                if entry is not None:
+                    info = entry[0]
+        if not isinstance(info, dict) or not any(k in info for k in _INFO_KEYS):
+            for _num, (d, _s) in sorted(objs.items()):
+                if "Type" not in d and any(k in d for k in _INFO_KEYS):
+                    info = d
+                    break
+        out: dict[str, str] = {}
+        if isinstance(info, dict):
+            for k in _INFO_KEYS:
+                v = info.get(k)
+                if isinstance(v, bytes):
+                    out[k] = _decode_text(v)
+        return out
+    except Exception:  # engine contract: never raise
+        return {}

@@ -495,3 +495,35 @@ def extract_pdf_pages_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
     """Apply the PDF engine to a (url, pdf[, warc_ts, lang]) pages frame →
     the HTML kernel's passthrough shape. One MapInArrow crossing."""
     return df.mapInArrow(make_pdf_pages_fn(byte_budget), PDF_PAGES_SCHEMA)
+
+
+PDF_INFO_SCHEMA = (
+    "pdf_id bigint, title string, producer string, creation_date string"
+)
+
+
+def pdf_info_df(df, id_col: str = "pdf_id", data_col: str = "pdf"):
+    """Document-metadata extraction (engine/pdf.pdf_info — trailer /Info
+    with a keyed-dict fallback): (id, pdf) → (id, title, producer,
+    creation_date), nulls where absent. One MapInArrow crossing."""
+    from htmld_spark.engine.pdf import pdf_info
+
+    def info_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            id_arr = batch.column(names.index(id_col))
+            raws = batch.column(names.index(data_col)).to_pylist()
+            infos = [pdf_info(r or b"") for r in raws]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_arr,
+                    pa.array([x.get("Title") for x in infos], pa.string()),
+                    pa.array([x.get("Producer") for x in infos], pa.string()),
+                    pa.array(
+                        [x.get("CreationDate") for x in infos], pa.string()
+                    ),
+                ],
+                names=[id_col, "title", "producer", "creation_date"],
+            )
+
+    return df.mapInArrow(info_batches, PDF_INFO_SCHEMA)

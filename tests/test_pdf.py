@@ -433,3 +433,27 @@ def test_form_xobject_do_splices_text():
         b"\nstream\n%s\nendstream" % (len(form2), form2)
     )
     assert extract_pdf_text(_pdf(objs)) == "before\nlooped\nafter"
+
+
+def test_pdf_info_metadata():
+    """Info dict via trailer /Info; keyed-dict fallback when the trailer
+    is lost; absent keys omitted; garbage → {}."""
+    from htmld_spark.engine.pdf import pdf_info
+
+    base = _one_page(b"BT (x) Tj ET")
+    with_info = base.replace(
+        b"trailer\n<< /Root 1 0 R >>",
+        b"9 0 obj\n<< /Title (T\\351st) /Producer (w 1.0) >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Info 9 0 R >>",
+    )
+    assert pdf_info(with_info) == {"Title": "Tést", "Producer": "w 1.0"}
+    # trailer lost (truncated past the info object): fallback scan
+    no_trailer = with_info[: with_info.rfind(b"trailer")]
+    assert pdf_info(no_trailer)["Title"] == "Tést"
+    assert pdf_info(base) == {}
+    assert pdf_info(b"\x00garbage") == {}
+    # fixture parity: metadata columns replayed exactly
+    for i in (0, 7, 42):
+        row = draw_pdf_row(i)
+        info = pdf_info(row[1])
+        assert info.get("Title") == row[4] and info.get("Producer") == row[5]
