@@ -66,6 +66,7 @@ class JobConfig:
     dedup_latest: bool = False  # keep only latest warc_ts per url (R10)
     lang_filter: list[str] | None = None  # R2 pushdown demo
     enrich: bool = False  # append pred_lang/n_tokens/quality_bucket/winnow_fp
+    source_format: str = "html"  # "html" (engine/dom) or "pdf" (engine/pdf)
     shuffle_partitions: int | None = None
     extra: dict = field(default_factory=dict)
 
@@ -110,7 +111,8 @@ def _append_manifest(spark: SparkSession, cfg: JobConfig, rows: list[dict]) -> N
 def prepare_input(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """R1 + R2 (+ optional R10 dedup): scan, prune columns, filter, bucket."""
     df = read_pages(spark, cfg.source)
-    cols = ["url", "warc_ts", "html", "lang"]
+    blob = "pdf" if cfg.source_format == "pdf" else "html"
+    cols = ["url", "warc_ts", blob, "lang"]
     df = df.select(*[c for c in cols if c in df.columns])  # column pruning
     if cfg.lang_filter:
         df = df.filter(F.col("lang").isin(cfg.lang_filter))  # pushed to scan
@@ -163,11 +165,19 @@ def run_extract_job(
         t0 = time.monotonic()
         round_df = base.filter(F.col("bucket").isin(round_buckets))
         # extract FIRST (narrow over scan splits), shuffle only the output
-        extracted = extract_df(
-            round_df.drop("bucket"),
-            with_spans=cfg.with_spans,
-            byte_budget=cfg.byte_budget,
-        ).withColumn(
+        if cfg.source_format == "pdf":
+            from htmld_spark.functions.udfs import extract_pdf_pages_df
+
+            extracted = extract_pdf_pages_df(
+                round_df.drop("bucket"), byte_budget=cfg.byte_budget
+            )
+        else:
+            extracted = extract_df(
+                round_df.drop("bucket"),
+                with_spans=cfg.with_spans,
+                byte_budget=cfg.byte_budget,
+            )
+        extracted = extracted.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
         )
         if cfg.enrich:

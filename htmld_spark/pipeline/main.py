@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--buckets-per-round", type=int, default=32)
     p.add_argument("--no-spans", action="store_true")
+    p.add_argument("--source-format", choices=("html", "pdf"), default="html",
+                   help="extraction leg: html (engine/dom) or pdf (engine/pdf)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--dedup-latest", action="store_true",
                    help="keep only the latest warc_ts crawl per url")
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> None:
         dedup_latest=args.dedup_latest,
         lang_filter=args.lang,
         enrich=args.enrich,
+        source_format=args.source_format,
     )
     stats = run_extract_job(spark, cfg, resume=not args.no_resume)
     print(json.dumps({"job": "extract", **stats}))

@@ -238,3 +238,43 @@ def test_job_with_enrichment(spark, pages_path, tmp_path_factory):
     ).select("url", F.col("winnow_fp").alias("fp2"))
     joined = sample.join(recomputed, "url")
     assert joined.filter(F.col("winnow_fp") != F.col("fp2")).count() == 0
+
+
+def test_job_pdf_source_format(spark, tmp_path_factory):
+    """JobConfig(source_format='pdf'): the deployed job runs the PDF leg
+    end to end — bucketed rounds, manifest lineage, resume semantics and
+    text byte-identical to the engine — on a (url, warc_ts, pdf) table."""
+    import datetime
+
+    from fixtures.gen_pdfs import N_ROWS, draw_pdf_row
+    from htmld_spark.engine.pdf import extract_pdf_text
+
+    src = str(tmp_path_factory.mktemp("pdf_pages")) + "/pages.parquet"
+    rows = [
+        (
+            f"https://pdf{i % 7}.example/d{i}",
+            datetime.datetime(2024, 2, 1 + i % 25),
+            draw_pdf_row(i)[1],
+        )
+        for i in range(N_ROWS)
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, pdf binary"
+    ).write.parquet(src)
+    out = str(tmp_path_factory.mktemp("pdf_job_out"))
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = JobConfig(
+        source=src, output=out, n_buckets=4, buckets_per_round=2,
+        source_format="pdf",
+    )
+    stats = run_extract_job(spark, cfg)
+    assert stats["rounds"] == 2 and stats["rows_written"] == N_ROWS
+    assert stats["errors"] == 0  # every fixture pdf parses
+    data = spark.read.parquet(out + "/data")
+    assert data.count() == N_ROWS
+    expected = {u: extract_pdf_text(p) for u, _ts, p in rows}
+    for r in data.select("url", "text", "n_pages").collect():
+        assert r.text == expected[r.url] and r.n_pages >= 1
+    # re-run resumes to a no-op (manifest covers all buckets)
+    stats2 = run_extract_job(spark, cfg)
+    assert stats2["done_at_start"] == 4 and stats2["rounds"] == 0
