@@ -236,6 +236,32 @@ def test_pdf_extract_single_arrow_crossing(spark):
     assert "Exchange" not in p  # narrow: extraction rides the scan splits
 
 
+def test_semdedup_checkpoint_hides_assignment(spark):
+    """L57: the assigned frame feeds the self-join twice plus the final
+    anti-join — THREE consumers of the Arrow assignment pass. The lazy
+    localCheckpoint must hide it: the final plan reads the materialized
+    RDD only (no MapInArrow re-run per consumer, no parquet re-scan)."""
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_of(semdedup_keep(emb, tau=0.3, sample_mod=1))
+    assert "MapInArrow" not in p  # assignment ran once, inside the checkpoint
+    assert "Scan parquet" not in p
+    assert p.count("Scan ExistingRDD") >= 3  # all consumers read the RDD
+
+
+def test_paragraph_dedup_prunes_singleton_keys(spark):
+    """L54: singleton paragraph hashes (the overwhelming majority of a
+    deduped corpus) are pruned BEFORE the join back — the executed plan
+    carries the count > 1 filter on the aggregated side."""
+    from htmld_spark.functions.text import dedup_paragraphs_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(dedup_paragraphs_corpus(docs))
+    assert "BatchEvalPython" not in p
+    assert "(_n" in p and "> 1)" in p  # the singleton-pruning filter
+
+
 def test_host_term_divergence_single_token_pass(spark):
     """VERDICT r05 #1: host_term_divergence's (host, token) counts table
     feeds FOUR consumers (cc, nh, nc, final join) — without a checkpoint,
