@@ -236,7 +236,7 @@ def test_curate_pdf_source(spark):
 
     rows = []
     for i in range(N_ROWS):
-        _pid, pdf, _exp, _np = draw_pdf_row(i)
+        _pid, pdf, *_rest = draw_pdf_row(i)
         rows.append(
             (
                 f"https://h{i % 5}.example/doc{i}",

@@ -36,7 +36,7 @@ def test_fixture_parity_and_determinism():
     """Every fixture row extracts byte-identically to the independently
     composed expectation, twice (deterministic)."""
     for i in range(N_ROWS):
-        _pid, pdf, expected, n_pages = draw_pdf_row(i)
+        _pid, pdf, expected, n_pages, *_meta = draw_pdf_row(i)
         assert extract_pdf_text(pdf) == expected, f"row {i}"
         assert extract_pdf_text(pdf) == expected, f"row {i} (rerun)"
         assert pdf_page_count(pdf) == n_pages, f"row {i} pages"
@@ -44,7 +44,7 @@ def test_fixture_parity_and_determinism():
 
 def test_never_raises_on_adversarial_bytes():
     rng = random.Random(7)
-    _pid, pdf, _e, _n = draw_pdf_row(0)
+    _pid, pdf, *_rest = draw_pdf_row(0)
     payloads = [
         b"",
         b"%PDF-1.7",
