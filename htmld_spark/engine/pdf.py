@@ -35,7 +35,8 @@ forgiving-parser stance dom.py takes for tag soup, applied to PDF:
   space (the standard word-gap encoding). Literal-string escapes
   (\\n \\r \\t \\b \\f, octal, line continuations, nested parens) and
   hex strings follow §7.3.4.
-- encoding: single-byte strings decode as PDFDocEncoding ≈ Latin-1;
+- encoding: single-byte strings decode as PDFDocEncoding (Annex D.2 —
+  Latin-1 plus the real 0x18–0x1F/0x80–0xA0 punctuation mappings);
   strings with a UTF-16BE BOM decode as UTF-16BE. Multi-byte Type0/CID
   fonts ARE supported via per-font /ToUnicode CMaps (§9.10.3:
   codespacerange width, bfchar, bfrange incl. incremented and
@@ -155,10 +156,29 @@ def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
     return raw, i
 
 
+# PDFDocEncoding (spec Annex D.2) where it DIFFERS from Latin-1: the
+# 0x18–0x1F accent modifiers and the 0x80–0xA0 punctuation block (smart
+# quotes, dashes, ellipsis, ligatures, €). Latin-1 maps these to C1
+# control characters — never what a document meant. Applied via
+# str.translate after the Latin-1 decode (identity elsewhere).
+_PDFDOC_DELTA = str.maketrans({
+    0x18: "˘", 0x19: "ˇ", 0x1A: "ˆ", 0x1B: "˙",
+    0x1C: "˝", 0x1D: "˛", 0x1E: "˚", 0x1F: "˜",
+    0x80: "•", 0x81: "†", 0x82: "‡", 0x83: "…",
+    0x84: "—", 0x85: "–", 0x86: "ƒ", 0x87: "⁄",
+    0x88: "‹", 0x89: "›", 0x8A: "−", 0x8B: "‰",
+    0x8C: "„", 0x8D: "“", 0x8E: "”", 0x8F: "‘",
+    0x90: "’", 0x91: "‚", 0x92: "™", 0x93: "ﬁ",
+    0x94: "ﬂ", 0x95: "Ł", 0x96: "Œ", 0x97: "Š",
+    0x98: "Ÿ", 0x99: "Ž", 0x9A: "ı", 0x9B: "ł",
+    0x9C: "œ", 0x9D: "š", 0x9E: "ž", 0xA0: "€",
+})
+
+
 def _decode_text(raw: bytes) -> str:
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace")
-    return raw.decode("latin-1")
+    return raw.decode("latin-1").translate(_PDFDOC_DELTA)
 
 
 # ------------------------------------------------------------------ object values

@@ -457,3 +457,11 @@ def test_pdf_info_metadata():
         row = draw_pdf_row(i)
         info = pdf_info(row[1])
         assert info.get("Title") == row[4] and info.get("Producer") == row[5]
+
+
+def test_pdfdoc_encoding_punctuation_block():
+    """PDFDocEncoding's 0x80–0xA0 punctuation block (spec Annex D.2):
+    smart quotes, dashes and the ellipsis decode to their real code
+    points, not Latin-1 C1 controls; plain Latin-1 accents unchanged."""
+    content = b"BT (\x8dsmart\x8e \x84 dash \x83 caf\xe9 \xa01) Tj ET"
+    assert extract_pdf_text(_one_page(content)) == "“smart” — dash … café €1"
