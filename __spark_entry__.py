@@ -1056,6 +1056,16 @@ def _q_pdf_metadata(spark, sf_dir):
     return pdf_info_df(df)
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    """L58 deterministic per-epoch training-order shuffle (WebDataset /
+    tf.data pattern): hash-shard + seeded intra-shard order — one window
+    per shard (never a global sort), content-stable, repartition-
+    invariant. Golden-oracled via the pure-Python xxh64 replica
+    (chained-seed hashes, signed-bigint order)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return TX.epoch_shuffle(docs, seed=7, n_shards=16)
+
+
 def _q_paragraph_dedup_keep(spark, sf_dir):
     """L54 corpus-level paragraph dedup, FIRST-OCCURRENCE keep (Dolma
     §4.1): non-first occurrences of duplicated non-empty paragraphs drop
@@ -1122,8 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 6 new entries
-    (X8 pdf_extract + pdf_metadata, L54–L57), then the 3 whose plans/behavior changed
+    not hand-maintain the number here). r6 window: the 7 new entries
+    (X8 pdf_extract + pdf_metadata, L54–L58), then the 3 whose plans/behavior changed
     this round
     (host_term_divergence: checkpointed single token pass +
     try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
@@ -1137,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6: never-driver-verified (new operators) ---
         "pdf_extract": _q_pdf_extract,  # X8 PDF leg, golden (fixture text)
         "pdf_metadata": _q_pdf_metadata,  # X8b Info dict, golden
+        "epoch_shuffle": _q_epoch_shuffle,  # L58 golden (xxh64)
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
         "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
@@ -1190,8 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,  # single-execution partitioning
         "extract_main_text": _q_extract_main_text,
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
-        "select_counts": _q_select_counts,  # golden (sel_* battery)
         # ---------------- 50-entry driver cutoff lands here ----------------
+        "select_counts": _q_select_counts,  # golden (sel_* battery)
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
         # r6 rotated-out tail: driver-green in r5, unchanged; locally
@@ -2107,6 +2118,12 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": (
             f"SELECT vec_id, ivf_cell FROM "
             f"read_parquet('{os.path.join(gold, 'semdedup_keep.parquet')}')"
+        ),
+        # L58 epoch shuffle: chained-seed shard + order replayed by the
+        # pure-Python replica
+        "epoch_shuffle": (
+            f"SELECT doc_id, shard, pos FROM "
+            f"read_parquet('{os.path.join(gold, 'epoch_shuffle.parquet')}')"
         ),
         "host_quota": f"""
             SELECT url, warc_ts FROM (

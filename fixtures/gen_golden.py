@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "14"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "16"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -271,6 +271,34 @@ def golden_stratified_sample(
         r = rates.get(lang, default_rate)
         if b < int(r * 1_000_000):
             out.append((d, lang))
+    return out
+
+
+def golden_epoch_shuffle(
+    doc_ids: list[int], seed: int = 7, n_shards: int = 16
+) -> list[tuple[int, int, int]]:
+    """Replicates functions/text.epoch_shuffle: shard =
+    pmod(xxhash64(id, seed), n_shards); pos = 1-based rank within the
+    shard ordered by (xxhash64(id, seed, '_pos_'), id) — signed-bigint
+    comparison, chained-seed hashes replayed by the pure-Python
+    replica. Returns (doc_id, shard, pos)."""
+    rows = []
+    for d in doc_ids:
+        # F.lit(seed) is an IntegerType literal → the replica hashes it
+        # as a bare int (4-byte lane), NOT Long (the Int-vs-Long hash
+        # distinction the band-key replicas already pin)
+        h = spark_xxhash64(Long(d), seed)
+        shard = ((h % n_shards) + n_shards) % n_shards
+        order = spark_xxhash64(Long(d), seed, "_pos_")
+        rows.append((d, shard, order))
+    out = []
+    by_shard: dict[int, list] = {}
+    for d, shard, order in rows:
+        by_shard.setdefault(shard, []).append((order, d))
+    for shard, members in by_shard.items():
+        members.sort()
+        out.extend((d, shard, pos + 1) for pos, (_o, d) in enumerate(members))
+    out.sort()
     return out
 
 
@@ -753,6 +781,19 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "temperature_sample.parquet"),
+    )
+
+    # deterministic epoch shuffle (hash-shard + intra-shard order)
+    es = golden_epoch_shuffle(lt.column("doc_id").to_pylist())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in es], pa.int64()),
+                "shard": pa.array([r[1] for r in es], pa.int32()),
+                "pos": pa.array([r[2] for r in es], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "epoch_shuffle.parquet"),
     )
 
     # incremental (new-vs-reference) dedup: odd doc_ids vs even doc_ids

@@ -2033,3 +2033,40 @@ def temperature_rates(
     return {
         l: min(1.0, target * (qs[l] / z) / counts[l]) for l in sorted(qs)
     }
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-EPOCH training-order shuffle (the WebDataset /
+    tf.data pattern: global hash-shard + intra-shard order — every epoch
+    re-permutes the corpus from a seed, reproducibly): shard =
+    pmod(xxhash64(id, seed), n_shards); pos = rank within the shard by a
+    second seeded hash (ties broken by id). Appends (shard, pos) —
+    readers stream shards in shard order, rows in pos order, and a new
+    seed yields an unrelated permutation of the SAME corpus. Content-
+    stable and repartition-invariant like hash_split (seeded RNG
+    sampling is neither). Golden-oracled via the pure-Python xxh64
+    replica.
+
+    Shape at 10^12 docs: the only wide op is one window per shard — an
+    intra-shard sort, never a global one; size ``n_shards`` so one shard
+    sorts in executor memory (≈ corpus rows / 10^7). The shard hash is
+    also the natural write-partition key, so the shuffle that feeds the
+    window doubles as the output partitioning."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(int(seed))), F.lit(n_shards)
+    ).cast("int")
+    order = F.xxhash64(F.col(id_col), F.lit(int(seed)), F.lit("_pos_"))
+    w = Window.partitionBy("shard").orderBy(order.alias("_o"), F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )

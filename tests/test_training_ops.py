@@ -1970,3 +1970,29 @@ def test_semdedup_keep_properties(spark):
     assert again == kept
     with _pytest.raises(ValueError):
         semdedup_keep(df, tau=0.0)
+
+
+def test_epoch_shuffle_properties(spark):
+    """L58: covers every row exactly once; pos is a 1..k ranking within
+    each shard; repartition-invariant; a different seed yields a
+    different permutation of the same corpus; bad n_shards raises."""
+    import pytest as _pytest
+
+    from htmld_spark.functions.text import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = epoch_shuffle(df, seed=7, n_shards=8).collect()
+    assert len(out) == 300 and len({r.doc_id for r in out}) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = epoch_shuffle(df.repartition(11), seed=7, n_shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = epoch_shuffle(df, seed=8, n_shards=8).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+    assert len({r.doc_id for r in other}) == 300  # same corpus, new order
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, seed=1, n_shards=0)
