@@ -223,6 +223,12 @@ def run_headline(master: str) -> dict:
         "dsir_select",
         "host_term_divergence",
         "pdf_extract",  # X8 PDF leg (120-doc fixture; plan shape is the signal)
+        "pdf_metadata",
+        "paragraph_dedup_keep",
+        "tf_idf_top_terms",
+        "temperature_sample",
+        "semdedup_keep",
+        "epoch_shuffle",
     ):
         best = None
         for _ in range(2):
