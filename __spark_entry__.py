@@ -1056,6 +1056,28 @@ def _q_pdf_metadata(spark, sf_dir):
     return pdf_info_df(df)
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """R17 WARC ingest (ISO 28500 — the Common Crawl container): the
+    on-ramp landing raw crawl archives into the mandated pages table.
+    binaryFile scan → one mapInArrow parse (per-record gzip members with
+    corrupt-member salvage, request/warcinfo records skipped, HTTP
+    payloads split at the header/body boundary). Golden oracle: the
+    fixture's independently composed (url, ts, n_bytes, md5) rows —
+    incl. an archive whose FINAL gzip member is corrupt (everything
+    before it must land)."""
+    from fixtures.gen_warc import ensure_warc
+    from htmld_spark.sources.warc import warc_pages_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    arch, _exp = ensure_warc()
+    return warc_pages_df(spark, arch).select(
+        "url",
+        "warc_ts",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def _q_epoch_shuffle(spark, sf_dir):
     """L58 deterministic per-epoch training-order shuffle (WebDataset /
     tf.data pattern): hash-shard + seeded intra-shard order — one window
@@ -1132,8 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 7 new entries
-    (X8 pdf_extract + pdf_metadata, L54–L58), then the 3 whose plans/behavior changed
+    not hand-maintain the number here). r6 window: the 8 new entries
+    (X8 pdf_extract + pdf_metadata, R17 warc_ingest, L54–L58), then the 3 whose plans/behavior changed
     this round
     (host_term_divergence: checkpointed single token pass +
     try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
@@ -1148,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,  # X8 PDF leg, golden (fixture text)
         "pdf_metadata": _q_pdf_metadata,  # X8b Info dict, golden
         "epoch_shuffle": _q_epoch_shuffle,  # L58 golden (xxh64)
+        "warc_ingest": _q_warc_ingest,  # R17 golden (fixture rows)
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
         "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
@@ -1200,8 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
         "pack_shards": _q_pack_shards,  # single-execution partitioning
         "extract_main_text": _q_extract_main_text,
-        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         # ---------------- 50-entry driver cutoff lands here ----------------
+        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         "select_counts": _q_select_counts,  # golden (sel_* battery)
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
         "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
@@ -1257,8 +1280,10 @@ def oracle_sql() -> dict[str, str]:
     gold = ensure_golden("/root/testdata/sf0.01")
     media_gold = ensure_media()
     from fixtures.gen_pdfs import ensure_pdfs
+    from fixtures.gen_warc import ensure_warc
 
     pdf_fx = ensure_pdfs()
+    _warc_arch, warc_exp = ensure_warc()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1296,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
         "pdf_metadata": (
             f"SELECT pdf_id, title, producer, creation_date "
             f"FROM read_parquet('{pdf_fx}')"
+        ),
+        # R17 WARC ingest: fixture-composed rows ARE the expectation
+        "warc_ingest": (
+            f"SELECT url, warc_ts, n_bytes, html_md5 "
+            f"FROM read_parquet('{warc_exp}')"
         ),
         # selector battery / spans / serialization goldens — all composed
         # independently at fixture-gen time (fixtures/gen_pages.py)

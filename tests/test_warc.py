@@ -1,0 +1,127 @@
+"""WARC ingest (sources/warc.py): fixture parity, member-salvage,
+resync tolerance, never-raise contract, and the Spark binaryFile →
+mapInArrow → pages path feeding the extraction engine."""
+
+import gzip
+import hashlib
+import os
+import random
+
+import pytest
+
+from fixtures.gen_warc import ensure_warc
+from htmld_spark.pipeline.session import get_spark
+from htmld_spark.sources.warc import (
+    _gunzip_members,
+    iter_warc_records,
+    warc_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_warc")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    yield s
+    s.stop()
+
+
+def _rec(rtype: str, headers: dict, payload: bytes) -> bytes:
+    head = ["WARC/1.0", f"WARC-Type: {rtype}"]
+    head += [f"{k}: {v}" for k, v in headers.items()]
+    head.append(f"Content-Length: {len(payload)}")
+    return "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def test_fixture_parity_all_archives():
+    """Every expected page lands with exact url/ts/bytes — including the
+    archive whose final gzip member is corrupt (prefix salvage)."""
+    import pyarrow.parquet as pq
+
+    arch, exp = ensure_warc()
+    got = []
+    for f in sorted(os.listdir(arch)):
+        got.extend(warc_pages(open(os.path.join(arch, f), "rb").read()))
+    gm = {u: (ts, len(b), hashlib.md5(b).hexdigest()) for u, ts, b in got}
+    want = pq.read_table(exp).to_pylist()
+    assert len(got) == len(want)
+    for r in want:
+        assert gm[r["url"]] == (r["warc_ts"], r["n_bytes"], r["html_md5"])
+
+
+def test_gzip_member_salvage():
+    """A corrupt middle member costs itself and everything AFTER it (the
+    stream cannot resync mid-gzip), never the members before it."""
+    a = gzip.compress(_rec("response", {"WARC-Target-URI": "u1",
+                                        "WARC-Date": "2024-01-01T00:00:00Z"},
+                           b"HTTP/1.1 200 OK\r\n\r\nbody1"))
+    bad = b"\x1f\x8b\x08\x00corruptcorrupt"
+    b = gzip.compress(_rec("response", {"WARC-Target-URI": "u2",
+                                        "WARC-Date": "2024-01-01T00:00:00Z"},
+                           b"HTTP/1.1 200 OK\r\n\r\nbody2"))
+    pages = warc_pages(a + bad + b)
+    assert [(u, h) for u, _t, h in pages] == [("u1", b"body1")]
+    # uncorrupted concatenation parses both
+    both = warc_pages(a + b)
+    assert [(u, h) for u, _t, h in both] == [("u1", b"body1"), ("u2", b"body2")]
+
+
+def test_bogus_content_length_resyncs():
+    """A record with a wrong Content-Length costs its own payload
+    boundary; the NEXT record still parses."""
+    r1 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u1\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 999999\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nshort\r\n\r\n"
+    )
+    r2 = _rec("response", {"WARC-Target-URI": "u2",
+                           "WARC-Date": "2024-01-02T00:00:00Z"},
+              b"HTTP/1.1 200 OK\r\n\r\nsecond")
+    pages = warc_pages(r1 + r2)
+    urls = [u for u, _t, _h in pages]
+    assert urls == ["u1", "u2"]
+    assert pages[1][2] == b"second"
+    assert pages[0][2].startswith(b"short")  # resynced payload, salvaged
+
+
+def test_non_response_records_skipped_and_never_raises():
+    rng = random.Random(3)
+    payloads = [
+        b"",
+        b"WARC/1.0",
+        b"WARC/1.0\r\n\r\n",
+        b"\x1f\x8b\x08\x00junk",
+        bytes(rng.randrange(256) for _ in range(4096)),
+        _rec("request", {"WARC-Target-URI": "u"}, b"GET /"),
+        _rec("warcinfo", {}, b"software: x"),
+        _rec("response", {}, b"no uri -> skipped"),
+    ]
+    for p in payloads:
+        out = warc_pages(p)
+        assert isinstance(out, list) and out == warc_pages(p)
+    assert warc_pages(payloads[5] + payloads[6]) == []
+    # ts parse tolerance
+    r = _rec("response", {"WARC-Target-URI": "u", "WARC-Date": "not-a-date"},
+             b"HTTP/1.1 200 OK\r\n\r\nx")
+    (u, ts, h), = warc_pages(r)
+    assert u == "u" and ts is None and h == b"x"
+    assert _gunzip_members(b"plain passthrough") == b"plain passthrough"
+    assert len(list(iter_warc_records(b"junk WARC/1.0\r\nA: b\r\n\r\nxy"))) == 1
+
+
+def test_spark_warc_to_extraction(spark):
+    """binaryFile → one MapInArrow → pages → the HTML engine: text
+    extracts from every fixture page, plan stays single-crossing."""
+    from pyspark.sql import functions as F
+
+    from htmld_spark.functions.udfs import extract_df
+    from htmld_spark.sources.warc import warc_pages_df
+
+    arch, _exp = ensure_warc()
+    pages = warc_pages_df(spark, arch)
+    p = pages._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    ex = extract_df(pages.select("url", "warc_ts", "html"), with_spans=False)
+    rows = ex.select("url", "text", "parse_ok").collect()
+    assert len(rows) == 90
+    assert all(r.parse_ok and "página" in r.text for r in rows)
