@@ -229,6 +229,7 @@ def run_headline(master: str) -> dict:
         "temperature_sample",
         "semdedup_keep",
         "epoch_shuffle",
+        "warc_ingest",
     ):
         best = None
         for _ in range(2):
