@@ -1056,6 +1056,25 @@ def _q_pdf_metadata(spark, sf_dir):
     return pdf_info_df(df)
 
 
+def _q_robots_filter(spark, sf_dir):
+    """R18 robots.txt consent filtering (RFC 9309 — retroactive AI-crawler
+    opt-out enforcement over an existing corpus): per-host robots parse
+    (agent-group selection: longest matching token beats '*'; wildcard +
+    $-anchored path rules, longest-match-wins, Allow on ties), one host
+    join + one mapInArrow verdict pass with a per-worker parse cache.
+    Contract agent 'aibot' exercises the agent-specific total-opt-out
+    group. Golden oracle: the fixture's BY-CONSTRUCTION verdicts (urls
+    generated to sit inside/outside each rule's intent — never by
+    running a matcher)."""
+    from fixtures.gen_robots import ensure_robots
+    from htmld_spark.sources.robots import robots_filter
+
+    rp, ep = ensure_robots()
+    pages = spark.read.parquet(ep).select("url")
+    robots = spark.read.parquet(rp)
+    return robots_filter(pages, robots, agent="aibot")
+
+
 def _q_warc_ingest(spark, sf_dir):
     """R17 WARC ingest (ISO 28500 — the Common Crawl container): the
     on-ramp landing raw crawl archives into the mandated pages table.
@@ -1154,8 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 8 new entries
-    (X8 pdf_extract + pdf_metadata, R17 warc_ingest, L54–L58), then the 3 whose plans/behavior changed
+    not hand-maintain the number here). r6 window: the 9 new entries
+    (X8 pdf_extract + pdf_metadata, R17 warc_ingest, R18 robots_filter,
+    L54–L58), then the 3 whose plans/behavior changed
     this round
     (host_term_divergence: checkpointed single token pass +
     try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
@@ -1171,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_metadata": _q_pdf_metadata,  # X8b Info dict, golden
         "epoch_shuffle": _q_epoch_shuffle,  # L58 golden (xxh64)
         "warc_ingest": _q_warc_ingest,  # R17 golden (fixture rows)
+        "robots_filter": _q_robots_filter,  # R18 golden (by-construction)
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
         "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
@@ -1221,9 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window fill: r5 behavior trio + flagship goldens ---
         "substring_dedup": _q_substring_dedup,  # linear-gap reassembly
         "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
-        "pack_shards": _q_pack_shards,  # single-execution partitioning
         "extract_main_text": _q_extract_main_text,
         # ---------------- 50-entry driver cutoff lands here ----------------
+        "pack_shards": _q_pack_shards,  # single-execution partitioning
         "extract_metrics_by_lang": _q_extract_metrics_by_lang,
         "select_counts": _q_select_counts,  # golden (sel_* battery)
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
@@ -1280,10 +1301,12 @@ def oracle_sql() -> dict[str, str]:
     gold = ensure_golden("/root/testdata/sf0.01")
     media_gold = ensure_media()
     from fixtures.gen_pdfs import ensure_pdfs
+    from fixtures.gen_robots import ensure_robots
     from fixtures.gen_warc import ensure_warc
 
     pdf_fx = ensure_pdfs()
     _warc_arch, warc_exp = ensure_warc()
+    _robots_fx, robots_exp = ensure_robots()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1326,6 +1349,10 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": (
             f"SELECT url, warc_ts, n_bytes, html_md5 "
             f"FROM read_parquet('{warc_exp}')"
+        ),
+        # R18 robots filtering: kept = the by-construction allowed set
+        "robots_filter": (
+            f"SELECT url FROM read_parquet('{robots_exp}') WHERE allowed"
         ),
         # selector battery / spans / serialization goldens — all composed
         # independently at fixture-gen time (fixtures/gen_pages.py)

@@ -1,0 +1,200 @@
+"""robots.txt parsing + retroactive crawl-consent filtering (RFC 9309,
+the public Robots Exclusion Protocol).
+
+Training-data pipelines increasingly re-apply robots rules AFTER the
+crawl — respecting publisher opt-outs (e.g. agent-specific AI-crawler
+disallows) when curating an existing corpus. This module is that step:
+parse each host's robots.txt once, then drop the pages the selected
+agent may not fetch.
+
+Parser semantics per RFC 9309 (and never raising on any byte input):
+
+- groups: consecutive ``User-agent:`` lines share the rule list that
+  follows; group selection is the LONGEST agent token that is a
+  case-insensitive substring match of the product token, falling back
+  to ``*``; if the chosen agent has multiple groups their rules merge;
+- rules: ``Allow:`` / ``Disallow:`` path patterns with ``*`` wildcards
+  and a ``$`` end anchor; the MOST SPECIFIC (longest-pattern) match
+  wins, Allow winning length ties; no matching rule → allowed; an
+  empty Disallow matches nothing; unknown directives are ignored;
+- percent-encoding is compared literally (both sides as-crawled), and
+  matching operates on path + optional '?' + query, per the RFC.
+
+Spark surface (``robots_filter``): join pages to the per-host robots
+table on the url host, then ONE mapInArrow pass evaluates each row —
+with a per-worker parse CACHE keyed by host (a host's robots bytes
+repeat across its pages; the cache makes the per-row cost a dict hit,
+not a re-parse). Hosts with no robots row are allowed (the RFC's
+absent-file default). No shuffle beyond the join; AQE picks broadcast
+when the robots table fits.
+"""
+
+from __future__ import annotations
+
+import re
+
+_RULE_RE = re.compile(rb"^[ \t]*([A-Za-z-]+)[ \t]*:[ \t]*([^#\r\n]*)")
+
+
+def parse_robots(data) -> list[tuple[str, list[tuple[bool, str]]]]:
+    """Parse robots.txt bytes → [(agent_token_lowercased, [(is_allow,
+    path_pattern), ...]), ...], one entry per User-agent token (groups
+    sharing rules are expanded). Never raises; garbage lines skipped."""
+    try:
+        if isinstance(data, str):
+            data = data.encode("utf-8", errors="replace")
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            return []
+        groups: list[tuple[str, list[tuple[bool, str]]]] = []
+        agents: list[str] = []
+        rules: list[tuple[bool, str]] | None = None
+        for raw_line in bytes(data).splitlines():
+            m = _RULE_RE.match(raw_line)
+            if not m:
+                continue
+            key = m.group(1).lower()
+            val = m.group(2).strip().decode("utf-8", errors="replace")
+            if key == b"user-agent":
+                if rules is not None:  # a new group starts
+                    for a in agents:
+                        groups.append((a, rules))
+                    agents, rules = [], None
+                agents.append(val.lower())
+            elif key in (b"allow", b"disallow"):
+                if not agents:
+                    continue  # rules before any user-agent: ignored
+                if rules is None:
+                    rules = []
+                rules.append((key == b"allow", val))
+            # sitemap/crawl-delay/unknown: ignored
+        for a in agents:
+            groups.append((a, rules or []))
+        return groups
+    except Exception:  # absolute backstop: never raise
+        return []
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _compiled(pattern: str):
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path match: literal prefix with '*' wildcards; '$'
+    anchors the end. Compiled-regex translation (with backtracking —
+    a first-match greedy scan mishandles '/a*b$' against '/abzb')."""
+    try:
+        return _compiled(pattern).match(path) is not None
+    except re.error:  # pathological pattern: treat as non-matching
+        return False
+
+
+def rules_for_agent(
+    groups: list[tuple[str, list[tuple[bool, str]]]], agent: str
+) -> list[tuple[bool, str]]:
+    """Select the group(s) for ``agent``: longest agent token that is a
+    substring of the product token; '*' as fallback; multiple groups
+    for the chosen token merge."""
+    agent = agent.lower()
+    best_len = -1
+    best_token = None
+    for token, _rules in groups:
+        if token == "*":
+            continue
+        if token in agent and len(token) > best_len:
+            best_len = len(token)
+            best_token = token
+    chosen = best_token if best_token is not None else "*"
+    merged: list[tuple[bool, str]] = []
+    for token, rules in groups:
+        if token == chosen:
+            merged.extend(rules)
+    return merged
+
+
+def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-match evaluation: the most specific matching pattern
+    decides; Allow wins length ties; no match → allowed."""
+    if not path.startswith("/"):
+        path = "/" + path
+    best_len = -1
+    best_allow = True
+    for is_allow, pattern in rules:
+        if not pattern:
+            continue  # empty Disallow matches nothing (RFC 9309 §2.2.2)
+        if _pattern_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and is_allow):
+                best_len = plen
+                best_allow = is_allow
+    return best_allow
+
+
+def url_path(url: str) -> str:
+    """Path (+ '?' query) component of a crawled url, per the RFC's
+    matching domain; '' → '/'."""
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    if slash == -1:
+        return "/"
+    return rest[slash:].split("#", 1)[0] or "/"
+
+
+def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
+    """Drop pages the ``agent`` may not fetch per their host's
+    robots.txt. ``robots_df`` is (host string, robots binary); hosts
+    without a row are allowed. One join on the host key + one
+    mapInArrow verdict pass with a per-worker parse cache."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
+    )
+    joined = pages.withColumn("_rb_host", host).join(
+        robots_df.select(
+            F.col("host").alias("_rb_host"), F.col("robots").alias("_rb_txt")
+        ),
+        "_rb_host",
+        "left",
+    )
+
+    def verdicts(batches):
+        cache: dict[str, list[tuple[bool, str]]] = {}
+        for batch in batches:
+            names = batch.schema.names
+            urls = batch.column(names.index(url_col)).to_pylist()
+            hosts = batch.column(names.index("_rb_host")).to_pylist()
+            txts = batch.column(names.index("_rb_txt")).to_pylist()
+            keep = []
+            for u, h, t in zip(urls, hosts, txts):
+                if t is None:
+                    keep.append(True)
+                    continue
+                rules = cache.get(h)
+                if rules is None:
+                    rules = rules_for_agent(parse_robots(t), agent)
+                    if len(cache) > 10_000:  # bound worker memory
+                        cache.clear()
+                    cache[h] = rules
+                keep.append(robots_allowed(rules, url_path(u or "")))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index(url_col)),
+                 pa.array(keep, pa.bool_())],
+                names=[url_col, "_rb_keep"],
+            )
+
+    schema = f"{url_col} string, _rb_keep boolean"
+    kept_urls = (
+        joined.mapInArrow(verdicts, schema)
+        .filter(F.col("_rb_keep"))
+        .select(url_col)
+    )
+    return pages.join(kept_urls, url_col, "left_semi")

@@ -1,0 +1,96 @@
+"""robots.txt consent filtering (sources/robots.py): RFC 9309 parse and
+match semantics, fixture parity, the Spark filter path, never-raise."""
+
+import pytest
+
+from fixtures.gen_robots import ensure_robots
+from htmld_spark.pipeline.session import get_spark
+from htmld_spark.sources.robots import (
+    _pattern_matches,
+    parse_robots,
+    robots_allowed,
+    rules_for_agent,
+    url_path,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_robots")
+    yield s
+    s.stop()
+
+
+def test_rfc9309_semantics():
+    txt = b"""User-agent: GoodBot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /tmp/*
+Allow: /tmp/keep$
+Disallow: /exact$
+
+User-agent: aibot
+User-agent: otherbot
+Disallow: /
+"""
+    g = parse_robots(txt)
+    good = rules_for_agent(g, "GoodBot/1.0")
+    assert not robots_allowed(good, "/private/x")
+    assert robots_allowed(good, "/private/ok/y")  # longer Allow wins
+    assert robots_allowed(good, "/tmp/x")  # its group only, not '*'
+    star = rules_for_agent(g, "SomeCrawler")
+    assert not robots_allowed(star, "/tmp/file")
+    assert robots_allowed(star, "/tmp/keep")
+    assert not robots_allowed(star, "/exact")
+    assert robots_allowed(star, "/exact/sub")  # $ anchor
+    for agent in ("MegaAIBot", "otherbot/2"):
+        assert not robots_allowed(rules_for_agent(g, agent), "/x")
+    # longest agent token wins over '*' and shorter tokens
+    g2 = parse_robots(b"User-agent: bot\nDisallow: /a\n"
+                      b"User-agent: bigbot\nDisallow: /b\n"
+                      b"User-agent: *\nDisallow: /c\n")
+    big = rules_for_agent(g2, "bigbot/1")
+    assert not robots_allowed(big, "/b") and robots_allowed(big, "/a")
+    # wildcard backtracking with the $ anchor
+    assert _pattern_matches("/a*b$", "/abzb")
+    assert not _pattern_matches("/a*b$", "/abz")
+    # empty Disallow matches nothing; no rules -> allowed
+    assert robots_allowed([(False, "")], "/x")
+    assert robots_allowed([], "/x")
+
+
+def test_never_raises_and_url_path():
+    for bad in (None, 5, b"", b"\x00\xff" * 200, "text", b"Allow: /orphan"):
+        assert isinstance(parse_robots(bad), list)
+    assert url_path("https://h.example/a/b?q=1#frag") == "/a/b?q=1"
+    assert url_path("https://h.example") == "/"
+    assert url_path("h.example/x") == "/x"
+
+
+def test_spark_filter_matches_fixture(spark):
+    """Kept set == the fixture's by-construction allowed set, one
+    MapInArrow, no row-UDFs; hosts without a robots row pass."""
+    import pyarrow.parquet as pq
+
+    from htmld_spark.sources.robots import robots_filter
+
+    rp, ep = ensure_robots()
+    exp = pq.read_table(ep).to_pylist()
+    pages = spark.createDataFrame([(r["url"],) for r in exp], "url string")
+    robots = spark.read.parquet(rp)
+    out = robots_filter(pages, robots, agent="aibot")
+    kept = {r.url for r in out.collect()}
+    assert kept == {r["url"] for r in exp if r["allowed"]}
+    # plan from an un-executed copy: a collected AQE plan's toString
+    # carries Final AND Initial sections, double-counting nodes
+    p = (
+        robots_filter(pages, robots, agent="aibot")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    # a permissive agent keeps the aibot-opted-out hosts
+    lax = {r.url for r in robots_filter(pages, robots, agent="plainbot").collect()}
+    assert all(u in lax for u in kept)
+    assert any(".example/article/" in u for u in lax - kept)
