@@ -230,6 +230,7 @@ def run_headline(master: str) -> dict:
         "semdedup_keep",
         "epoch_shuffle",
         "warc_ingest",
+        "robots_filter",
     ):
         best = None
         for _ in range(2):
