@@ -1080,10 +1080,13 @@ def _q_warc_ingest(spark, sf_dir):
     on-ramp landing raw crawl archives into the mandated pages table.
     binaryFile scan → one mapInArrow parse (per-record gzip members with
     corrupt-member salvage, request/warcinfo records skipped, HTTP
-    payloads split at the header/body boundary). Golden oracle: the
-    fixture's independently composed (url, ts, n_bytes, md5) rows —
-    incl. an archive whose FINAL gzip member is corrupt (everything
-    before it must land)."""
+    payloads split at the header/body boundary and DECODED — chunked
+    transfer framing removed, gzip/deflate content codings inflated with
+    bomb caps, per RFC 9112/9110). Golden oracle: the fixture's
+    independently composed (url, ts, n_bytes, md5) rows — incl. an
+    archive whose FINAL gzip member is corrupt (everything before it
+    must land) and a response whose chunked framing corrupts after two
+    valid chunks (the two-chunk prefix must land)."""
     from fixtures.gen_warc import ensure_warc
     from htmld_spark.sources.warc import warc_pages_df
 

@@ -10,9 +10,17 @@ independent ISO 28500 writer the reader must normalize away:
 - warcinfo / request / metadata records interleaved between responses
   (the reader must skip them);
 - HTTP response payloads with status line + headers; the html column is
-  the BODY only;
+  the BODY only — DECODED: responses are written through a rotation of
+  transfer/content codings the reader must undo (Transfer-Encoding:
+  chunked with varied chunk sizes + one ;extension, Content-Encoding:
+  gzip, chunked-then-gzip stacked, zlib-wrapped deflate, raw deflate),
+  framed here by an independent writer (gzip.compress / zlib.compress /
+  manual hex chunk lines);
 - one archive ends with a deliberately CORRUPT gzip member (salvage:
-  everything before it must still land).
+  everything before it must still land);
+- one response has CORRUPT chunked framing after two valid chunks: the
+  expected html is the two-chunk prefix (salvage, composed here
+  independently of the reader).
 
 The EXPECTED table (url, warc_ts, n_bytes, html_md5) is composed from
 the drawn pages directly — binary html is compared via its md5 so the
@@ -26,6 +34,7 @@ import hashlib
 import os
 import random
 import sys
+import zlib
 from datetime import datetime
 
 import pyarrow as pa
@@ -34,8 +43,70 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "warc")
-WARC_VERSION = "1"
-N_PAGES = 90  # across 3 archives
+WARC_VERSION = "2"  # v2: chunked / gzip / deflate coded responses
+N_PAGES = 90  # across 3 archives (one extra corrupt-chunked response on top)
+
+# body-coding rotation, assigned per page index — the writer frames,
+# the reader must normalize every one of these back to the raw body
+CODINGS = ("plain", "chunked", "gzip", "chunked+gzip", "deflate", "raw-deflate")
+
+
+def _coding_for(i: int) -> str:
+    return CODINGS[i % len(CODINGS)]
+
+
+def _chunk_frame(body: bytes, rng: random.Random) -> bytes:
+    """Independent chunked-transfer writer: varied chunk sizes, one
+    ;extension on the first chunk, terminal 0-chunk with a trailer."""
+    out = bytearray()
+    i = 0
+    first = True
+    while i < len(body):
+        size = min(rng.randint(7, 41), len(body) - i)
+        ext = b";synth=1" if first else b""
+        out += b"%x%s\r\n%s\r\n" % (size, ext, body[i : i + size])
+        i += size
+        first = False
+    out += b"0\r\nX-Trailer: t\r\n\r\n"
+    return bytes(out)
+
+
+def _http_response(body: bytes, coding: str, rng: random.Random) -> bytes:
+    """Compose one HTTP/1.1 response payload with the given coding."""
+    headers = [b"HTTP/1.1 200 OK",
+               b"Content-Type: text/html; charset=utf-8"]
+    wire = body
+    if coding in ("gzip", "chunked+gzip"):
+        wire = gzip.compress(wire, 6)
+        headers.append(b"Content-Encoding: gzip")
+    elif coding == "deflate":
+        wire = zlib.compress(wire, 6)
+        headers.append(b"Content-Encoding: deflate")
+    elif coding == "raw-deflate":  # the RFC-noted server bug: no zlib wrapper
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        wire = c.compress(wire) + c.flush()
+        headers.append(b"Content-Encoding: deflate")
+    if coding in ("chunked", "chunked+gzip"):
+        wire = _chunk_frame(wire, rng)
+        headers.append(b"Transfer-Encoding: chunked")
+    else:
+        headers.append(b"Content-Length: %d" % len(wire))
+    return b"\r\n".join(headers) + b"\r\n\r\n" + wire
+
+
+def _corrupt_chunked_response() -> tuple[bytes, bytes]:
+    """A response whose chunked framing goes bad after two valid chunks.
+    Returns (payload, expected_body) — the expectation (two-chunk
+    prefix) is composed HERE, independent of the reader's salvage."""
+    c1 = b"<html><body><main><p>salvaged part one "
+    c2 = b"and part two</p></main>"
+    lost = b"</body></html>"
+    wire = (b"%x\r\n%s\r\n%x\r\n%s\r\nZZZ\r\n%s" % (len(c1), c1, len(c2), c2, lost))
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + wire
+    )
+    return payload, c1 + c2
 
 
 def _record(rtype: str, headers: dict[str, str], payload: bytes) -> bytes:
@@ -61,14 +132,15 @@ def _draw_page(i: int, rng: random.Random):
     return url, ts, body
 
 
-def _archive(pages, rng: random.Random, gz: bool, corrupt_tail: bool) -> bytes:
+def _archive(pages, rng: random.Random, gz: bool, corrupt_tail: bool,
+             extra_payloads=()) -> bytes:
     out = bytearray()
 
     def emit(rec: bytes):
         out.extend(gzip.compress(rec, 6) if gz else rec)
 
     emit(_record("warcinfo", {"WARC-Filename": "synth.warc"}, b"software: synth\r\n"))
-    for url, ts, body in pages:
+    for url, ts, body, coding in pages:
         wdate = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         if rng.random() < 0.5:  # interleaved request record (skipped)
             emit(
@@ -78,15 +150,20 @@ def _archive(pages, rng: random.Random, gz: bool, corrupt_tail: bool) -> bytes:
                     b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
                 )
             )
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-            b"Content-Length: %d\r\n\r\n%s" % (len(body), body)
-        )
         emit(
             _record(
                 "response",
                 {"WARC-Target-URI": url, "WARC-Date": wdate},
-                http,
+                _http_response(body, coding, rng),
+            )
+        )
+    for url, ts, payload in extra_payloads:  # pre-framed (corrupt) responses
+        emit(
+            _record(
+                "response",
+                {"WARC-Target-URI": url,
+                 "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ")},
+                payload,
             )
         )
     if corrupt_tail and gz:
@@ -107,24 +184,35 @@ def ensure_warc() -> tuple[str, str]:
                 return arch_dir, expected
     os.makedirs(arch_dir, exist_ok=True)
     rng = random.Random(0x77A2C)
-    pages = [_draw_page(i, rng) for i in range(N_PAGES)]
+    pages = [(*_draw_page(i, rng), _coding_for(i)) for i in range(N_PAGES)]
     thirds = [pages[0:30], pages[30:60], pages[60:90]]
-    specs = [  # (filename, gz, corrupt_tail)
-        ("part-0.warc.gz", True, False),
-        ("part-1.warc.gz", True, True),  # salvage: corrupt member is LAST
-        ("part-2.warc", False, False),
+    # the corrupt-chunked response rides in part-0; its expected body is
+    # the two-chunk prefix composed by _corrupt_chunked_response itself
+    bad_url = "https://crawl-bad.example/chunked"
+    bad_ts = datetime(2024, 3, 28, 12, 30)
+    bad_payload, bad_expected = _corrupt_chunked_response()
+    specs = [  # (filename, gz, corrupt_tail, extra_payloads)
+        ("part-0.warc.gz", True, False, [(bad_url, bad_ts, bad_payload)]),
+        ("part-1.warc.gz", True, True, []),  # salvage: corrupt member LAST
+        ("part-2.warc", False, False, []),
     ]
-    for (fname, gz, corrupt), chunk in zip(specs, thirds):
+    for (fname, gz, corrupt, extras), chunk in zip(specs, thirds):
         with open(os.path.join(arch_dir, fname), "wb") as f:
-            f.write(_archive(chunk, rng, gz, corrupt))
+            f.write(_archive(chunk, rng, gz, corrupt, extras))
+    exp_rows = [(u, t, b) for u, t, b, _c in pages]
+    exp_rows.append((bad_url, bad_ts, bad_expected))
     pq.write_table(
         pa.table(
             {
-                "url": pa.array([u for u, _t, _b in pages], pa.string()),
-                "warc_ts": pa.array([t for _u, t, _b in pages], pa.timestamp("us")),
-                "n_bytes": pa.array([len(b) for _u, _t, b in pages], pa.int64()),
+                "url": pa.array([u for u, _t, _b in exp_rows], pa.string()),
+                "warc_ts": pa.array(
+                    [t for _u, t, _b in exp_rows], pa.timestamp("us")
+                ),
+                "n_bytes": pa.array(
+                    [len(b) for _u, _t, b in exp_rows], pa.int64()
+                ),
                 "html_md5": pa.array(
-                    [hashlib.md5(b).hexdigest() for _u, _t, b in pages],
+                    [hashlib.md5(b).hexdigest() for _u, _t, b in exp_rows],
                     pa.string(),
                 ),
             }

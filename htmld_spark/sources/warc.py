@@ -18,9 +18,20 @@ TOLERANT like the HTML/PDF engines — it never raises on any byte input:
   Content-Length resyncs by scanning for the next ``\\r\\nWARC/`` marker
   (truncated/corrupt records cost themselves, never the archive);
 - only ``WARC-Type: response`` records become pages; the HTTP response
-  payload is split at its header/body boundary and the BODY is the html
-  column (bytes, exactly as the engine wants them); WARC-Target-URI and
-  WARC-Date (ISO 8601) become url and warc_ts.
+  payload is split at its header/body boundary and the BODY — after
+  undoing the HTTP transfer/content codings the capture preserved — is
+  the html column (bytes, exactly as the engine wants them);
+  WARC-Target-URI and WARC-Date (ISO 8601) become url and warc_ts;
+- HTTP bodies are DECODED per RFC 9112/9110: ``Transfer-Encoding:
+  chunked`` framing (hex size lines interleaved with content) is
+  removed, and ``Content-Encoding: gzip/x-gzip/deflate`` bodies are
+  inflated (salvaging a truncated/corrupt prefix, bomb-capped). Real
+  Common Crawl response records store the raw capture, so skipping this
+  step splices chunk-size lines into the markup. Unknown codings (br,
+  zstd — no codec in the stdlib) pass the raw bytes through.
+
+All decompression is BOMB-CAPPED: a crafted high-ratio flate stream
+truncates at the cap instead of exhausting executor memory.
 """
 
 from __future__ import annotations
@@ -29,12 +40,37 @@ import zlib
 from datetime import datetime, timezone
 
 _MAX_HEADER_BLOCK = 64 << 10  # a sane cap on one record's header block
+_MAX_BODY_BYTES = 64 << 20  # per-body inflate cap (truncate-and-salvage)
+_MAX_ARCHIVE_BYTES = 4 << 30  # whole-archive decompressed cap
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _bounded_inflate(data: bytes, wbits: int, cap: int) -> tuple[bytes, object]:
+    """Inflate ≤ ``cap`` bytes via incremental decompressobj chunks
+    (never a single unbounded ``decompress``); salvage whatever decoded
+    before a corruption or the cap. Returns (bytes, decompressobj) so
+    multi-member callers can read ``eof`` / ``unused_data``."""
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    buf = data
+    while buf:
+        try:
+            out += d.decompress(buf, 1 << 20)
+        except zlib.error:
+            break
+        if len(out) >= cap:
+            del out[cap:]
+            break
+        if d.eof:
+            break
+        buf = d.unconsumed_tail
+    return bytes(out), d
+
+
+def _gunzip_members(data: bytes, cap: int = _MAX_ARCHIVE_BYTES) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; salvage every
-    member that decodes before a corrupt one. Non-gzip input passes
-    through unchanged."""
+    member that decodes before a corrupt one; truncate at ``cap`` bytes
+    total (decompression-bomb guard). Non-gzip input passes through
+    unchanged."""
     if data[:2] != b"\x1f\x8b":
         return data
     # member-by-member via decompressobj(wbits=31): each call decodes ONE
@@ -43,13 +79,10 @@ def _gunzip_members(data: bytes) -> bytes:
     # discards every already-decoded byte when a later member raises.)
     out = bytearray()
     buf = bytes(data)
-    while buf[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out += d.decompress(buf)
-        except zlib.error:
-            break
-        if not d.eof:  # truncated final member: prefix already salvaged
+    while buf[:2] == b"\x1f\x8b" and len(out) < cap:
+        dec, d = _bounded_inflate(buf, 31, cap - len(out))
+        out += dec
+        if not d.eof:  # truncated/corrupt/capped member: prefix salvaged
             break
         buf = d.unused_data
     return bytes(out)
@@ -82,7 +115,14 @@ def iter_warc_records(data: bytes):
             return
         head_end = data.find(b"\r\n\r\n", start, start + _MAX_HEADER_BLOCK)
         if head_end == -1:
-            return
+            # no header terminator within the cap: this record is junk,
+            # but later records must not pay for it — resync at the next
+            # record marker (the documented tolerance contract).
+            nxt = data.find(b"\r\nWARC/", start + 1)
+            if nxt == -1:
+                return
+            i = nxt + 2
+            continue
         headers = _parse_headers(data[start:head_end])
         body_start = head_end + 4
         length = None
@@ -107,14 +147,80 @@ def iter_warc_records(data: bytes):
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Remove ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    hex chunk-size lines (optionally with ;extensions) interleaved with
+    chunk data, terminated by a 0-size chunk (trailers ignored).
+    Tolerant: malformed framing salvages every chunk decoded before it;
+    never raises."""
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i, i + 1024)
+        if eol == -1:
+            break  # no size line where one is due: salvage the prefix
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break  # corrupt size line: salvage the prefix
+        if size <= 0:
+            break  # terminal chunk (trailers, if any, are not content)
+        chunk = body[eol + 2 : eol + 2 + size]
+        out += chunk
+        if len(chunk) < size:
+            break  # truncated final chunk: keep what arrived
+        i = eol + 2 + size + 2  # skip the CRLF that ends the chunk data
+    return bytes(out)
+
+
+def _decode_content(body: bytes, coding: str) -> bytes:
+    """Undo one content coding (RFC 9110 §8.4.1). gzip/x-gzip and
+    deflate (zlib-wrapped, falling back to raw per the long-standing
+    server bug the RFC notes) inflate with salvage + the bomb cap;
+    identity/unknown codings (br, zstd — no stdlib codec) pass raw
+    bytes through. Never raises."""
+    coding = coding.strip().lower()
+    if coding in ("gzip", "x-gzip"):
+        out, _d = _bounded_inflate(body, 31, _MAX_BODY_BYTES)
+        return out if out else body
+    if coding == "deflate":
+        out, _d = _bounded_inflate(body, 15, _MAX_BODY_BYTES)
+        if not out:  # raw-deflate servers omit the zlib wrapper
+            out, _d = _bounded_inflate(body, -15, _MAX_BODY_BYTES)
+        return out if out else body
+    return body
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Split an HTTP response payload at the header/body boundary; a
-    payload without one (bare content) passes through whole."""
-    if payload[:5] in (b"HTTP/", b"http/"):
-        sep = payload.find(b"\r\n\r\n")
-        if sep != -1:
-            return payload[sep + 4 :]
-    return payload
+    """HTTP response payload → decoded body bytes: split at the
+    header/body boundary, remove chunked transfer framing, undo
+    gzip/deflate content codings (RFC 9112/9110 — real Common Crawl
+    response records store the raw capture). A payload without a status
+    line (bare content) passes through whole. Never raises."""
+    if payload[:5] not in (b"HTTP/", b"http/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep == -1:
+        return payload
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4 :]
+    # Transfer codings, outermost last (RFC 9112 §6.1): chunked is
+    # required to be final, so undo it first, then any stacked codings.
+    te = [c.strip().lower() for c in
+          headers.get("transfer-encoding", "").split(",") if c.strip()]
+    if te and te[-1] == "chunked":
+        body = _dechunk(body)
+        te = te[:-1]
+    for coding in reversed(te):
+        body = _decode_content(body, coding)
+    # Content codings, applied in listed order → undone in reverse.
+    ce = [c.strip() for c in
+          headers.get("content-encoding", "").split(",") if c.strip()]
+    for coding in reversed(ce):
+        body = _decode_content(body, coding)
+    return body
 
 
 def _warc_ts(value: str):

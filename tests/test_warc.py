@@ -123,5 +123,99 @@ def test_spark_warc_to_extraction(spark):
     assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
     ex = extract_df(pages.select("url", "warc_ts", "html"), with_spans=False)
     rows = ex.select("url", "text", "parse_ok").collect()
-    assert len(rows) == 90
-    assert all(r.parse_ok and "página" in r.text for r in rows)
+    assert len(rows) == 91  # 90 drawn pages + the corrupt-chunked salvage
+    assert all(r.parse_ok for r in rows)
+    for r in rows:
+        if r.url == "https://crawl-bad.example/chunked":
+            assert "salvaged part one and part two" in r.text
+        else:
+            assert "página" in r.text
+
+
+# ------------------------------------------------------------------ HTTP body decoding
+
+
+def test_http_chunked_body_dechunked():
+    """Transfer-Encoding: chunked framing (hex size lines, extensions,
+    trailers) is removed — the html column is pure body bytes."""
+    from htmld_spark.sources.warc import _http_body
+
+    body = b"<p>hello chunked world</p>"
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"a;ext=1\r\n" + body[:10] + b"\r\n"
+            b"10\r\n" + body[10:26] + b"\r\n"
+            b"0\r\nX-Trailer: t\r\n\r\n")
+    assert _http_body(wire) == body
+
+
+def test_http_content_encoding_gzip_and_deflate():
+    from htmld_spark.sources.warc import _http_body
+
+    body = b"<main>compressed content body</main>" * 10
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+          + gzip.compress(body, 6))
+    assert _http_body(gz) == body
+    import zlib
+    zl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+          + zlib.compress(body, 6))
+    assert _http_body(zl) == body
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw-deflate server bug
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+           + c.compress(body) + c.flush())
+    assert _http_body(raw) == body
+
+
+def test_http_chunked_then_gzip_stacked():
+    """chunked transfer framing OVER a gzip content coding: de-chunk
+    first, then inflate."""
+    from htmld_spark.sources.warc import _http_body
+
+    body = b"<article>stacked codings</article>"
+    gz = gzip.compress(body, 6)
+    wire = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            b"%x\r\n%s\r\n%x\r\n%s\r\n0\r\n\r\n"
+            % (7, gz[:7], len(gz) - 7, gz[7:]))
+    assert _http_body(wire) == body
+
+
+def test_http_corrupt_codings_salvage_never_raise():
+    from htmld_spark.sources.warc import _http_body
+
+    # corrupt chunk-size line: the valid prefix is salvaged
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\nZZ\r\nlost")
+    assert _http_body(wire) == b"hello"
+    # truncated final chunk: what arrived is kept
+    wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ff\r\nonly this much arrived")
+    assert _http_body(wire) == b"only this much arrived"
+    # garbage gzip body: raw bytes pass through (never raise)
+    wire = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bgarbage"
+    assert _http_body(wire) == b"\x1f\x8bgarbage"
+    # unknown coding (br): raw bytes pass through
+    wire = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nrawbr"
+    assert _http_body(wire) == b"rawbr"
+
+
+def test_inflate_bomb_capped():
+    """A high-ratio flate stream truncates at the body cap instead of
+    exhausting executor memory (ADVICE r6)."""
+    import zlib
+
+    from htmld_spark.sources import warc as W
+
+    bomb = zlib.compress(b"\x00" * (8 << 20), 9)  # 8 MiB of zeros, ~8 KiB wire
+    out, _d = W._bounded_inflate(bomb, 15, 1 << 20)
+    assert len(out) == 1 << 20  # truncated AT the cap, prefix salvaged
+
+
+def test_missing_header_terminator_resyncs():
+    """A record whose header block never terminates costs itself, not
+    the rest of the archive (ADVICE r6: resync, don't return)."""
+    junk = b"WARC/1.0\r\nWARC-Type: response\r\nno-terminator " + b"x" * 100
+    good = _rec("response", {"WARC-Target-URI": "u9",
+                             "WARC-Date": "2024-01-01T00:00:00Z"},
+                b"HTTP/1.1 200 OK\r\n\r\nrescued")
+    pages = warc_pages(junk + b"\r\n" + good)
+    assert [(u, h) for u, _t, h in pages] == [("u9", b"rescued")]
