@@ -201,9 +201,15 @@ def _q_pages_dedup_latest(spark, sf_dir):
 
 
 def _q_pages_host_counts(spark, sf_dir):
+    # try_parse_url: plain parse_url RAISES on unparseable urls in Spark 4;
+    # coalesce to '' mirrors the oracle regexp_extract's no-match result
     pages = _pages(spark, sf_dir)
     return (
-        pages.select(F.parse_url("url", F.lit("HOST")).alias("host"))
+        pages.select(
+            F.coalesce(
+                F.try_parse_url("url", F.lit("HOST")), F.lit("")
+            ).alias("host")
+        )
         .groupBy("host")
         .agg(F.count("*").alias("n_pages"))
     )
@@ -908,7 +914,11 @@ def _q_asof_join_forward(spark, sf_dir):
 def _q_set_ops_hosts(spark, sf_dir):
     """Set ops (R12): hosts crawled in BOTH en and de, and en-only hosts."""
     pages = _pages(spark, sf_dir).select(
-        F.parse_url("url", F.lit("HOST")).alias("host"), "lang"
+        # try_parse_url sweep (VERDICT r06 #1): '' matches the oracle regex
+        F.coalesce(
+            F.try_parse_url("url", F.lit("HOST")), F.lit("")
+        ).alias("host"),
+        "lang",
     )
     en = pages.filter(F.col("lang") == "en").select("host").distinct()
     de = pages.filter(F.col("lang") == "de").select("host").distinct()

@@ -1229,10 +1229,17 @@ def host_top_terms(
     probe): lowercase whitespace tokens of length ≥ ``min_len``, counted
     per (host, term) with map-side partial aggregation, deterministic
     (count desc, term asc) top-k per host via one window over the tiny
-    counted table. Returns (host, term, n, rk)."""
+    counted table. Returns (host, term, n, rk).
+
+    Host extraction uses try_parse_url (plain parse_url RAISES on
+    unparseable urls in Spark 4 — one malformed crawl URL would fail the
+    whole job at 100 TB), null-coalesced to '' to match the DuckDB
+    oracle's regexp_extract no-match behavior."""
     from pyspark.sql.window import Window
 
-    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    host = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
+    )
     toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
     ex = df.select(host.alias("host"), F.explode(toks).alias("term")).filter(
         F.length("term") >= min_len

@@ -51,9 +51,14 @@ def stateful_host_stats(pages_stream: DataFrame) -> DataFrame:
 
     Input: a streaming pages DataFrame with at least (url, html).
     Output (append mode): one row per (host, trigger) with batch deltas and
-    cumulative totals carried in state across micro-batches."""
+    cumulative totals carried in state across micro-batches. Host
+    extraction uses try_parse_url (plain parse_url RAISES on unparseable
+    urls in Spark 4 — one malformed crawl URL would kill the stream);
+    unparseable urls share the '' state group."""
     by_host = pages_stream.select(
-        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.coalesce(
+            F.try_parse_url("url", F.lit("HOST")), F.lit("")
+        ).alias("host"),
         F.length("html").alias("n_bytes"),
     )
     return by_host.groupBy("host").applyInPandasWithState(

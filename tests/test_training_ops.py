@@ -1070,6 +1070,42 @@ def test_host_top_terms(spark):
     assert sorted(by_host["b.org"]) == [(1, "here", 2), (2, "tiny", 1)]
 
 
+def test_host_ops_survive_malformed_urls(spark):
+    """VERDICT r06 #1 (parse_url sweep): plain F.parse_url RAISES on
+    unparseable urls in Spark 4, so one malformed crawl URL would fail a
+    100 TB job. Every host-keyed operator must instead group such rows
+    under the '' sentinel and complete."""
+    from pyspark.sql import functions as F
+
+    from htmld_spark.functions.text import host_top_terms
+
+    df = spark.createDataFrame(
+        [
+            ("http://ok.com/a", "good text here"),
+            ("http://bad host/with space", "mal formed page"),
+            ("%%%not-a-url", "also junk here"),
+            (None, "null url page"),
+        ],
+        "url string, text string",
+    )
+    rows = host_top_terms(df, k=5).collect()  # must not raise
+    hosts = {r.host for r in rows}
+    assert "ok.com" in hosts
+    assert "" in hosts  # malformed urls grouped under the sentinel
+    # the streaming stateful path uses the same guarded expression
+    agg = (
+        df.select(
+            F.coalesce(
+                F.try_parse_url("url", F.lit("HOST")), F.lit("")
+            ).alias("host")
+        )
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert {r.host for r in agg} == {"ok.com", ""}
+
+
 def test_embed_near_dedup_keep_composition(vectors):
     """Keep-set policy over embedding near-pairs: min id per LSH cluster +
     all unpaired vectors; the constructed near-copy (0,1) collapses to 0."""
