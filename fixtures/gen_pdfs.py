@@ -45,7 +45,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "5"
+PDF_FIXTURE_VERSION = "6"
 N_ROWS = 120
 
 _WORDS = (
@@ -58,6 +58,22 @@ _WORDS = (
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _garble(b: bytes, num: int) -> bytes:
+    """Deterministic RC4-stand-in for /Encrypt rows: XOR with an
+    object-keyed repeating keystream. No crypto lib — the point is only
+    that the stored stream/string bytes are NOT the plaintext (nor valid
+    flate), exactly like real standard-security ciphertext, so an
+    extractor that ignores /Encrypt emits garbage."""
+    key = bytes(((num * 73 + j * 151 + 29) & 0xFF) for j in range(16))
+    return bytes(c ^ key[j % 16] for j, c in enumerate(b))
+
+
+def _esc_bytes(b: bytes) -> str:
+    """Escape arbitrary ciphertext bytes for a literal string: octal
+    escapes keep CR/LF/parens/backslash unambiguous."""
+    return "".join(f"\\{c:03o}" for c in b)
 
 
 def _line_ops(line: str, rng: random.Random) -> str:
@@ -149,6 +165,7 @@ def _make_pdf(
     use_cid: bool = False,
     form_header: str | None = None,
     info: dict[str, str] | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Assemble a complete PDF: catalog, page tree, per-page content
     streams (encoding drawn per stream), xref (sometimes garbage),
@@ -178,8 +195,27 @@ def _make_pdf(
     )
     stream_objs: list[tuple[int, bytes]] = []
     if info:
-        body = " ".join(f"/{k} ({_esc(v)})" for k, v in sorted(info.items()))
+        if encrypt:  # §7.6.2: strings are encrypted too — store ciphertext
+            body = " ".join(
+                f"/{k} ({_esc_bytes(_garble(v.encode('latin-1', 'replace'), info_num))})"
+                for k, v in sorted(info.items())
+            )
+        else:
+            body = " ".join(f"/{k} ({_esc(v)})" for k, v in sorted(info.items()))
         stream_objs.append((info_num, f"<< {body} >>".encode("latin-1")))
+    encrypt_num = 2 * n_pages + 8
+    if encrypt:
+        o_esc = _esc_bytes(_garble(bytes(range(32)), encrypt_num))
+        u_esc = _esc_bytes(_garble(bytes(range(32, 64)), encrypt_num + 1))
+        stream_objs.append(
+            (
+                encrypt_num,
+                (
+                    f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -44 "
+                    f"/O ({o_esc}) /U ({u_esc}) >>"
+                ).encode("latin-1"),
+            )
+        )
     if use_form:
         fbody = _page_content([form_header], rng)
         stream_objs.append(
@@ -219,7 +255,12 @@ def _make_pdf(
         if use_form:
             raw = b"/XH Do\n" + raw
         enc = rng.randrange(3)
-        if enc == 0:
+        if encrypt:
+            # stored data = Encrypt(Deflate(content)) per the spec's
+            # filter-then-encrypt order: ciphertext that is NOT valid flate
+            body = _garble(zlib.compress(raw, 6), content_num)
+            filt = b" /Filter /FlateDecode"
+        elif enc == 0:
             body, filt = raw, b""
         elif enc == 1:
             body, filt = zlib.compress(raw, 6), b" /Filter /FlateDecode"
@@ -232,7 +273,10 @@ def _make_pdf(
                 % (len(body), filt, body),
             )
         )
-    if rng.random() < 0.35:  # modern layout: dicts inside an ObjStm
+    # encrypted rows keep the classic layout: a real encrypted ObjStm is
+    # itself ciphertext, which would hide the page TREE too — the fixture
+    # pins the "n_pages from the plain page tree" contract instead
+    if rng.random() < 0.35 and not encrypt:  # modern layout: ObjStm dicts
         objstm_num = 2 * n_pages + 3
         objs = [(objstm_num, _objstm(dict_objs))] + stream_objs
     else:
@@ -256,9 +300,11 @@ def _make_pdf(
         for off in offsets:
             out += b"%010d 00000 n \n" % off
     info_ref = b" /Info %d 0 R" % info_num if info else b""
-    out += b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n" % (
+    enc_ref = b" /Encrypt %d 0 R" % encrypt_num if encrypt else b""
+    out += b"trailer\n<< /Size %d /Root 1 0 R%s%s >>\nstartxref\n%d\n%%%%EOF\n" % (
         len(objs) + 1,
         info_ref,
+        enc_ref,
         xref_at,
     )
     return bytes(out)
@@ -266,8 +312,10 @@ def _make_pdf(
 
 def draw_pdf_row(i: int):
     """One (pdf_id, pdf_bytes, expected_text, n_pages, title, producer,
-    creation_date) row — the last three None when the row has no Info
-    dict."""
+    creation_date, encrypted) row — the metadata three None when the row
+    has no Info dict OR is encrypted (Info strings are ciphertext);
+    encrypted rows expect empty text with n_pages from the plain page
+    tree."""
     rng = random.Random(0xC0FFEE + i)
     n_pages = rng.randint(1, 3)
     pages = []
@@ -298,13 +346,20 @@ def draw_pdf_row(i: int):
             "Producer": f"synthwriter {i % 3}.{i % 7}",
             "CreationDate": f"D:2024{1 + i % 12:02d}{1 + i % 28:02d}090000Z",
         }
+    # drawn AFTER every other draw so non-encrypted rows keep the exact
+    # byte stream of fixture v5 (~15% of rows become /Encrypt variants)
+    encrypted = rng.random() < 0.15
     pdf = _make_pdf(
-        pages, rng, use_cid=use_cid, form_header=form_header, info=info
+        pages, rng, use_cid=use_cid, form_header=form_header, info=info,
+        encrypt=encrypted,
     )
-    meta = info or {}
+    if encrypted:
+        expected = ""  # ciphertext streams: empty text, never garbage
+    meta = {} if encrypted else (info or {})
     return (
         i, pdf, expected, n_pages,
         meta.get("Title"), meta.get("Producer"), meta.get("CreationDate"),
+        encrypted,
     )
 
 
@@ -328,6 +383,7 @@ def ensure_pdfs() -> str:
                 "title": pa.array([r[4] for r in rows], pa.string()),
                 "producer": pa.array([r[5] for r in rows], pa.string()),
                 "creation_date": pa.array([r[6] for r in rows], pa.string()),
+                "encrypted": pa.array([r[7] for r in rows], pa.bool_()),
             }
         ),
         path,

@@ -465,6 +465,42 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_INFLATE_CAP = 64 << 20  # decompression-bomb cap, same budget as LZW
+
+
+def _bounded_inflate(data: bytes, cap: int = _INFLATE_CAP) -> bytes | None:
+    """FlateDecode with the LZW branch's bomb discipline: incremental
+    decompressobj chunks so a crafted high-ratio stream cannot exhaust
+    executor memory before the never-raise backstop sees it (a plain
+    zlib.decompress has no output bound). Truncate-and-salvage on
+    overflow; corrupt/truncated streams salvage the decoded prefix;
+    None when nothing decodes."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    # feed INPUT in small chunks too: a zlib.error mid-call discards that
+    # call's output, so chunked input bounds what a corrupt byte can cost
+    # (truncated-but-valid prefixes decode without error either way)
+    i, buf = 0, b""
+    try:
+        while True:
+            if not buf:
+                if i >= len(data):
+                    break
+                buf = bytes(data[i : i + 65536])
+                i += 65536
+            piece = d.decompress(buf, 1 << 20)
+            out += piece
+            if len(out) > cap:
+                return bytes(out[:cap])  # bomb: keep the capped prefix
+            buf = d.unconsumed_tail
+            if d.eof:
+                break
+    except zlib.error:
+        if not out:
+            return None  # nothing salvageable
+    return bytes(out)
+
+
 def _rle_decode(data: bytes) -> bytes:
     """RunLengthDecode (§7.4.5): L ≤ 127 → copy L+1 literal bytes;
     L ≥ 129 → repeat next byte 257−L times; 128 = EOD."""
@@ -494,14 +530,9 @@ def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
         if filt is None:
             continue
         if filt in ("FlateDecode", "Fl"):
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                # salvage whatever decoded before the corruption
-                try:
-                    data = zlib.decompressobj().decompress(data)
-                except zlib.error:
-                    return None
+            data = _bounded_inflate(data)
+            if data is None:
+                return None
         elif filt in ("ASCIIHexDecode", "AHx"):
             end = data.find(b">")
             hx = data[: end if end != -1 else len(data)]
@@ -696,9 +727,11 @@ def _xobjects_from_resources(
     return out
 
 
-def _page_content_streams(objs: dict) -> list[tuple[bytes, dict, dict]]:
-    """The page-order ladder. Returns one (decoded content blob, font
-    table, form-XObject table) triple per page."""
+def _page_nodes(objs: dict) -> list[dict]:
+    """Page dicts in document order — rungs 1+2 of the page-order
+    ladder, independent of content-stream decodability (an encrypted
+    document's page TREE is plain; only streams/strings are encrypted,
+    so the page count survives when the text cannot)."""
     # rung 1: Root → Pages → Kids walk
     root_num = None
     for num, (d, _s) in objs.items():
@@ -740,6 +773,13 @@ def _page_content_streams(objs: dict) -> list[tuple[bytes, dict, dict]]:
             d for _num, (d, _s) in sorted(objs.items())
             if d.get("Type") == ("name", "Page")
         ]
+    return pages
+
+
+def _page_content_streams(objs: dict) -> list[tuple[bytes, dict, dict]]:
+    """The page-order ladder. Returns one (decoded content blob, font
+    table, form-XObject table) triple per page."""
+    pages = _page_nodes(objs)
     out: list[tuple[bytes, dict]] = []
     for page in pages:
         contents = page.get("Contents")
@@ -948,17 +988,60 @@ def _content_text_lines(
 # ------------------------------------------------------------------ public surface
 
 
+def _find_encrypt_dict(objs: dict, data: bytes):
+    """Standard-security-handler detection (§7.6): the trailer's
+    /Encrypt entry (any trailer — incremental updates may add one), with
+    a keyed-dict fallback for trailer-less crawl PDFs — an encryption
+    dict is the only object carrying /Filter together with the /O and
+    /U owner/user password hashes. Returns the dict (possibly {}) when
+    the document is encrypted, None otherwise."""
+    t = data.rfind(b"trailer")
+    while t != -1:
+        td = _parse_dict_tolerant(data[t + 7 : t + 7 + 4096])
+        v = td.get("Encrypt")
+        if v is not None:
+            d = _deref(objs, v)
+            return d if isinstance(d, dict) else {}
+        t = data.rfind(b"trailer", 0, t)
+    for _num, (d, _s) in sorted(objs.items()):
+        if "Filter" in d and "O" in d and "U" in d:
+            return d
+    return None
+
+
+def pdf_is_encrypted(data) -> bool:
+    """True when the document declares standard security (RC4/AES
+    content encryption). Never raises; False when nothing parses."""
+    try:
+        if isinstance(data, str):
+            data = data.encode("latin-1", errors="replace")
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            return False
+        data = bytes(data)
+        return _find_encrypt_dict(_scan_objects(data), data) is not None
+    except Exception:  # engine contract: never raise
+        return False
+
+
 def extract_pdf(data) -> tuple[str, int]:
     """One parse → (text, n_pages). Never raises; ("", 0) when nothing
     parses. Pages joined with a blank line, lines with newlines;
     n_pages counts pages the page-order ladder found (with or without
-    text)."""
+    text). Encrypted documents (VERDICT r06 "What's missing" #2) yield
+    ("", page-tree count): their streams/strings are RC4/AES ciphertext
+    that would otherwise salvage-decode into garbage emitted into the
+    corpus — forgiving means empty + flagged (``pdf_is_encrypted``),
+    never garbage."""
     try:
         if isinstance(data, str):
             data = data.encode("latin-1", errors="replace")
         if not isinstance(data, (bytes, bytearray, memoryview)):
             return "", 0
-        blobs = _page_content_streams(_scan_objects(bytes(data)))
+        data = bytes(data)
+        objs = _scan_objects(data)
+        if _find_encrypt_dict(objs, data) is not None:
+            return "", len(_page_nodes(objs))
+        blobs = _page_content_streams(objs)
         pages = []
         for blob, fonts, xobs in blobs:
             lines = _content_text_lines(blob, fonts, xobs)
@@ -986,18 +1069,29 @@ _INFO_KEYS = (
 
 
 def pdf_info(data) -> dict[str, str]:
-    """Document Information dictionary (§14.3.3): resolve the trailer's
-    /Info reference — falling back to any dict carrying standard info
-    keys and no /Type (crawled PDFs routinely lose their trailers) —
-    and return the present standard entries decoded as text. Never
-    raises; {} when nothing parses."""
+    """Document Information dictionary (§14.3.3) — see ``pdf_info_ex``;
+    this wrapper drops the encrypted flag."""
+    return pdf_info_ex(data)[0]
+
+
+def pdf_info_ex(data) -> tuple[dict[str, str], bool]:
+    """Document Information dictionary (§14.3.3) plus the encrypted
+    flag, one parse: resolve the trailer's /Info reference — falling
+    back to any dict carrying standard info keys and no /Type (crawled
+    PDFs routinely lose their trailers) — and return the present
+    standard entries decoded as text. Encrypted documents return
+    ({}, True): their Info STRINGS are ciphertext (§7.6.2 encrypts all
+    strings), so decoding them would emit mojibake metadata. Never
+    raises; ({}, False) when nothing parses."""
     try:
         if isinstance(data, str):
             data = data.encode("latin-1", errors="replace")
         if not isinstance(data, (bytes, bytearray, memoryview)):
-            return {}
+            return {}, False
         data = bytes(data)
         objs = _scan_objects(data)
+        if _find_encrypt_dict(objs, data) is not None:
+            return {}, True
         info = None
         t = data.rfind(b"trailer")
         if t != -1:
@@ -1018,6 +1112,6 @@ def pdf_info(data) -> dict[str, str]:
                 v = info.get(k)
                 if isinstance(v, bytes):
                     out[k] = _decode_text(v)
-        return out
+        return out, False
     except Exception:  # engine contract: never raise
-        return {}
+        return {}, False

@@ -498,22 +498,28 @@ def extract_pdf_pages_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
 
 
 PDF_INFO_SCHEMA = (
-    "pdf_id bigint, title string, producer string, creation_date string"
+    "pdf_id bigint, title string, producer string, creation_date string, "
+    "encrypted boolean"
 )
 
 
 def pdf_info_df(df, id_col: str = "pdf_id", data_col: str = "pdf"):
-    """Document-metadata extraction (engine/pdf.pdf_info — trailer /Info
-    with a keyed-dict fallback): (id, pdf) → (id, title, producer,
-    creation_date), nulls where absent. One MapInArrow crossing."""
-    from htmld_spark.engine.pdf import pdf_info
+    """Document-metadata extraction (engine/pdf.pdf_info_ex — trailer
+    /Info with a keyed-dict fallback, one parse per doc): (id, pdf) →
+    (id, title, producer, creation_date, encrypted), nulls where absent.
+    Encrypted documents (standard security handler, §7.6) report
+    encrypted=true with null metadata — their Info strings are
+    ciphertext, and mojibake must not enter the corpus. One MapInArrow
+    crossing."""
+    from htmld_spark.engine.pdf import pdf_info_ex
 
     def info_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             names = batch.schema.names
             id_arr = batch.column(names.index(id_col))
             raws = batch.column(names.index(data_col)).to_pylist()
-            infos = [pdf_info(r or b"") for r in raws]
+            pairs = [pdf_info_ex(r or b"") for r in raws]
+            infos = [p[0] for p in pairs]
             yield pa.RecordBatch.from_arrays(
                 [
                     id_arr,
@@ -522,8 +528,9 @@ def pdf_info_df(df, id_col: str = "pdf_id", data_col: str = "pdf"):
                     pa.array(
                         [x.get("CreationDate") for x in infos], pa.string()
                     ),
+                    pa.array([p[1] for p in pairs], pa.bool_()),
                 ],
-                names=[id_col, "title", "producer", "creation_date"],
+                names=[id_col, "title", "producer", "creation_date", "encrypted"],
             )
 
     return df.mapInArrow(info_batches, PDF_INFO_SCHEMA)
