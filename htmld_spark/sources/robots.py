@@ -139,31 +139,54 @@ def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
 
 def url_path(url: str) -> str:
     """Path (+ '?' query) component of a crawled url, per the RFC's
-    matching domain; '' → '/'."""
-    rest = url.split("://", 1)[-1]
+    matching domain; '' → '/'. A url with a query but no path slash
+    ('https://h.example?q=x') matches as '/?q=x' — dropping the query
+    would evaluate the wrong rule (ADVICE r06)."""
+    rest = url.split("://", 1)[-1].split("#", 1)[0]
     slash = rest.find("/")
+    q = rest.find("?")
+    if q != -1 and (slash == -1 or q < slash):
+        return "/" + rest[q:]
     if slash == -1:
         return "/"
-    return rest[slash:].split("#", 1)[0] or "/"
+    return rest[slash:] or "/"
 
 
 def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
     """Drop pages the ``agent`` may not fetch per their host's
     robots.txt. ``robots_df`` is (host string, robots binary); hosts
-    without a row are allowed. One join on the host key + one
-    mapInArrow verdict pass with a per-worker parse cache."""
+    without a row are allowed.
+
+    Plan shape (ADVICE r06 + VERDICT r06 "What's wrong" #3): the verdict
+    crossing runs over a SLIM (url, host, robots) frame — the page html
+    binary never crosses the JVM↔Python Arrow boundary — and only pages
+    whose host HAS a robots row reach the crossing at all (inner join;
+    the RFC's absent-file default allows the rest without evaluating
+    them). Pages are then filtered by a LEFT ANTI join on the BLOCKED
+    urls — typically a small fraction of the corpus, so AQE broadcasts
+    that side. The blocked-url frame is lazily localCheckpointed: pages
+    feeds both the slim branch and the final anti-join (a plan diamond),
+    and the checkpoint pins the slim branch to one execution.
+
+    Intended input is a raw-scan pages frame (the retroactive-filter
+    use) — the slim branch then column-prunes to a url-only scan. An
+    EXPENSIVE computed upstream still executes twice (column pruning
+    defeats ReuseExchange — CLAUDE.md plan-diamond rule); localCheckpoint
+    such a frame before calling. NULL-url rows carry no verdict and PASS
+    THROUGH (a null key never matches the anti join)."""
     import pyarrow as pa
     from pyspark.sql import functions as F
 
     host = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit("")
     )
-    joined = pages.withColumn("_rb_host", host).join(
+    slim = pages.select(F.col(url_col)).withColumn("_rb_host", host)
+    joined = slim.join(
         robots_df.select(
             F.col("host").alias("_rb_host"), F.col("robots").alias("_rb_txt")
         ),
         "_rb_host",
-        "left",
+        "inner",
     )
 
     def verdicts(batches):
@@ -192,9 +215,10 @@ def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
             )
 
     schema = f"{url_col} string, _rb_keep boolean"
-    kept_urls = (
+    blocked_urls = (
         joined.mapInArrow(verdicts, schema)
-        .filter(F.col("_rb_keep"))
+        .filter(~F.col("_rb_keep"))
         .select(url_col)
+        .localCheckpoint(eager=False)
     )
-    return pages.join(kept_urls, url_col, "left_semi")
+    return pages.join(blocked_urls, url_col, "left_anti")

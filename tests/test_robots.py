@@ -84,13 +84,42 @@ def test_spark_filter_matches_fixture(spark):
     kept = {r.url for r in out.collect()}
     assert kept == {r["url"] for r in exp if r["allowed"]}
     # plan from an un-executed copy: a collected AQE plan's toString
-    # carries Final AND Initial sections, double-counting nodes
+    # carries Final AND Initial sections, double-counting nodes.
+    # r7 shape (ADVICE r06): the verdict MapInArrow lives BEHIND the lazy
+    # localCheckpoint of the blocked-url frame (Scan ExistingRDD), so the
+    # final plan is a pure anti-join — the html column never reaches the
+    # Arrow boundary and the slim branch executes exactly once.
     p = (
         robots_filter(pages, robots, agent="aibot")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    assert "LeftAnti" in p and "Scan ExistingRDD" in p
+    assert "MapInArrow" not in p and "BatchEvalPython" not in p
     # a permissive agent keeps the aibot-opted-out hosts
     lax = {r.url for r in robots_filter(pages, robots, agent="plainbot").collect()}
     assert all(u in lax for u in kept)
     assert any(".example/article/" in u for u in lax - kept)
+
+
+def test_url_path_query_without_slash_and_null_url(spark):
+    """ADVICE r06: a url with a query but no path slash matches as
+    '/?query' (not '/'), and NULL-url rows PASS THROUGH the filter
+    explicitly rather than being silently dropped by a null join key."""
+    from htmld_spark.sources.robots import robots_filter
+
+    assert url_path("https://h.example?q=x") == "/?q=x"
+    assert url_path("https://h.example?q=x#frag") == "/?q=x"
+    assert url_path("https://h.example#frag") == "/"
+    # Disallow: /?q= must now block the slashless-query url
+    rules = rules_for_agent(parse_robots(b"User-agent: *\nDisallow: /?q="), "bot")
+    assert not robots_allowed(rules, url_path("https://h.example?q=x"))
+    pages = spark.createDataFrame(
+        [("https://blocked.example?q=x",), ("https://blocked.example/ok",), (None,)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("blocked.example", b"User-agent: *\nDisallow: /?q=")],
+        "host string, robots binary",
+    )
+    kept = {r.url for r in robots_filter(pages, robots).collect()}
+    assert kept == {"https://blocked.example/ok", None}
