@@ -1,0 +1,88 @@
+"""Crawl on-ramp end-to-end (VERDICT r06 #5): WARC archives → robots
+consent filter → curate(), composed exactly as the README quickstart
+wires them. Asserts BOTH the values (by-construction blocked set) and
+the composed plan shape: ONE extraction MapInArrow, every other Python
+crossing (WARC parse, robots verdicts) checkpoint-hidden, no
+BatchEvalPython, no reintroduced diamond."""
+
+import pytest
+from pyspark.sql import SparkSession
+
+from fixtures.gen_warc import ensure_warc
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+
+
+ROBOTS_ROWS = [
+    # blanket opt-out: every crawl3.example page blocked
+    ("crawl3.example", b"User-agent: *\nDisallow: /"),
+    # agent-specific with an Allow exception: /page/5* survives for aibot
+    # (longest-match: 'Allow: /page/5' len 7 beats 'Disallow: /page/' len 6)
+    ("crawl5.example", b"User-agent: aibot\nDisallow: /page/\nAllow: /page/5"),
+    # a different agent's group: no rules select for aibot -> allowed
+    ("crawl7.example", b"User-agent: otherbot\nDisallow: /"),
+]
+
+
+def _expected_blocked(urls):
+    blocked = set()
+    for u in urls:
+        host = u.split("://", 1)[-1].split("/", 1)[0]
+        path = "/" + u.split("://", 1)[-1].split("/", 1)[-1]
+        if host == "crawl3.example":
+            blocked.add(u)
+        elif host == "crawl5.example" and path.startswith("/page/") and not path.startswith("/page/5"):
+            blocked.add(u)
+    return blocked
+
+
+def test_warc_robots_curate_composition(spark):
+    from htmld_spark.pipeline.curate import curate
+    from htmld_spark.sources.robots import robots_filter
+    from htmld_spark.sources.warc import warc_pages_df
+
+    arch_dir, _exp = ensure_warc()
+    # the on-ramp recipe: WARC parse is an EXPENSIVE upstream feeding the
+    # robots diamond (slim branch + anti-join), so checkpoint it once —
+    # the robots_filter docstring's contract for computed frames
+    pages = warc_pages_df(spark, arch_dir).localCheckpoint(eager=False)
+    robots = spark.createDataFrame(ROBOTS_ROWS, "host string, robots binary")
+    clean = robots_filter(pages, robots, agent="aibot")
+
+    all_urls = {r.url for r in pages.select("url").collect()}
+    blocked = _expected_blocked(all_urls)
+    assert len(blocked) >= 10  # the fixture really exercises both rules
+    kept = {r.url for r in clean.select("url").collect()}
+    assert kept == all_urls - blocked
+
+    cur = curate(clean, min_tokens=3, max_per_host=500)
+    rows = cur.collect()
+    urls = {r.url for r in rows}
+    assert urls and urls <= kept
+    assert not urls & blocked
+    # byte-identity spot check: curated text == engine main_text(html)
+    from htmld_spark.engine import main_text, parse_document
+
+    html_of = {r.url: bytes(r.html) for r in pages.collect()}
+    for r in rows[:10]:
+        assert r.text == main_text(parse_document(html_of[r.url])).decode("utf-8")
+
+    # composed plan: exactly ONE MapInArrow (the extraction crossing) —
+    # the WARC parse and robots verdict crossings sit behind lazy
+    # localCheckpoints (Scan ExistingRDD), so no upstream re-runs
+    plan = (
+        curate(clean, min_tokens=3, max_per_host=500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInArrow") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpoint-hidden on-ramp
