@@ -248,7 +248,10 @@ def run_headline(master: str) -> dict:
     import re as _re2
 
     extra_plan_shapes = {}
-    for name in ("dsir_select", "host_term_divergence", "lm_perplexity"):
+    for name in (
+        "dsir_select", "host_term_divergence", "lm_perplexity",
+        "semdedup_keep",
+    ):
         plan_str = (
             qs[name](spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString()
@@ -258,9 +261,20 @@ def run_headline(master: str) -> dict:
             "generates": len(_re2.findall(r"Generate ", plan_str)),
             "checkpoint_scans": len(_re2.findall(r"Scan ExistingRDD", plan_str)),
             "reused_exchanges": len(_re2.findall(r"ReusedExchange", plan_str)),
+            "map_in_arrows": len(_re2.findall(r"MapInArrow", plan_str)),
         }
     assert extra_plan_shapes["host_term_divergence"]["parquet_scans"] == 0, (
         "host_term_divergence: tokenize diamond reintroduced"
+    )
+    # VERDICT r06 #8: semdedup's checkpoint diamond is the likeliest
+    # future regression (3 consumers of the Arrow assignment pass) — the
+    # final plan must read the checkpointed assignment only: zero parquet
+    # scans, zero visible MapInArrow re-runs
+    assert extra_plan_shapes["semdedup_keep"]["parquet_scans"] == 0, (
+        "semdedup_keep: assignment diamond reintroduced (parquet re-scan)"
+    )
+    assert extra_plan_shapes["semdedup_keep"]["map_in_arrows"] == 0, (
+        "semdedup_keep: assignment MapInArrow re-runs above the checkpoint"
     )
 
     total = round(sum(timings.values()), 3)

@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "16"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "17"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -311,9 +311,14 @@ def golden_temperature_sample(
     per-language rates min(1, S·q_l/n_l) with q_l ∝ (n_l/N)^α computed
     in sorted-language order (bit-identical float sequence to the Spark
     driver's temperature_rates), then the same xxh64 keep-hash as
-    golden_stratified_sample."""
+    golden_stratified_sample. NULL strata mirror the Spark side's
+    collect-side filter (text.temperature_sample drops None langs from
+    the count collect → default_rate=0.0 drops the rows): skip them here
+    too, or a None key would crash the sorted() rate derivation."""
     counts: dict[str, int] = {}
     for _, lang in rows:
+        if lang is None:  # mirror temperature_sample's None-strata drop
+            continue
         counts[lang] = counts.get(lang, 0) + 1
     total = sum(counts.values())
     qs = {l: (counts[l] / total) ** alpha for l in sorted(counts)}
@@ -474,13 +479,17 @@ def golden_semdedup(
     n_iter: int = 20,
     sample_mod: int = 2,
     sample_limit: int = 100_000,
+    max_cell_size: int | None = None,
 ) -> list[tuple[int, int]]:
     """Replays similarity.semdedup_keep: the pinned Lloyd fit over the
     hash-threshold sample (identical spec to golden_ann_ivf), full-table
     assignment, then the keep-lowest-id one-shot rule — vec j dropped
     iff ANY i < j in its cluster has half-up-round(cos, 6) ≥ tau, cosine
     via the float32-cast left-fold (Spark's array<float> → double cast +
-    aggregate fold order). Returns kept (vec_id, cell) sorted by id."""
+    aggregate fold order). ``max_cell_size`` replays the hot-cluster cap
+    (VERDICT r06 #6, the L27 max_bucket_size rule): cells larger than
+    the cap skip the within-cell pairwise pass entirely — every member
+    kept. Returns kept (vec_id, cell) sorted by id."""
     import math
 
     import numpy as np
@@ -532,6 +541,9 @@ def golden_semdedup(
     dropped: set[int] = set()
     kept: list[tuple[int, int]] = []
     for c, members in by_cell.items():
+        if max_cell_size is not None and len(members) > max_cell_size:
+            kept.extend((vec_ids[i], c) for i in members)  # hot cell: all kept
+            continue
         ms = sorted(members, key=lambda i: vec_ids[i])
         casted = {
             i: [float(np.float64(np.float32(x))) for x in embeddings[i]]
@@ -721,6 +733,22 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "semdedup_keep.parquet"),
+    )
+    # hot-cluster-capped mode (VERDICT r06 #6): cap 35 really excludes
+    # cells at sf0.01 (4 of 16), so the capped contract is not vacuous
+    sdc = golden_semdedup(
+        et.column("vec_id").to_pylist(),
+        et.column("embedding").to_pylist(),
+        max_cell_size=35,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in sdc], pa.int64()),
+                "ivf_cell": pa.array([r[1] for r in sdc], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "semdedup_keep_capped.parquet"),
     )
 
     np_pairs = golden_lsh_near_pairs(

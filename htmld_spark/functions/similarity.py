@@ -567,6 +567,7 @@ def semdedup_keep(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): k-means cluster the
@@ -595,7 +596,15 @@ def semdedup_keep(
     localCheckpointed (the plan-diamond rule; without it the assignment
     and its upstream scan re-run per consumer). The self-join shuffles
     on the cell key; the anti-join is on the id key (AQE broadcasts the
-    dropped-id side — duplicates are a small fraction of the corpus)."""
+    dropped-id side — duplicates are a small fraction of the corpus).
+
+    ``max_cell_size`` (VERDICT r06 #6 — the L27 ``max_bucket_size`` rule
+    verbatim): one degenerate cell (mod collisions, near-constant
+    embeddings) otherwise turns the within-cell self-join quadratic in
+    CORPUS size. Cells above the cap are excluded from the pairwise pass
+    via a broadcast anti-join on the (tiny) hot-cell list — their
+    members are all KEPT (no dedup within), the same fail-open stance as
+    L27. The golden replica applies the identical rule."""
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     assigned, _cents = ivf_build_sampled(
@@ -605,7 +614,16 @@ def semdedup_keep(
     slim = assigned.select(
         F.col(id_col), F.col("ivf_cell"), F.col(vec_col)
     ).localCheckpoint(eager=False)
-    a, b = slim.alias("a"), slim.alias("b")
+    dedupable = slim
+    if max_cell_size is not None:
+        hot = (
+            slim.groupBy("ivf_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell_size)
+            .select("ivf_cell")
+        )
+        dedupable = slim.join(F.broadcast(hot), "ivf_cell", "left_anti")
+    a, b = dedupable.alias("a"), dedupable.alias("b")
     va = F.col(f"a.{vec_col}").cast("array<double>")
     vb = F.col(f"b.{vec_col}").cast("array<double>")
     dropped = (

@@ -2008,6 +2008,39 @@ def test_semdedup_keep_properties(spark):
         semdedup_keep(df, tau=0.0)
 
 
+def test_semdedup_hot_cluster_cap_bounded(spark):
+    """VERDICT r06 #6: ALL vectors landing in one cell (near-constant
+    embeddings — the quadratic blow-up case) must complete in bounded
+    time with the cap, keeping every member of the hot cell; cells at or
+    under the cap still dedup normally."""
+    import time
+
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    # 3000 near-identical vectors: every pair is cos≈1, one cell —
+    # uncapped this is a 4.5M-pair self-join; capped it skips entirely
+    rows = [(i, [100.0 + (i % 7) * 1e-4, 1.0, 2.0, 3.0]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    kept = semdedup_keep(
+        df, n_cells=4, tau=0.99, sample_mod=1, max_cell_size=100
+    ).collect()
+    took = time.monotonic() - t0
+    assert len(kept) == 3000  # hot cell: fail-open, all members kept
+    assert took < 120, f"hot-cell path not bounded: {took:.1f}s"
+    # a mixed frame: the small orthogonal cell still dedups under the cap
+    mixed = rows[:50] + [(9000, [0.0, 50.0, 0.0, 0.0]), (9001, [0.0, 50.0, 0.0, 1e-3])]
+    mdf = spark.createDataFrame(mixed, "vec_id long, embedding array<float>")
+    mk = {
+        r.vec_id
+        for r in semdedup_keep(
+            mdf, n_cells=2, tau=0.99, sample_mod=1, max_cell_size=40
+        ).collect()
+    }
+    assert set(range(50)) <= mk  # 50 > 40: hot, all kept
+    assert 9000 in mk and 9001 not in mk  # 2 ≤ 40: deduped to lowest id
+
+
 def test_epoch_shuffle_properties(spark):
     """L58: covers every row exactly once; pos is a 1..k ranking within
     each shard; repartition-invariant; a different seed yields a
