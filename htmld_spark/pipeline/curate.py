@@ -60,6 +60,8 @@ def curate(
     dsir_n_buckets: int | None = None,
     dsir_temperature: float = 1.0,
     dsir_target_text_col: str = "text",
+    temperature_alpha: float | None = None,
+    temperature_frac: float | None = None,
     source: str = "html",
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
@@ -86,6 +88,18 @@ def curate(
     mixture tables) via ``stratified_sample`` on pred_lang — a row-local
     content-stable hash filter AFTER dedup/quota so weights act on the
     curated distribution, decorrelated from the train/val/test split.
+
+    ``temperature_alpha`` + ``temperature_frac`` (VERDICT r06 #7) are
+    the AUTOMATED version of ``mixture``: XLM-R temperature rebalancing
+    (``functions/text.temperature_sample``, q_l ∝ p_l^α) derives the
+    per-language rates from the curated distribution itself instead of a
+    hand-written table. Same slot as mixture (after dedup/quota, before
+    the split), mutually exclusive with it. The rate derivation needs
+    one bounded per-language count collect, so the quota frame is lazily
+    localCheckpointed first — the collect materializes it once and the
+    final plan's keep filter is a row-local hash predicate reading the
+    checkpoint (no second extraction run, no new shuffle in the output
+    plan). Both parameters must be given together.
 
     ``lm_ref`` + ``max_bigram_ppl`` apply the CCNet-style LANGUAGE-MODEL
     gate (``functions/text.lm_perplexity``): an add-1 bigram LM is
@@ -138,6 +152,18 @@ def curate(
         raise ValueError(
             "dsir_target and dsir_take must be given together (importance"
             " resampling needs both a target corpus and a sample size)"
+        )
+    if (temperature_alpha is None) != (temperature_frac is None):
+        raise ValueError(
+            "temperature_alpha and temperature_frac must be given together"
+            " (temperature rebalancing needs both the exponent and the"
+            " target fraction)"
+        )
+    if temperature_alpha is not None and mixture:
+        raise ValueError(
+            "mixture and temperature_alpha are mutually exclusive — both"
+            " set per-language keep rates (temperature derives them, "
+            "mixture hand-specifies them)"
         )
     if source not in ("html", "pdf"):
         raise ValueError(f"source must be 'html' or 'pdf', got {source!r}")
@@ -274,6 +300,19 @@ def curate(
 
         quota = stratified_sample(
             quota, rates=mixture, stratum_col="pred_lang", key_col="url"
+        )
+    if temperature_alpha is not None:
+        from htmld_spark.functions.text import temperature_sample
+
+        # the rate derivation COLLECTS per-language counts (bounded:
+        # #languages rows) — an action over the quota frame, which the
+        # final plan consumes again. Checkpoint so the extraction chain
+        # materializes once; the keep filter itself is row-local.
+        quota = quota.localCheckpoint(eager=False)
+        quota = temperature_sample(
+            quota, stratum_col="pred_lang", key_col="url",
+            alpha=float(temperature_alpha),
+            sample_frac=float(temperature_frac),
         )
     split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)
     return split.select(

@@ -69,6 +69,53 @@ def test_curate_mixture_weights(spark):
     base.unpersist(); mixed.unpersist()
 
 
+def test_curate_temperature_sampling(spark):
+    """VERDICT r06 #7: temperature_alpha + temperature_frac compose
+    XLM-R temperature rebalancing (L56) into curate() in the mixture
+    slot — rates DERIVED from the curated distribution, not hand-given.
+    The result equals temperature_sample applied to the base curate
+    output (the keep-hash is content-stable and the rates see the same
+    pred_lang counts); the plan keeps one MapInArrow; half-given params
+    and mixture+temperature together both raise."""
+    from htmld_spark.functions.text import temperature_sample
+
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    base = curate(pages, min_tokens=3, max_per_host=200).cache()
+    temp = curate(
+        pages, min_tokens=3, max_per_host=200,
+        temperature_alpha=0.3, temperature_frac=0.5,
+    ).cache()
+    # strict subset, meaningfully smaller at frac=0.5
+    assert temp.exceptAll(base).count() == 0
+    n_base, n_temp = base.count(), temp.count()
+    assert 0 < n_temp < n_base
+    # equivalence: same rows as L56 applied to the base curate output
+    replay = temperature_sample(
+        base, stratum_col="pred_lang", key_col="url",
+        alpha=0.3, sample_frac=0.5,
+    )
+    assert temp.exceptAll(replay).count() == 0
+    assert replay.exceptAll(temp).count() == 0
+    # flatter than the base distribution: the dominant language's share
+    # must not grow (q_l ∝ p_l^α with α<1 shrinks the head's rate first)
+    bc = dict(base.groupBy("pred_lang").count().rdd.map(tuple).collect())
+    tc = dict(temp.groupBy("pred_lang").count().rdd.map(tuple).collect())
+    top = max(bc, key=lambda l: bc[l])
+    assert tc.get(top, 0) / n_temp <= bc[top] / n_base + 1e-9
+    p = temp._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInArrow") <= 1 and "BatchEvalPython" not in p
+    with pytest.raises(ValueError):
+        curate(pages, temperature_alpha=0.3)
+    with pytest.raises(ValueError):
+        curate(pages, temperature_frac=0.5)
+    with pytest.raises(ValueError):
+        curate(
+            pages, mixture={"en": 1.0},
+            temperature_alpha=0.3, temperature_frac=0.5,
+        )
+    base.unpersist(); temp.unpersist()
+
+
 def test_curate_quality_score_gate(spark):
     """min_quality_score= tightens the corpus monotonically (strict
     subset as the threshold rises) and keeps the one-MapInArrow plan (the
