@@ -1179,6 +1179,19 @@ def _q_semdedup_keep(spark, sf_dir):
     return semdedup_keep(emb, tau=0.3, sample_mod=2)
 
 
+def _q_semdedup_keep_capped(spark, sf_dir):
+    """L57b SemDeDup with the hot-cluster cap (VERDICT r06 #6 — the L27
+    max_bucket_size rule): cells above ``max_cell_size`` are excluded
+    from the within-cell pairwise pass via a broadcast anti-join on the
+    hot-cell list, members all KEPT (fail-open, like L27). Cap 35
+    excludes 4 of 16 cells at sf0.01, so the oracle is not vacuous.
+    Golden: the replica replays the identical rule."""
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_keep(emb, tau=0.3, sample_mod=2, max_cell_size=35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
@@ -1187,34 +1200,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r6 window: the 9 new entries
-    (X8 pdf_extract + pdf_metadata, R17 warc_ingest, R18 robots_filter,
-    L54–L58), then the 3 whose plans/behavior changed
-    this round
-    (host_term_divergence: checkpointed single token pass +
-    try_parse_url; lm_perplexity: single ref scan; dsir_select: Lehmer
-    id pre-reduction), then the FULL 29-entry r5 tail rotated back in
-    (VERDICT r05 #3: stream_window_counts .. ngram_repetition, last
-    driver rows r4), then the r5-new six, the r5 behavior trio, and the
-    flagship goldens up to the 50 cutoff. Every rotated-out entry is
-    driver-green in r5, unchanged, and re-verified locally via
+    not hand-maintain the number here). r7 window: the 9 new/changed
+    entries first (semdedup_keep_capped NEW; semdedup_keep cap param;
+    warc_ingest chunked/gzip body decode; robots_filter slim-frame +
+    url_path; pdf_extract/pdf_metadata /Encrypt; temperature_sample
+    replica None-lang; host_top_terms + pages_host_counts try_parse_url
+    sweep), then 5 r6-new fill (one round old), then the FULL r6
+    rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
+    sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
+    exactly 50 at the cutoff. Every r7 rotated-out entry
+    (dsir_select .. extract_main_text) is driver-green in r6
+    (CORRECTNESS_r06), unchanged, and re-verified locally via
     check_contract each round. Keep this note current."""
     return {
-        # --- r6: never-driver-verified (new operators) ---
-        "pdf_extract": _q_pdf_extract,  # X8 PDF leg, golden (fixture text)
-        "pdf_metadata": _q_pdf_metadata,  # X8b Info dict, golden
+        # --- r7: new / behavior-changed this round ---
+        "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
+        "semdedup_keep": _q_semdedup_keep,  # L57 fn grew the cap param (r7)
+        "warc_ingest": _q_warc_ingest,  # R17 chunked/gzip body decode (r7)
+        "robots_filter": _q_robots_filter,  # R18 slim frame + url_path fix (r7)
+        "pdf_extract": _q_pdf_extract,  # X8 /Encrypt detection (r7)
+        "pdf_metadata": _q_pdf_metadata,  # X8b pdf_encrypted flag (r7)
+        "temperature_sample": _q_temperature_sample,  # L56 replica None-lang fix (r7)
+        "host_top_terms": _q_host_top_terms,  # L36 try_parse_url sweep (r7)
+        "pages_host_counts": _q_pages_host_counts,  # try_parse_url sweep (r7)
+        # --- r6-new fill (driver rows r6, one round old) ---
         "epoch_shuffle": _q_epoch_shuffle,  # L58 golden (xxh64)
-        "warc_ingest": _q_warc_ingest,  # R17 golden (fixture rows)
-        "robots_filter": _q_robots_filter,  # R18 golden (by-construction)
         "paragraph_dedup_keep": _q_paragraph_dedup_keep,  # L54 Dolma
         "tf_idf_top_terms": _q_tf_idf_top_terms,  # L55
-        "temperature_sample": _q_temperature_sample,  # L56 golden (xxh64)
-        "semdedup_keep": _q_semdedup_keep,  # L57 golden (replayed fit)
-        # --- plans/behavior changed in r6 → stay in the driver window ---
         "host_term_divergence": _q_host_term_divergence,  # L53 host KL
         "lm_perplexity": _q_lm_perplexity,  # L48 CCNet-style LM filter
+        # --- r6 rotated-out tail back in (VERDICT r06 #3/#4; last driver
+        # rows r5; all 38 re-verified locally in r6 by the judge) ---
+        "pack_shards": _q_pack_shards,  # single-execution partitioning
+        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
+        "select_counts": _q_select_counts,  # golden (sel_* battery)
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
+        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
+        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
+        "embed_cosine_topk": _q_embed_cosine_topk,
+        "embed_batch_topk": _q_embed_batch_topk,
+        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
+        "decontaminate": _q_decontaminate,
+        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
+        "text_token_stats": _q_text_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "gopher_rules": _q_gopher_rules,
+        "hash_split": _q_hash_split,
+        "spans_tag_histogram": _q_spans_tag_histogram,  # golden (tc_*)
+        "select_extract": _q_select_extract,  # golden (se_*)
+        "outer_html_main": _q_outer_html_main,  # golden (main_outer_html)
+        "pages_dedup_latest": _q_pages_dedup_latest,
+        "q1_pricing": _q_q1_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_customers": _q_top_customers,
+        "window_running_qty": _q_window_running_qty,
+        "customers_without_orders": _q_customers_without_orders,
+        "rollup_docs": _q_rollup_docs,
+        "cube_events": _q_cube_events,
+        "json_props": _q_json_props,
+        "events_daily": _q_events_daily,
+        "sessionize": _q_sessionize,
+        # ---------------- 50-entry driver cutoff lands here ----------------
+        # r7 rotated-out tail: driver-green in r6 (CORRECTNESS_r06),
+        # unchanged; locally re-verified via tools/check_contract.py
         "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
-        # --- r5 tail rotated back in (VERDICT r05 #3; last driver rows r4) ---
         "stream_window_counts": _q_stream_window_counts,
         "stream_session_counts": _q_stream_session_counts,  # R16 session windows
         "asof_join_events": _q_asof_join_events,
@@ -1246,58 +1302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": _q_host_quota,  # two-phase + salted pre-prune
         "boilerplate_line_removal": _q_boilerplate_line_removal,
         "ngram_repetition": _q_ngram_repetition,  # hash-gram 1-pass
-        # --- window fill: r5-new six (driver rows r5) ---
         "substring_dedup_hashed": _q_substring_dedup_hashed,
         "dedup_simhash_wide": _q_dedup_simhash_wide,  # golden (Manku keys)
         "dedup_minhash_keep_star": _q_dedup_minhash_keep_star,  # golden
         "dsir_importance": _q_dsir_importance,  # L49 DSIR weights
         "dedup_lines_within_doc": _q_dedup_lines_within_doc,  # L50
         "c4_line_rules": _q_c4_line_rules,  # L51
-        # --- window fill: r5 behavior trio + flagship goldens ---
         "substring_dedup": _q_substring_dedup,  # linear-gap reassembly
         "chunk_documents": _q_chunk_documents,  # blank-doc n_tokens=0
         "extract_main_text": _q_extract_main_text,
-        # ---------------- 50-entry driver cutoff lands here ----------------
-        "pack_shards": _q_pack_shards,  # single-execution partitioning
-        "extract_metrics_by_lang": _q_extract_metrics_by_lang,
-        "select_counts": _q_select_counts,  # golden (sel_* battery)
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # golden (pure-py xxh64)
-        "dedup_simhash": _q_dedup_simhash,  # golden (pure-py xxh64)
-        # r6 rotated-out tail: driver-green in r5, unchanged; locally
-        # re-verified via tools/check_contract.py each round
-        "spans_array_ops": _q_spans_array_ops,  # golden (sel_all/tc_p)
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
-        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        "dedup_minhash_keep": _q_dedup_minhash_keep,  # golden (union-find)
-        "embed_cosine_topk": _q_embed_cosine_topk,
-        "embed_batch_topk": _q_embed_batch_topk,
-        "embed_ann_lsh": _q_embed_ann_lsh,  # golden (replayed planes)
-        "host_top_terms": _q_host_top_terms,
-        "decontaminate": _q_decontaminate,
-        "embed_ann_ivf": _q_embed_ann_ivf,  # golden (replayed Lloyd fit)
-        "text_token_stats": _q_text_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "gopher_rules": _q_gopher_rules,
-        "hash_split": _q_hash_split,
-        "spans_tag_histogram": _q_spans_tag_histogram,  # golden (tc_*)
-        "select_extract": _q_select_extract,  # golden (se_*)
-        "outer_html_main": _q_outer_html_main,  # golden (main_outer_html)
-        "pages_dedup_latest": _q_pages_dedup_latest,
-        "pages_host_counts": _q_pages_host_counts,
-        "q1_pricing": _q_q1_pricing,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_customers": _q_top_customers,
-        "window_running_qty": _q_window_running_qty,
-        "customers_without_orders": _q_customers_without_orders,
-        "rollup_docs": _q_rollup_docs,
-        "cube_events": _q_cube_events,
-        "json_props": _q_json_props,
-        "events_daily": _q_events_daily,
-        "sessionize": _q_sessionize,
     }
 
 
@@ -2189,6 +2202,13 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keep": (
             f"SELECT vec_id, ivf_cell FROM "
             f"read_parquet('{os.path.join(gold, 'semdedup_keep.parquet')}')"
+        ),
+        # L57b hot-cluster-capped mode (VERDICT r06 #6): cells above the
+        # cap skip the pairwise pass, members all kept — replica applies
+        # the identical rule (cap 35 excludes 4/16 cells at sf0.01)
+        "semdedup_keep_capped": (
+            f"SELECT vec_id, ivf_cell FROM "
+            f"read_parquet('{os.path.join(gold, 'semdedup_keep_capped.parquet')}')"
         ),
         # L58 epoch shuffle: chained-seed shard + order replayed by the
         # pure-Python replica
