@@ -14,7 +14,10 @@ varied spec mechanisms the extractor must normalize away:
   two-segment lines via an x-only ``Td`` (word gap, same line);
 - escapes: ``\\( \\) \\\\``, an octal-escaped char, Latin-1 bytes;
 - line motion: ``0 -14 Td`` vs ``T*`` (with ``14 TL``);
-- stream encoding: raw, FlateDecode (zlib), ASCIIHexDecode;
+- stream encoding: raw, FlateDecode (zlib), ASCIIHexDecode,
+  ASCII85Decode (stdlib base64.a85encode — independent of the engine's
+  decoder), and the chained ``[/ASCII85Decode /FlateDecode]`` form
+  common in crawled PDFs;
 - file structure: 1–3 pages; a correct xref table, or a deliberately
   GARBAGE xref (the extractor is xref-free), or junk bytes prepended
   before %PDF (both appear constantly in crawled PDFs); ~1/3 of rows
@@ -34,6 +37,7 @@ composable expectation.
 
 from __future__ import annotations
 
+import base64
 import os
 import random
 import sys
@@ -45,7 +49,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "pdfs")
-PDF_FIXTURE_VERSION = "6"
+PDF_FIXTURE_VERSION = "7"
 N_ROWS = 120
 
 _WORDS = (
@@ -254,7 +258,7 @@ def _make_pdf(
         )
         if use_form:
             raw = b"/XH Do\n" + raw
-        enc = rng.randrange(3)
+        enc = rng.randrange(5)
         if encrypt:
             # stored data = Encrypt(Deflate(content)) per the spec's
             # filter-then-encrypt order: ciphertext that is NOT valid flate
@@ -264,8 +268,16 @@ def _make_pdf(
             body, filt = raw, b""
         elif enc == 1:
             body, filt = zlib.compress(raw, 6), b" /Filter /FlateDecode"
-        else:
+        elif enc == 2:
             body, filt = raw.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
+        elif enc == 3:
+            # stdlib a85 encoder — independent of engine/pdf._a85_decode
+            body = base64.a85encode(raw) + b"~>"
+            filt = b" /Filter /ASCII85Decode"
+        else:
+            # the chained form crawled PDFs actually use: flate then a85
+            body = base64.a85encode(zlib.compress(raw, 6)) + b"~>"
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
         stream_objs.append(
             (
                 content_num,

@@ -26,7 +26,9 @@ forgiving-parser stance dom.py takes for tag soup, applied to PDF:
   FlateDecode decompresses via zlib with a partial-output salvage path
   (``decompressobj`` keeps whatever decoded before a corrupt tail);
   LZWDecode (EarlyChange, prefix-salvaging, bomb-capped),
-  RunLengthDecode and ASCIIHexDecode are supported; unknown filters
+  RunLengthDecode, ASCIIHexDecode and ASCII85Decode (z-shorthand,
+  partial-group salvage) are supported, including filter chains like
+  ``[/ASCII85Decode /FlateDecode]``; unknown filters
   (DCTDecode etc. — image data) skip the stream.
 - text: inside BT…ET, ``Tj``/``'``/``"`` and ``TJ`` emit; ``Td``/``TD``
   with a y-translation, ``T*`` and a ``Tm`` whose y changes start a new
@@ -522,6 +524,43 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): 5 chars in ``!``..``u`` are base-85 digits
+    of a 32-bit big-endian group; ``z`` is shorthand for four zero bytes
+    (only between groups); ``~>`` is EOD; whitespace is ignored. A final
+    partial group of n chars (2–4) is padded with ``u`` and yields n−1
+    bytes. Forgiving: an out-of-range char or a lone trailing digit ends
+    the decode with the prefix salvaged — never raises. Output is ≤ 4/5
+    of input plus z-expansion bounded by input length, so no bomb cap is
+    needed (each ``z`` costs one input byte for four output bytes)."""
+    out = bytearray()
+    group = []
+    for c in data:
+        if c in (0x20, 0x09, 0x0A, 0x0D, 0x0C, 0x00):  # PDF whitespace
+            continue
+        if c == 0x7E:  # '~' — EOD marker (the '>' after it is ignored)
+            break
+        if c == 0x7A and not group:  # 'z' between groups
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:  # out of range: salvage the prefix
+            break
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += (v & 0xFFFFFFFF).to_bytes(4, "big")
+            group = []
+    if len(group) >= 2:  # partial final group: pad with 'u' (84)
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += (v & 0xFFFFFFFF).to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
     if raw is None:
         return None
@@ -543,6 +582,10 @@ def _decode_stream(d: dict, raw: bytes | None) -> bytes | None:
                 data = bytes.fromhex(hx.decode("ascii"))
             except ValueError:
                 return None
+        elif filt in ("ASCII85Decode", "A85"):
+            if data[:2] == b"<~":  # optional Adobe-style lead-in
+                data = data[2:]
+            data = _a85_decode(data)
         elif filt in ("LZWDecode", "LZW"):
             data = _lzw_decode(data)
         elif filt in ("RunLengthDecode", "RL"):

@@ -407,6 +407,49 @@ def test_lzw_and_rle_filters():
     assert extract_pdf_text(_pdf(objs)) == "rle aaaaaa"
 
 
+def test_ascii85_filter_and_chain():
+    """ASCII85Decode (§7.4.3): plain, z-shorthand, Adobe <~ lead-in,
+    whitespace interleave, and the [/ASCII85Decode /FlateDecode] chain
+    crawled PDFs actually use. The encoder is stdlib base64.a85encode —
+    independent of engine/pdf._a85_decode."""
+    import base64
+    import zlib
+
+    from htmld_spark.engine.pdf import _a85_decode
+
+    content = b"BT (a85 text \x00\x00\x00\x00 here) Tj ET"
+    a85 = base64.a85encode(content) + b"~>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d /Filter /ASCII85Decode >>\nstream\n%s\nendstream"
+        % (len(a85), a85),
+    ]
+    assert extract_pdf_text(_pdf(objs)) == "a85 text \x00\x00\x00\x00 here"
+    chained = base64.a85encode(zlib.compress(content)) + b"~>"
+    objs[3] = (
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>"
+        b"\nstream\n%s\nendstream" % (len(chained), chained)
+    )
+    assert extract_pdf_text(_pdf(objs)) == "a85 text \x00\x00\x00\x00 here"
+    # decoder unit contract vs the stdlib round-trip
+    for payload in (b"", b"x", b"ab", b"abc", b"abcd", b"abcde",
+                    b"\x00" * 17, bytes(range(256))):
+        assert _a85_decode(base64.a85encode(payload) + b"~>") == payload
+        assert _a85_decode(base64.a85encode(payload)) == payload  # no EOD
+    # Adobe lead-in is stripped at the dispatch layer; whitespace ignored
+    spaced = b" ".join(bytes([c]) for c in base64.a85encode(b"sure."))
+    assert _a85_decode(spaced + b"\n~>") == b"sure."
+    # forgiveness: out-of-range char and lone trailing digit salvage
+    assert _a85_decode(base64.a85encode(b"sure.") + b"\xff\xffjunk") in (
+        b"sure.", b"sure",
+    )
+    ok = base64.a85encode(b"abcd")
+    assert _a85_decode(ok + b"F") == b"abcd"  # 1 leftover digit: dropped
+    assert _a85_decode(b"v" * 10) == b""  # all out of range: empty, no raise
+
+
 def test_form_xobject_do_splices_text():
     """A /Do of a Form XObject splices the form's lines (its own fonts);
     a self-referencing form must not loop."""
