@@ -1192,6 +1192,65 @@ def _q_semdedup_keep_capped(spark, sf_dir):
     return semdedup_keep(emb, tau=0.3, sample_mod=2, max_cell_size=35)
 
 
+def _q_extract_links(spark, sf_dir):
+    """X9 outlink extraction (engine/links.py — the crawl-frontier leg):
+    <a href>/<area href> in document order, first-<base href> rebasing,
+    markup-whitespace cleanup, entity-decoded values, RFC 3986
+    resolution with fragments stripped, non-http(s) schemes skipped.
+    ONE MapInArrow over the fixture pages; the explode to one row per
+    link happens JVM-side (posexplode). Golden oracle: the fixture's
+    COMPOSITION-FIRST expectation (each link picks its absolute target
+    first, then derives the embedded href form — the generator never
+    resolves a reference; fixtures/gen_links.py)."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    out = extract_links_df(pages)
+    return out.select(
+        "url", F.posexplode("links").alias("pos", "link_url")
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+def _q_host_link_graph(spark, sf_dir):
+    """L59a host-level link graph (crawl-frontier ordering input): page
+    outlinks collapse to (src_host, dst_host, n_links) IMMEDIATELY —
+    one explode + one map-side-combinable groupBy, so every downstream
+    iteration runs on the ~10^7-host projection instead of 10^12 pages.
+    Hosts via try_parse_url (malformed urls dropped, never raised).
+    Oracle: DuckDB regexp host extraction over the composition-first
+    expected links (independent of engine AND of Spark's url parser)."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.graph import host_link_graph
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    return host_link_graph(extract_links_df(pages)).withColumn(
+        "n_links", F.col("n_links").cast("long")
+    )
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """L59b fixed-point integer PageRank over the host graph (Page et
+    al. 1999): ranks are int64 micro-units, contributions are
+    rank div out_deg, update = base + (85·Σ) div 100 — every operation
+    exact int64 arithmetic, so the result is BIT-IDENTICAL under any
+    partitioning / executor count / aggregation order (float-sum
+    PageRank is not: double addition doesn't associate). 10 fixed
+    rounds; per-round localCheckpoint truncates the iterative lineage.
+    Golden oracle: fixtures/gen_links.replica_pagerank replays the
+    documented integer spec in pure Python over the composed links."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.graph import host_link_graph, pagerank_hosts
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    return pagerank_hosts(host_link_graph(extract_links_df(pages)), n_iter=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
@@ -1214,6 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     check_contract each round. Keep this note current."""
     return {
         # --- r7: new / behavior-changed this round ---
+        "extract_links": _q_extract_links,  # X9 outlinks (NEW r7)
+        "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
+        "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
         "semdedup_keep": _q_semdedup_keep,  # L57 fn grew the cap param (r7)
         "warc_ingest": _q_warc_ingest,  # R17 chunked/gzip body decode (r7)
@@ -1264,12 +1326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "rollup_docs": _q_rollup_docs,
         "cube_events": _q_cube_events,
-        "json_props": _q_json_props,
-        "events_daily": _q_events_daily,
-        "sessionize": _q_sessionize,
         # ---------------- 50-entry driver cutoff lands here ----------------
         # r7 rotated-out tail: driver-green in r6 (CORRECTNESS_r06),
         # unchanged; locally re-verified via tools/check_contract.py
+        "json_props": _q_json_props,
+        "events_daily": _q_events_daily,
+        "sessionize": _q_sessionize,
         "dsir_select": _q_dsir_select,  # L52 Gumbel top-k resampling
         "stream_window_counts": _q_stream_window_counts,
         "stream_session_counts": _q_stream_session_counts,  # R16 session windows
@@ -1334,6 +1396,9 @@ def oracle_sql() -> dict[str, str]:
     pdf_fx = ensure_pdfs()
     _warc_arch, warc_exp = ensure_warc()
     _robots_fx, robots_exp = ensure_robots()
+    from fixtures.gen_links import ensure_links
+
+    _links_pages, links_exp = ensure_links()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1365,6 +1430,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
         # X8 PDF leg: the fixture's independently composed text column IS
         # the byte-exact expectation (fixtures/gen_pdfs.py)
+        # X9 outlinks: composition-first fixture expectation (targets
+        # chosen first, href forms derived — gen_links.py never resolves)
+        "extract_links": (
+            f"SELECT url, pos, link_url FROM read_parquet('{links_exp}')"
+        ),
+        # L59a host edges: regexp host extraction over the composed
+        # links — independent of engine/links AND Spark's url parser
+        "host_link_graph": (
+            f"SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS src_host, "
+            f"regexp_extract(link_url, 'https?://([^/]+)', 1) AS dst_host, "
+            f"COUNT(*) AS n_links "
+            f"FROM read_parquet('{links_exp}') GROUP BY 1, 2"
+        ),
+        # L59b fixed-point PageRank: pure-python integer-spec replica
+        # (gen_links.replica_pagerank) over the composed links
+        "pagerank_hosts": (
+            f"SELECT host, rank_fp FROM read_parquet("
+            f"'{os.path.join(os.path.dirname(links_exp), 'pagerank_expected.parquet')}')"
+        ),
         "pdf_extract": (
             f"SELECT pdf_id, text, n_pages FROM read_parquet('{pdf_fx}')"
         ),

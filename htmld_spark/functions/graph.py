@@ -1,0 +1,133 @@
+"""Host-graph operators over extracted outlinks — the crawl-ordering leg
+of the frontier: which hosts matter, and how much (Page et al. 1999,
+"The PageRank citation ranking", the public algorithm).
+
+Design for 10^12 pages:
+
+- ``host_link_graph`` collapses page-level links to host-level edges
+  IMMEDIATELY (one explode + one map-side-combinable groupBy) — the
+  host graph is ~10^7 nodes where the page graph is 10^12, so every
+  downstream iteration runs on the small projection.
+- ``pagerank_hosts`` is FIXED-POINT integer PageRank: ranks are int64
+  micro-units (``scale`` total mass), per-edge contributions are
+  ``rank div out_degree`` (integer floor division), and the damped
+  update is ``base + (damping_pct * Σcontrib) div 100`` — every
+  operation is exact int64 arithmetic, so the result is bit-identical
+  under ANY partitioning, executor count, or aggregation order
+  (float-sum PageRank is not: double addition does not associate, and
+  a 1000-executor run would differ from the oracle in the low bits).
+  Remainder mass from the floor divisions and dangling-node mass are
+  DROPPED each round (documented; ranks need not sum to ``scale`` —
+  ordering, not probability, is the product). Each round is one join +
+  one groupBy-sum on the host-level edge list; per-round
+  ``localCheckpoint`` truncates the iterative lineage (the
+  connected_components rule — without it round k re-executes rounds
+  1..k-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def host_link_graph(
+    links_df: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+) -> DataFrame:
+    """(url, links array<string>) → host-level edge list
+    (src_host, dst_host, n_links), self-loops kept (a site linking to
+    itself is real signal for e.g. boilerplate nav detection; PageRank
+    drops them itself). Hosts via ``try_parse_url`` (malformed urls →
+    dropped, the crawl-robustness rule: plain parse_url RAISES on
+    unparseable urls in Spark 4)."""
+    src = F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    dst = F.try_parse_url(F.col("link_url"), F.lit("HOST"))
+    return (
+        links_df.select(
+            F.col(url_col), F.explode(F.col(links_col)).alias("link_url")
+        )
+        .select(src.alias("src_host"), dst.alias("dst_host"))
+        .filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Fixed-point integer PageRank over a host edge list → (host,
+    rank_fp int64), deterministic to the bit (see module docstring).
+
+    Spec (replicated verbatim by the fixture oracle):
+    - graph: DISTINCT (src, dst) edges with self-loops removed; nodes =
+      every host appearing on either side;
+    - init: every node starts at ``scale div N``;
+    - round: contrib(dst) = Σ_{(src,dst) ∈ E} rank(src) div out_deg(src);
+      rank'(node) = base + (damping_pct · contrib(node)) div 100 with
+      base = ((100 − damping_pct) · (scale div N)) div 100 and
+      contrib = 0 for nodes with no in-edges;
+    - ``n_iter`` fixed rounds (no convergence test — determinism over
+      adaptivity; host graphs stabilize in ~10 rounds and the caller
+      can raise it)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # re-joined every round: materialize once
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # bounded: #hosts, not #pages
+    if n == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    # out_deg is joined to ranks every round on the same key — attach it
+    # to the rank frame once so the per-round join is edges ⋈ ranks only
+    ranks = (
+        nodes.join(out_deg, nodes.host == out_deg.src, "left")
+        .select("host", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .withColumn("rank_fp", F.lit(init).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.host)
+            .select(
+                F.col("dst"),
+                F.expr("rank_fp div out_deg").alias("c"),  # exact int64
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.host == contrib.dst, "left")
+            .select(
+                "host",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()  # lineage truncation per round
+        )
+    return ranks.select("host", "rank_fp")

@@ -534,3 +534,67 @@ def pdf_info_df(df, id_col: str = "pdf_id", data_col: str = "pdf"):
             )
 
     return df.mapInArrow(info_batches, PDF_INFO_SCHEMA)
+
+
+LINKS_SCHEMA = (
+    "url string, warc_ts timestamp, links array<string>, n_links int, "
+    "parse_ok boolean"
+)
+
+
+def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """mapInArrow kernel for outlink extraction (engine/links.py): input
+    (url, html[, warc_ts]) → one links array per page in document order.
+    Same batching discipline as the HTML extraction kernel (byte-budget
+    slices so one batch of large pages can't blow worker memory)."""
+    from htmld_spark.engine import parse_document
+    from htmld_spark.engine.links import extract_links
+
+    def link_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            html_col = batch.column(names.index("html"))
+            ts_col = (
+                batch.column(names.index("warc_ts"))
+                if "warc_ts" in names
+                else None
+            )
+            for lo, hi in _slice_offsets(html_col, byte_budget):
+                raws = html_col.slice(lo, hi - lo).to_pylist()
+                urls = url_col.slice(lo, hi - lo).to_pylist()
+                links: list[list[str]] = []
+                ok: list[bool] = []
+                for u, raw in zip(urls, raws):
+                    raw = raw or b""
+                    try:
+                        doc = parse_document(raw)
+                        links.append(extract_links(doc, u or ""))
+                        ok.append(True)
+                    except MemoryError:  # never-raise backstop
+                        links.append([])
+                        ok.append(False)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url_col.slice(lo, hi - lo),
+                        (
+                            ts_col.slice(lo, hi - lo)
+                            if ts_col is not None
+                            else pa.nulls(hi - lo, pa.timestamp("us"))
+                        ),
+                        pa.array(links, pa.list_(pa.string())),
+                        pa.array([len(x) for x in links], pa.int32()),
+                        pa.array(ok, pa.bool_()),
+                    ],
+                    names=["url", "warc_ts", "links", "n_links", "parse_ok"],
+                )
+
+    return link_batches
+
+
+def extract_links_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Outlinks of a pages frame: (url, html[, warc_ts]) → (url, warc_ts,
+    links, n_links, parse_ok). ONE MapInArrow crossing; downstream
+    frontier policy (dedup, robots, host budgets) composes on the links
+    column with ordinary relational ops."""
+    return df.mapInArrow(make_links_fn(byte_budget), LINKS_SCHEMA)

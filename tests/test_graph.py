@@ -1,0 +1,113 @@
+"""Host-graph operators (functions/graph.py): host_link_graph edge
+collapse and fixed-point integer PageRank — the crawl-ordering leg.
+The headline property is BIT-determinism: integer arithmetic makes the
+result invariant to partitioning/aggregation order, which float-sum
+PageRank cannot promise."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_links import replica_pagerank
+from htmld_spark.functions.graph import host_link_graph, pagerank_hosts
+from htmld_spark.pipeline.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", app_name="pytest_graph")
+    yield s
+    s.stop()
+
+
+EDGES = [
+    ("a.x", "hub.x"), ("b.x", "hub.x"), ("c.x", "hub.x"),
+    ("a.x", "b.x"), ("b.x", "c.x"), ("hub.x", "a.x"),
+    ("c.x", "c.x"),          # self-loop: dropped
+    ("a.x", "hub.x"),        # duplicate: distinct'd
+    ("d.x", "sink.x"),       # sink.x is dangling (no out-edges)
+]
+
+
+def _edges_df(spark, parts):
+    return spark.createDataFrame(
+        EDGES, "src_host string, dst_host string"
+    ).repartition(parts)
+
+
+def test_pagerank_matches_replica_bit_exact(spark):
+    exp = dict(replica_pagerank(EDGES, n_iter=7))
+    got = {
+        r.host: r.rank_fp
+        for r in pagerank_hosts(_edges_df(spark, 3), n_iter=7).collect()
+    }
+    assert got == exp  # exact int equality, no tolerance
+
+
+def test_pagerank_partition_invariance(spark):
+    a = {
+        r.host: r.rank_fp
+        for r in pagerank_hosts(_edges_df(spark, 1), n_iter=5).collect()
+    }
+    b = {
+        r.host: r.rank_fp
+        for r in pagerank_hosts(_edges_df(spark, 7), n_iter=5).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_structure(spark):
+    ranks = {
+        r.host: r.rank_fp
+        for r in pagerank_hosts(_edges_df(spark, 2), n_iter=10).collect()
+    }
+    # hub has 3 distinct in-hosts — it must outrank everything else
+    assert ranks["hub.x"] == max(ranks.values())
+    # d.x receives nothing: floor at base mass; sink.x (dangling) still
+    # ACCUMULATES rank, it just redistributes none
+    assert ranks["d.x"] == min(ranks.values())
+    assert ranks["sink.x"] > ranks["d.x"]
+    # self-loop dropped: c.x's rank comes only from b.x
+    n = len(ranks)
+    assert n == 6
+
+
+def test_pagerank_errors_and_empty(spark):
+    df = _edges_df(spark, 1)
+    with pytest.raises(ValueError):
+        pagerank_hosts(df, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank_hosts(df, damping_pct=101)
+    only_self = spark.createDataFrame(
+        [("a.x", "a.x")], "src_host string, dst_host string"
+    )
+    assert pagerank_hosts(only_self, n_iter=2).count() == 0
+
+
+def test_host_link_graph_collapse(spark):
+    rows = [
+        ("https://s1.x/p1", ["https://t1.x/a", "https://t1.x/b",
+                             "https://s1.x/self", "not a url"]),
+        ("https://s1.x/p2", ["https://t1.x/c", "https://t2.x/a"]),
+        ("::bad::", ["https://t1.x/d"]),  # malformed src: dropped
+        ("https://s2.x/p", []),
+    ]
+    df = spark.createDataFrame(rows, "url string, links array<string>")
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(df).collect()
+    }
+    assert got == {
+        ("s1.x", "t1.x"): 3,
+        ("s1.x", "s1.x"): 1,  # self-link kept here; PageRank drops it
+        ("s1.x", "t2.x"): 1,
+    }
+    plan = host_link_graph(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_pagerank_no_python_crossing(spark):
+    plan = (
+        pagerank_hosts(_edges_df(spark, 2), n_iter=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
