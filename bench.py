@@ -231,6 +231,10 @@ def run_headline(master: str) -> dict:
         "epoch_shuffle",
         "warc_ingest",
         "robots_filter",
+        # round-7 additions
+        "extract_links",  # X9 outlinks (90-page fixture; plan shape is the signal)
+        "host_link_graph",
+        "pagerank_hosts",
     ):
         best = None
         for _ in range(2):
@@ -250,7 +254,7 @@ def run_headline(master: str) -> dict:
     extra_plan_shapes = {}
     for name in (
         "dsir_select", "host_term_divergence", "lm_perplexity",
-        "semdedup_keep",
+        "semdedup_keep", "pagerank_hosts",
     ):
         plan_str = (
             qs[name](spark, SF_DIR)
@@ -275,6 +279,16 @@ def run_headline(master: str) -> dict:
     )
     assert extra_plan_shapes["semdedup_keep"]["map_in_arrows"] == 0, (
         "semdedup_keep: assignment MapInArrow re-runs above the checkpoint"
+    )
+    # r7: pagerank's per-round localCheckpoint must truncate the iterative
+    # lineage — a final plan showing the parquet scan or the links
+    # MapInArrow means round k is re-executing rounds 1..k-1 (the
+    # connected-components rule)
+    assert extra_plan_shapes["pagerank_hosts"]["parquet_scans"] == 0, (
+        "pagerank_hosts: iterative lineage not truncated (parquet re-scan)"
+    )
+    assert extra_plan_shapes["pagerank_hosts"]["map_in_arrows"] == 0, (
+        "pagerank_hosts: link-extraction MapInArrow re-runs above the checkpoints"
     )
 
     total = round(sum(timings.values()), 3)
