@@ -1213,6 +1213,33 @@ def _q_extract_links(spark, sf_dir):
     ).withColumn("pos", F.col("pos").cast("int"))
 
 
+def _q_anchor_pairs(spark, sf_dir):
+    """X9b (link target, anchor text) harvesting — the web's labeled
+    description of each target url, the raw material of retrieval /
+    query-doc training sets (MS-MARCO-style weak supervision). The
+    anchor_texts array rides the SAME single MapInArrow as the links
+    (links[i] ↔ anchor_texts[i]); the pair-up is JVM-side
+    arrays_zip + posexplode. Golden oracle: the fixture composes each
+    anchor's normalized text BEFORE deriving the embedded content form
+    (messy whitespace / nested markup / entity / empty / <area alt>)."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    out = extract_links_df(pages)
+    z = out.select(
+        "url",
+        F.posexplode(F.arrays_zip("links", "anchor_texts")).alias("pos", "z"),
+    )
+    return z.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("z.links").alias("link_url"),
+        F.col("z.anchor_texts").alias("anchor_text"),
+    )
+
+
 def _q_host_link_graph(spark, sf_dir):
     """L59a host-level link graph (crawl-frontier ordering input): page
     outlinks collapse to (src_host, dst_host, n_links) IMMEDIATELY —
@@ -1274,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r7: new / behavior-changed this round ---
         "extract_links": _q_extract_links,  # X9 outlinks (NEW r7)
+        "anchor_pairs": _q_anchor_pairs,  # X9b anchor-text pairs (NEW r7)
         "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
@@ -1434,6 +1462,12 @@ def oracle_sql() -> dict[str, str]:
         # chosen first, href forms derived — gen_links.py never resolves)
         "extract_links": (
             f"SELECT url, pos, link_url FROM read_parquet('{links_exp}')"
+        ),
+        # X9b anchor pairs: the fixture composes each normalized anchor
+        # text before deriving the embedded form
+        "anchor_pairs": (
+            f"SELECT url, pos, link_url, anchor_text "
+            f"FROM read_parquet('{links_exp}')"
         ),
         # L59a host edges: regexp host extraction over the composed
         # links — independent of engine/links AND Spark's url parser

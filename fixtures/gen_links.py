@@ -13,9 +13,16 @@ html and not in the expectation. A third of the pages carry a
 ``<base href>`` (itself chosen absolute and emitted verbatim) that all
 relative derivations on that page use as their base.
 
-Rows: (url, warc_ts, html binary, exp_links list<string> in document
-order). Expected parquet twin: exploded (url, pos, link_url) for the
-DuckDB contract oracle.
+Anchor text is composed the same way: each link picks its EXPECTED
+normalized text first, then derives the embedded content form (plain,
+messy internal whitespace, nested inline markup, &amp; entity, empty;
+``<area>`` carries it in ``alt`` or omits it) — collapse-to-one-space +
+strip is the documented rule and the generator knows the expectation
+without running any normalizer on markup.
+
+Rows: (url, warc_ts, html binary, exp (link,text) pairs in document
+order). Expected parquet twin: exploded (url, pos, link_url,
+anchor_text) for the DuckDB contract oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "links")
-LINKS_VERSION = "4"
+LINKS_VERSION = "5"
 N_PAGES = 90
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in µs
 
@@ -67,8 +74,27 @@ def _attr(rng: random.Random, href: str) -> str:
     return f"href={href}"
 
 
-def _page(rng: random.Random, page_url: str) -> tuple[str, list[str]]:
-    """Compose one page's html + expected absolute links (in order)."""
+def _anchor_content(rng: random.Random) -> tuple[str, str]:
+    """Compose (inner-html form, expected normalized text) — expectation
+    chosen first; the embedded form is derived, never normalized."""
+    w1, w2 = rng.choice(_WORDS), rng.choice(_WORDS)
+    kind = rng.randrange(5)
+    if kind == 0:  # plain single word
+        return w1, w1
+    if kind == 1:  # messy internal + edge whitespace collapses
+        return f" {w1}\n\t {w2}  ", f"{w1} {w2}"
+    if kind == 2:  # nested inline markup contributes its text
+        return f"<b>{w1}</b> <em>{w2}</em>", f"{w1} {w2}"
+    if kind == 3:  # entity decodes into the text
+        return f"{w1} &amp; {w2}", f"{w1} & {w2}"
+    return "", ""  # empty anchor
+
+
+def _page(
+    rng: random.Random, page_url: str
+) -> tuple[str, list[tuple[str, str]]]:
+    """Compose one page's html + expected (absolute link, anchor text)
+    pairs (in order)."""
     host = page_url.split("/")[2]
     # effective base: the page url, or an explicit <base href> (absolute,
     # emitted verbatim — no resolution needed to know it)
@@ -82,16 +108,23 @@ def _page(rng: random.Random, page_url: str) -> tuple[str, list[str]]:
         if rng.random() < 0.5:  # later <base> must be ignored (first wins)
             parts.append('<base href="https://ignored.example/zzz/">')
     parts.append("</head><body><main>")
-    expected: list[str] = []
+    expected: list[tuple[str, str]] = []
 
     def emit(tag: str, href: str, target: str | None):
-        w = rng.choice(_WORDS)
         if tag == "area":
-            parts.append(f"<map><area {_attr(rng, href)}></map>")
+            # <area> has no content: anchor text rides in alt (or absent)
+            if rng.random() < 0.6:
+                t1, t2 = rng.choice(_WORDS), rng.choice(_WORDS)
+                alt_form, alt_exp = f' alt="{t1}  {t2}"', f"{t1} {t2}"
+            else:
+                alt_form, alt_exp = "", ""
+            parts.append(f"<map><area {_attr(rng, href)}{alt_form}></map>")
+            text = alt_exp
         else:
-            parts.append(f"<a {_attr(rng, href)}>{w}</a>")
+            content, text = _anchor_content(rng)
+            parts.append(f"<a {_attr(rng, href)}>{content}</a>")
         if target is not None:
-            expected.append(target)
+            expected.append((target, text))
 
     n = rng.randint(4, 9)
     for _ in range(n):
@@ -218,18 +251,20 @@ def ensure_links() -> tuple[str, str]:
         ),
         pages_path,
     )
-    eu, ep, el = [], [], []
+    eu, ep, el, et = [], [], [], []
     for u, links in zip(urls, exp):
-        for p, l in enumerate(links):
+        for p, (l, t) in enumerate(links):
             eu.append(u)
             ep.append(p)
             el.append(l)
+            et.append(t)
     pq.write_table(
         pa.table(
             {
                 "url": pa.array(eu, pa.string()),
                 "pos": pa.array(ep, pa.int32()),
                 "link_url": pa.array(el, pa.string()),
+                "anchor_text": pa.array(et, pa.string()),
             }
         ),
         expected_path,
@@ -238,7 +273,7 @@ def ensure_links() -> tuple[str, str]:
         [
             (u.split("/")[2], l.split("/")[2])
             for u, links in zip(urls, exp)
-            for l in links
+            for l, _t in links
         ]
     )
     pq.write_table(

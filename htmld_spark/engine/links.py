@@ -19,6 +19,18 @@ pipeline; the HTML rules are the public WHATWG semantics):
   policy (dedup, politeness, scoping) is downstream's job, exactly like
   the extraction engine leaves dedup to the pipeline operators.
 
+``extract_links_with_text`` additionally carries each link's ANCHOR
+TEXT — the (target url, anchor text) pairs that retrieval / query-doc
+training sets are built from (anchor text is the public web's labeled
+description of the target; e.g. MS-MARCO-style weak supervision):
+
+- ``<a>``: the whitespace-normalized text content of the subtree
+  (all descendant text nodes concatenated — entities already decoded
+  by the tokenizer — then every run of ASCII whitespace collapsed to
+  one space, ends stripped);
+- ``<area>``: the ``alt`` attribute (the element has no content), same
+  normalization; missing alt → empty string.
+
 Engine invariants hold: no Spark imports, never raises on any input
 (a malformed base or href costs only that link).
 """
@@ -29,6 +41,7 @@ import re
 from urllib.parse import urljoin, urlsplit
 
 from htmld_spark.engine.dom import Document
+from htmld_spark.engine.extract import inner_text
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
 _MARKUP_WS = dict.fromkeys(b"\t\n\r")  # removed ANYWHERE per the URL spec
@@ -68,12 +81,28 @@ def _resolve(base: str, ref: str) -> str | None:
     return absu
 
 
-def extract_links(doc: Document, base_url: str) -> list[str]:
-    """Absolute http(s) outlinks of ``doc`` in document order (see module
-    docstring for the exact contract). ``base_url`` is the page's own
-    URL; a malformed one still yields the page's absolute hrefs."""
+_WS_RUN = re.compile(rb"[\t\n\x0b\x0c\r ]+")
+
+
+def _anchor_text(doc: Document, nid: int) -> str:
+    """Whitespace-normalized anchor text of an ``<a>``/``<area>`` node
+    (see module docstring). Never raises."""
+    if doc.tag[nid] == b"area":  # no content model: alt carries the label
+        raw = doc.attr(nid, b"alt") or b""
+    else:
+        raw = inner_text(doc, nid)
+    return _WS_RUN.sub(b" ", raw).strip().decode("utf-8", "replace")
+
+
+def extract_links_with_text(
+    doc: Document, base_url: str
+) -> list[tuple[str, str]]:
+    """Absolute http(s) outlinks of ``doc`` with their anchor text, in
+    document order (see module docstring for the exact contract).
+    ``base_url`` is the page's own URL; a malformed one still yields the
+    page's absolute hrefs."""
     base = base_url or ""
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     rebased = False
     for nid in doc.descendant_elements(0):
         tag = doc.tag[nid]
@@ -98,5 +127,11 @@ def extract_links(doc: Document, base_url: str) -> list[str]:
             continue
         absu = _resolve(base, ref)
         if absu is not None:
-            out.append(absu)
+            out.append((absu, _anchor_text(doc, nid)))
     return out
+
+
+def extract_links(doc: Document, base_url: str) -> list[str]:
+    """Absolute http(s) outlinks only (urls, document order) — the
+    frontier-builder view of ``extract_links_with_text``."""
+    return [u for u, _ in extract_links_with_text(doc, base_url)]

@@ -537,18 +537,20 @@ def pdf_info_df(df, id_col: str = "pdf_id", data_col: str = "pdf"):
 
 
 LINKS_SCHEMA = (
-    "url string, warc_ts timestamp, links array<string>, n_links int, "
-    "parse_ok boolean"
+    "url string, warc_ts timestamp, links array<string>, "
+    "anchor_texts array<string>, n_links int, parse_ok boolean"
 )
 
 
 def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
     """mapInArrow kernel for outlink extraction (engine/links.py): input
-    (url, html[, warc_ts]) → one links array per page in document order.
-    Same batching discipline as the HTML extraction kernel (byte-budget
-    slices so one batch of large pages can't blow worker memory)."""
+    (url, html[, warc_ts]) → one links array per page in document order,
+    plus the parallel anchor-text array (links[i] ↔ anchor_texts[i] —
+    the retrieval-training pair view). Same batching discipline as the
+    HTML extraction kernel (byte-budget slices so one batch of large
+    pages can't blow worker memory)."""
     from htmld_spark.engine import parse_document
-    from htmld_spark.engine.links import extract_links
+    from htmld_spark.engine.links import extract_links_with_text
 
     def link_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -564,15 +566,20 @@ def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
                 raws = html_col.slice(lo, hi - lo).to_pylist()
                 urls = url_col.slice(lo, hi - lo).to_pylist()
                 links: list[list[str]] = []
+                texts: list[list[str]] = []
                 ok: list[bool] = []
                 for u, raw in zip(urls, raws):
                     raw = raw or b""
                     try:
-                        doc = parse_document(raw)
-                        links.append(extract_links(doc, u or ""))
+                        pairs = extract_links_with_text(
+                            parse_document(raw), u or ""
+                        )
+                        links.append([p[0] for p in pairs])
+                        texts.append([p[1] for p in pairs])
                         ok.append(True)
                     except MemoryError:  # never-raise backstop
                         links.append([])
+                        texts.append([])
                         ok.append(False)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -583,10 +590,14 @@ def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
                             else pa.nulls(hi - lo, pa.timestamp("us"))
                         ),
                         pa.array(links, pa.list_(pa.string())),
+                        pa.array(texts, pa.list_(pa.string())),
                         pa.array([len(x) for x in links], pa.int32()),
                         pa.array(ok, pa.bool_()),
                     ],
-                    names=["url", "warc_ts", "links", "n_links", "parse_ok"],
+                    names=[
+                        "url", "warc_ts", "links", "anchor_texts",
+                        "n_links", "parse_ok",
+                    ],
                 )
 
     return link_batches
@@ -594,7 +605,8 @@ def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
 
 def extract_links_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
     """Outlinks of a pages frame: (url, html[, warc_ts]) → (url, warc_ts,
-    links, n_links, parse_ok). ONE MapInArrow crossing; downstream
-    frontier policy (dedup, robots, host budgets) composes on the links
-    column with ordinary relational ops."""
+    links, anchor_texts, n_links, parse_ok). ONE MapInArrow crossing;
+    downstream frontier policy (dedup, robots, host budgets) and
+    anchor-pair harvesting compose on the array columns with ordinary
+    relational ops (arrays_zip + posexplode stay JVM-side)."""
     return df.mapInArrow(make_links_fn(byte_budget), LINKS_SCHEMA)

@@ -10,21 +10,27 @@ import random
 import pytest
 
 from htmld_spark.engine import parse_document
-from htmld_spark.engine.links import extract_links
+from htmld_spark.engine.links import extract_links, extract_links_with_text
 
 
 def _links(html: bytes, base: str = "https://h.example/a/b.html"):
     return extract_links(parse_document(html), base)
 
 
+def _pairs(html: bytes, base: str = "https://h.example/a/b.html"):
+    return extract_links_with_text(parse_document(html), base)
+
+
 def test_fixture_parity():
     """Engine output == the independently composed expectation for every
-    fixture page (the same rows the driver contract checks via Spark)."""
+    fixture page — (link, anchor text) PAIRS, so both the resolver and
+    the normalizer are pinned (the same rows the driver contract checks
+    via Spark)."""
     from fixtures.gen_links import gen_rows
 
     urls, _tss, htmls, exp = gen_rows()
     for u, h, e in zip(urls, htmls, exp):
-        assert extract_links(parse_document(h), u) == e
+        assert extract_links_with_text(parse_document(h), u) == e
 
 
 def test_resolution_forms():
@@ -82,6 +88,27 @@ def test_case_insensitive_scheme_and_upper_tags():
     assert _links(b'<a href="JavaScript:alert(1)">x</a>') == []
 
 
+def test_anchor_text_normalization():
+    # runs of any ASCII whitespace collapse to one space, ends stripped
+    assert _pairs(b'<a href="/1"> a \n\t b  </a>') == [
+        ("https://h.example/1", "a b")
+    ]
+    # nested inline markup contributes its text; entities arrive decoded
+    assert _pairs(b'<a href="/2"><b>x</b> <em>y</em> &amp; z</a>') == [
+        ("https://h.example/2", "x y & z")
+    ]
+    # empty anchor → empty string (not None)
+    assert _pairs(b'<a href="/3"></a>') == [("https://h.example/3", "")]
+
+
+def test_area_alt_is_the_anchor_text():
+    h = b'<map><area href="/m" alt="go  here"><area href="/n"></map>'
+    assert _pairs(h) == [
+        ("https://h.example/m", "go here"),
+        ("https://h.example/n", ""),
+    ]
+
+
 def test_malformed_base_url_keeps_absolute_links():
     got = extract_links(
         parse_document(b'<a href="rel">r</a><a href="https://ok.example/x">a</a>'),
@@ -122,14 +149,15 @@ def test_spark_extract_links_df(spark):
     assert plan.count("MapInArrow") == 1 and "BatchEvalPython" not in plan
     rows = out.collect()
     exp = spark.read.parquet(exp_path).collect()
-    by_url: dict[str, list[tuple[int, str]]] = {}
+    by_url: dict[str, list[tuple[int, str, str]]] = {}
     for r in exp:
-        by_url.setdefault(r.url, []).append((r.pos, r.link_url))
+        by_url.setdefault(r.url, []).append((r.pos, r.link_url, r.anchor_text))
     for r in rows:
-        assert r.n_links == len(r.links)
+        assert r.n_links == len(r.links) == len(r.anchor_texts)
         assert r.parse_ok
-        want = [u for _p, u in sorted(by_url.get(r.url, []))]
-        assert list(r.links) == want
+        want = sorted(by_url.get(r.url, []))
+        assert list(r.links) == [u for _p, u, _t in want]
+        assert list(r.anchor_texts) == [t for _p, _u, t in want]
     # no warc_ts column → null passthrough, same links
     out2 = extract_links_df(pages.select("url", "html")).collect()
     assert {r.url: list(r.links) for r in out2} == {
