@@ -1240,6 +1240,93 @@ def _q_anchor_pairs(spark, sf_dir):
     )
 
 
+# messy-url construction shared by the L60 contract entries: six
+# deterministic variants per doc_id, engineered so canonicalization is
+# NON-vacuous (0≡1 and 2≡3 collide per group, 4 collides across groups,
+# 5 is unparseable) — the trivial-oracle trap dodged explicitly. The
+# CONSTRUCTION is shared (it isn't the thing under test); the
+# canonicalization is implemented independently on each side.
+_MESSY_URL_SPARK = """CASE pmod(doc_id, 6)
+  WHEN 0 THEN concat('HTTP://WWW.site', CAST((doc_id div 6) % 50 AS STRING),
+    '.example:80/p/', CAST(doc_id div 6 AS STRING), '?utm_source=x&b=2&a=1#frag')
+  WHEN 1 THEN concat('http://site', CAST((doc_id div 6) % 50 AS STRING),
+    '.example/p/', CAST(doc_id div 6 AS STRING), '?a=1&b=2')
+  WHEN 2 THEN concat('https://EX', CAST((doc_id div 6) % 40 AS STRING),
+    '.example:443/q/', CAST(doc_id div 6 AS STRING), '?z=9&fbclid=abc&y=1')
+  WHEN 3 THEN concat('https://user:pw@ex', CAST((doc_id div 6) % 40 AS STRING),
+    '.example/q/', CAST(doc_id div 6 AS STRING), '?y=1&z=9&utm_medium=m')
+  WHEN 4 THEN concat('HTTPS://WWW.h', CAST((doc_id div 6) % 30 AS STRING),
+    '.EXAMPLE?utm_campaign=c')
+  ELSE concat('not a url ', CAST(doc_id AS STRING))
+END"""
+
+_MESSY_URL_DUCK = """CASE doc_id % 6
+  WHEN 0 THEN 'HTTP://WWW.site' || CAST((doc_id // 6) % 50 AS VARCHAR)
+    || '.example:80/p/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+  WHEN 1 THEN 'http://site' || CAST((doc_id // 6) % 50 AS VARCHAR)
+    || '.example/p/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+  WHEN 2 THEN 'https://EX' || CAST((doc_id // 6) % 40 AS VARCHAR)
+    || '.example:443/q/' || CAST(doc_id // 6 AS VARCHAR) || '?z=9&fbclid=abc&y=1'
+  WHEN 3 THEN 'https://user:pw@ex' || CAST((doc_id // 6) % 40 AS VARCHAR)
+    || '.example/q/' || CAST(doc_id // 6 AS VARCHAR) || '?y=1&z=9&utm_medium=m'
+  WHEN 4 THEN 'HTTPS://WWW.h' || CAST((doc_id // 6) % 30 AS VARCHAR)
+    || '.EXAMPLE?utm_campaign=c'
+  ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+END"""
+
+# DuckDB re-implementation of the pinned canonicalization rule set
+# (functions/urls.py docstring) — regexp parts instead of parse_url,
+# list_* HOFs instead of Spark array HOFs. Independent of the Spark code.
+_CANON_DUCK = """
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+  regexp_replace(regexp_replace(CASE
+      WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+        THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+      WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+        THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+      ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+    END, '^[^@/]*@', ''), '^www\\.', '') AS host,
+  CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+    THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path,
+  list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+    x -> x <> '' AND NOT regexp_matches(x,
+      '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|ref_src)(=|$)')) AS qtok
+"""
+
+_CANON_FINAL_DUCK = """CASE WHEN proto <> '' AND host <> ''
+  THEN proto || '://' || host || path ||
+    CASE WHEN len(qtok) > 0 THEN '?' || array_to_string(list_sort(qtok), '&') ELSE '' END
+  ELSE NULL END"""
+
+
+def _q_canonical_urls(spark, sf_dir):
+    """L60 url canonicalization (functions/urls.py — the url-key dedup
+    layer of a crawl): pure whole-stage-codegen Column expression
+    (try_parse_url + regexp + array HOFs), zero Python crossings,
+    row-local. Oracle: an independent DuckDB regexp/list_* twin of the
+    pinned rule set over the same messy-url construction."""
+    from htmld_spark.functions.urls import canonical_url
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.selectExpr(
+        "doc_id", f"{_MESSY_URL_SPARK} AS url"
+    ).select("doc_id", canonical_url("url").alias("canon_url"))
+
+
+def _q_url_dedup_keep(spark, sf_dir):
+    """L60b url-key dedup: lowest doc_id per canonical url + variant
+    count — ONE map-side-combinable groupBy (the exact-dedup shape).
+    The construction guarantees real collisions (see _MESSY_URL_SPARK),
+    so the oracle isn't vacuously green."""
+    from htmld_spark.functions.urls import dedup_urls_keep
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    messy = docs.selectExpr("doc_id", f"{_MESSY_URL_SPARK} AS url")
+    return dedup_urls_keep(messy, url_col="url", id_col="doc_id").withColumn(
+        "n_variants", F.col("n_variants").cast("long")
+    )
+
+
 def _q_host_link_graph(spark, sf_dir):
     """L59a host-level link graph (crawl-frontier ordering input): page
     outlinks collapse to (src_host, dst_host, n_links) IMMEDIATELY —
@@ -1302,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: new / behavior-changed this round ---
         "extract_links": _q_extract_links,  # X9 outlinks (NEW r7)
         "anchor_pairs": _q_anchor_pairs,  # X9b anchor-text pairs (NEW r7)
+        "canonical_urls": _q_canonical_urls,  # L60 url canonicalization (NEW r7)
+        "url_dedup_keep": _q_url_dedup_keep,  # L60b url-key dedup (NEW r7)
         "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
@@ -1462,6 +1551,23 @@ def oracle_sql() -> dict[str, str]:
         # chosen first, href forms derived — gen_links.py never resolves)
         "extract_links": (
             f"SELECT url, pos, link_url FROM read_parquet('{links_exp}')"
+        ),
+        # L60 url canonicalization: independent DuckDB regexp/list twin
+        # of the pinned rule set (construction shared, rules re-derived)
+        "canonical_urls": (
+            f"WITH messy AS (SELECT doc_id, {_MESSY_URL_DUCK} AS url "
+            f"FROM documents), parts AS (SELECT doc_id, {_CANON_DUCK} "
+            f"FROM messy) SELECT doc_id, {_CANON_FINAL_DUCK} AS canon_url "
+            f"FROM parts"
+        ),
+        "url_dedup_keep": (
+            f"WITH messy AS (SELECT doc_id, {_MESSY_URL_DUCK} AS url "
+            f"FROM documents), parts AS (SELECT doc_id, {_CANON_DUCK} "
+            f"FROM messy), canon AS (SELECT doc_id, {_CANON_FINAL_DUCK} "
+            f"AS canon_url FROM parts) "
+            f"SELECT canon_url, MIN(doc_id) AS keep_id, "
+            f"COUNT(*) AS n_variants FROM canon "
+            f"WHERE canon_url IS NOT NULL GROUP BY canon_url"
         ),
         # X9b anchor pairs: the fixture composes each normalized anchor
         # text before deriving the embedded form
