@@ -1365,6 +1365,32 @@ def _q_pagerank_hosts(spark, sf_dir):
     return pagerank_hosts(host_link_graph(extract_links_df(pages)), n_iter=10)
 
 
+def _q_frontier_select(spark, sf_dir):
+    """L61 crawl-frontier selection (Heritrix/Nutch frontier shape):
+    candidate links → host-quality-ordered, politeness-capped fetch
+    batch. Composes the whole crawl-ordering leg end to end: extract
+    links → host graph → integer PageRank → per-host window cap (3) →
+    global TakeOrdered budget (25). Oracle replays the policy in DuckDB
+    over the composed expected links + the pure-python PageRank
+    expectation — independent of the engine, Spark's url parser, and
+    the Spark PageRank."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.graph import (
+        frontier_select,
+        host_link_graph,
+        pagerank_hosts,
+    )
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    links = extract_links_df(pages)
+    cand = links.select(F.explode("links").alias("url"))
+    ranks = pagerank_hosts(host_link_graph(links), n_iter=10)
+    out = frontier_select(cand, ranks, per_host_cap=3, budget=25)
+    return out.withColumn("slot", F.col("slot").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract registry. ROTATION (VERDICT r03 #3): the driver
     snapshots the FIRST 50 dict entries each round, so coverage decays as
@@ -1391,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_pairs": _q_anchor_pairs,  # X9b anchor-text pairs (NEW r7)
         "canonical_urls": _q_canonical_urls,  # L60 url canonicalization (NEW r7)
         "url_dedup_keep": _q_url_dedup_keep,  # L60b url-key dedup (NEW r7)
+        "frontier_select": _q_frontier_select,  # L61 frontier policy (NEW r7)
         "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
@@ -1568,6 +1595,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT canon_url, MIN(doc_id) AS keep_id, "
             f"COUNT(*) AS n_variants FROM canon "
             f"WHERE canon_url IS NOT NULL GROUP BY canon_url"
+        ),
+        # L61 frontier policy replayed over the composed links + the
+        # pure-python PageRank expectation
+        "frontier_select": (
+            f"WITH cand AS (SELECT DISTINCT link_url AS url, "
+            f"regexp_extract(link_url, 'https?://([^/]+)', 1) AS host "
+            f"FROM read_parquet('{links_exp}')), "
+            f"capped AS (SELECT url, host, "
+            f"row_number() OVER (PARTITION BY host ORDER BY url) AS slot "
+            f"FROM cand) "
+            f"SELECT c.url, c.host, COALESCE(pr.rank_fp, 0) AS rank_fp, "
+            f"c.slot FROM capped c LEFT JOIN read_parquet("
+            f"'{os.path.join(os.path.dirname(links_exp), 'pagerank_expected.parquet')}') pr "
+            f"ON c.host = pr.host WHERE c.slot <= 3 "
+            f"ORDER BY rank_fp DESC, c.host, c.slot LIMIT 25"
         ),
         # X9b anchor pairs: the fixture composes each normalized anchor
         # text before deriving the embedded form

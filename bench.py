@@ -235,6 +235,10 @@ def run_headline(master: str) -> dict:
         "extract_links",  # X9 outlinks (90-page fixture; plan shape is the signal)
         "host_link_graph",
         "pagerank_hosts",
+        "anchor_pairs",
+        "canonical_urls",
+        "url_dedup_keep",
+        "frontier_select",
     ):
         best = None
         for _ in range(2):

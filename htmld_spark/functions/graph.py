@@ -27,7 +27,7 @@ Design for 10^12 pages:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def host_link_graph(
@@ -131,3 +131,67 @@ def pagerank_hosts(
             .localCheckpoint()  # lineage truncation per round
         )
     return ranks.select("host", "rank_fp")
+
+
+def frontier_select(
+    candidates: DataFrame,
+    ranks: DataFrame,
+    per_host_cap: int = 100,
+    budget: int | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Next crawl batch from candidate urls + host ranks → (url, host,
+    rank_fp, slot): the frontier-ordering policy every large crawler
+    runs (host-quality-ordered, politeness-capped; the public
+    Heritrix/Nutch frontier shape).
+
+    - host via ``try_parse_url`` (malformed candidates dropped — the
+      crawl-robustness rule);
+    - ``slot`` = row_number within the host, ordered by url (byte
+      order): deterministic under any partitioning; at most
+      ``per_host_cap`` urls survive per host (per-batch politeness —
+      a mega-host can't monopolize the fetch fleet);
+    - hosts absent from ``ranks`` get rank 0 (still crawlable, lowest
+      priority — new hosts must be reachable or the crawl can't grow);
+    - ``budget`` keeps the global top-N by (rank desc, host, slot) — a
+      TOTAL order, so the cut is deterministic; orderBy(...).limit(N)
+      compiles to TakeOrderedAndProject (per-partition top-N + driver
+      merge, never a global sort).
+
+    Shuffle audit: ONE hash shuffle on host serves both the politeness
+    window and the rank join (same key — AQE/EnsureRequirements reuses
+    the partitioning); the budget cut is TakeOrdered. The ranks side is
+    host-level (~10⁷ rows), broadcast-able when small — left to the
+    optimizer/AQE rather than forced."""
+    if per_host_cap < 1:
+        raise ValueError(f"per_host_cap must be >= 1, got {per_host_cap}")
+    cand = (
+        candidates.select(
+            F.col(url_col).alias("url"),
+            F.try_parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        )
+        .filter(F.col("host").isNotNull())
+        # hash-partition by host ONCE: HashPartitioning(host) satisfies
+        # ClusteredDistribution(url, host) for the distinct AND the
+        # politeness window's required distribution — without this hint
+        # the plan pays two exchanges (url+host, then host). AQE still
+        # coalesces the column-only repartition.
+        .repartition(F.col("host"))
+        .distinct()
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    capped = cand.withColumn("slot", F.row_number().over(w)).filter(
+        F.col("slot") <= per_host_cap
+    )
+    r = ranks.select(F.col("host").alias("r_host"), "rank_fp")
+    out = capped.join(r, capped.host == r.r_host, "left").select(
+        "url",
+        "host",
+        F.coalesce("rank_fp", F.lit(0)).cast("long").alias("rank_fp"),
+        "slot",
+    )
+    if budget is not None:
+        out = out.orderBy(
+            F.col("rank_fp").desc(), F.col("host"), F.col("slot")
+        ).limit(budget)
+    return out

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from fixtures.gen_links import replica_pagerank
-from htmld_spark.functions.graph import host_link_graph, pagerank_hosts
+from htmld_spark.functions.graph import (
+    frontier_select,
+    host_link_graph,
+    pagerank_hosts,
+)
 from htmld_spark.pipeline.session import get_spark
 
 
@@ -111,3 +115,88 @@ def test_pagerank_no_python_crossing(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def _cand(spark, n=60, hosts=6):
+    return spark.range(n).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % hosts).cast("string"),
+            F.lit(".example/p"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+
+
+def _ranks(spark, hosts=6):
+    return spark.range(hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("id") * 1000).cast("long").alias("rank_fp"),
+    )
+
+
+def test_frontier_cap_and_order(spark):
+    out = frontier_select(
+        _cand(spark), _ranks(spark), per_host_cap=3, budget=9
+    ).collect()
+    assert len(out) == 9
+    # the budget fills from the highest-ranked hosts, cap slots each
+    hosts = sorted({r.host for r in out})
+    assert hosts == ["h3.example", "h4.example", "h5.example"]
+    per_host = {}
+    for r in out:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        assert 1 <= r.slot <= 3
+    assert all(v == 3 for v in per_host.values())
+    # slot order within a host follows url byte order
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.slot, r.url))
+    for pairs in by_host.values():
+        urls = [u for _s, u in sorted(pairs)]
+        assert urls == sorted(urls)
+
+
+def test_frontier_unknown_host_rank_zero_and_dups(spark):
+    cand = _cand(spark, n=10, hosts=2).union(
+        spark.createDataFrame(
+            [("https://new.example/x",), ("https://new.example/x",),
+             ("::junk::",)],
+            "url string",
+        )
+    )
+    out = {
+        r.url: r
+        for r in frontier_select(cand, _ranks(spark, 2), per_host_cap=99).collect()
+    }
+    assert out["https://new.example/x"].rank_fp == 0  # crawlable, lowest prio
+    assert "::junk::" not in out  # malformed candidate dropped
+    assert len([u for u in out if "new.example" in u]) == 1  # deduped
+
+
+def test_frontier_single_shuffle_and_takeordered(spark):
+    import re
+
+    out = frontier_select(_cand(spark), _ranks(spark), per_host_cap=2, budget=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ONE hash shuffle on host serves distinct + politeness window (the
+    # repartition hint); the budget cut is TakeOrdered, never a sort
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_frontier_deterministic_across_partitionings(spark):
+    a = sorted(
+        map(tuple, frontier_select(
+            _cand(spark).repartition(1), _ranks(spark), 2, 8
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, frontier_select(
+            _cand(spark).repartition(13), _ranks(spark), 2, 8
+        ).collect())
+    )
+    assert a == b and len(a) == 8
