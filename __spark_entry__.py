@@ -1365,6 +1365,28 @@ def _q_pagerank_hosts(spark, sf_dir):
     return pagerank_hosts(host_link_graph(extract_links_df(pages)), n_iter=10)
 
 
+def _q_robots_directives(spark, sf_dir):
+    """R18b per-host politeness directives (Crawl-delay — the de-facto
+    Bing/Yandex extension, a GROUP rule under the same longest-token
+    agent selection; Sitemap — file-wide, sitemaps.org protocol):
+    ONE mapInArrow over the slim (host, robots) frame, no shuffle.
+    Golden oracle: the fixture's BY-CONSTRUCTION directive expectations
+    (composed alongside the robots bytes, never by running the parser)
+    — incl. invalid/negative delays, min-merge of split groups, and
+    the no-fallback-to-* rule when the agent has its own group."""
+    from fixtures.gen_robots import ensure_robots
+    from htmld_spark.sources.robots import robots_directives_df
+
+    rp, _ep = ensure_robots()
+    robots = spark.read.parquet(rp)
+    out = robots_directives_df(robots, agent="aibot")
+    return out.select(
+        "host",
+        "crawl_delay",
+        F.array_join("sitemaps", " ").alias("sitemaps"),
+    )
+
+
 def _q_frontier_select(spark, sf_dir):
     """L61 crawl-frontier selection (Heritrix/Nutch frontier shape):
     candidate links → host-quality-ordered, politeness-capped fetch
@@ -1418,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,  # L60 url canonicalization (NEW r7)
         "url_dedup_keep": _q_url_dedup_keep,  # L60b url-key dedup (NEW r7)
         "frontier_select": _q_frontier_select,  # L61 frontier policy (NEW r7)
+        "robots_directives": _q_robots_directives,  # R18b politeness (NEW r7)
         "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
@@ -1595,6 +1618,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT canon_url, MIN(doc_id) AS keep_id, "
             f"COUNT(*) AS n_variants FROM canon "
             f"WHERE canon_url IS NOT NULL GROUP BY canon_url"
+        ),
+        # R18b politeness directives: by-construction fixture expectations
+        "robots_directives": (
+            f"SELECT host, crawl_delay, sitemaps FROM read_parquet("
+            f"'{os.path.join(os.path.dirname(robots_exp), 'directives_expected.parquet')}')"
         ),
         # L61 frontier policy replayed over the composed links + the
         # pure-python PageRank expectation

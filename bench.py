@@ -239,6 +239,7 @@ def run_headline(master: str) -> dict:
         "canonical_urls",
         "url_dedup_keep",
         "frontier_select",
+        "robots_directives",
     ):
         best = None
         for _ in range(2):

@@ -26,14 +26,22 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "robots")
-ROBOTS_VERSION = "1"
+ROBOTS_VERSION = "2"
 
 
-def _compose() -> tuple[list[tuple[str, bytes | None]], list[tuple[str, bool]]]:
+def _compose() -> tuple[
+    list[tuple[str, bytes | None]],
+    list[tuple[str, bool]],
+    list[tuple[str, float | None, list[str]]],
+]:
     """Returns (robots rows: (host, robots bytes or None),
-    expected: (url, allowed under agent 'aibot'))."""
+    expected: (url, allowed under agent 'aibot'),
+    directives expected: (host, crawl_delay under 'aibot', sitemaps) —
+    composed BY CONSTRUCTION alongside the robots bytes, never by
+    running the parser)."""
     robots: list[tuple[str, bytes | None]] = []
     expected: list[tuple[str, bool]] = []
+    directives: list[tuple[str, float | None, list[str]]] = []
 
     def url(host, path):
         return f"https://{host}{path}"
@@ -46,7 +54,7 @@ def _compose() -> tuple[list[tuple[str, bytes | None]], list[tuple[str, bool]]]:
             "User-Agent: *\n"
             "Disallow: /private/\n"
             "Allow: /private/ok/\n"
-            "Crawl-delay: 5\n"  # unknown-to-us directive: skipped
+            "Crawl-delay: 5\n"  # ignored by the RFC matcher; directives pass reads it
         ).encode()))
         expected += [
             (url(h, f"/private/doc{i}"), False),
@@ -54,15 +62,20 @@ def _compose() -> tuple[list[tuple[str, bytes | None]], list[tuple[str, bool]]]:
             (url(h, f"/public/doc{i}"), True),
             (url(h, "/"), True),
         ]
+        # aibot has no own group → falls back to '*': delay 5
+        directives.append((h, 5.0, []))
     # B: wildcard + anchor rules (under *)
     for i in range(3):
         h = f"b{i}.example"
         robots.append((h, (
+            f"Sitemap: https://{h}/sitemap.xml\n"
             "User-agent: *\n"
             "Disallow: /*.pdf$\n"
             "Disallow: /tmp/*\n"
             "Allow: /tmp/keep$\n"
         ).encode()))
+        # no crawl-delay anywhere; one file-wide sitemap (leading line)
+        directives.append((h, None, [f"https://{h}/sitemap.xml"]))
         expected += [
             (url(h, f"/doc{i}.pdf"), False),
             (url(h, f"/doc{i}.pdfx"), True),   # $ anchor: suffix only
@@ -77,10 +90,19 @@ def _compose() -> tuple[list[tuple[str, bytes | None]], list[tuple[str, bool]]]:
         robots.append((h, (
             "User-agent: aibot\n"
             "Disallow: /\n"
+            "Crawl-delay: 2.5\n"
             "\n"
             "User-agent: *\n"
             "Allow: /\n"
+            "Crawl-delay: 10\n"
+            f"SITEMAP: https://{h}/s1.xml\n"
+            f"sitemap: https://{h}/s2.xml\n"
         ).encode()))
+        # aibot's own group wins: 2.5 (never *'s 10); sitemaps are
+        # file-wide and case-insensitive, document order
+        directives.append(
+            (h, 2.5, [f"https://{h}/s1.xml", f"https://{h}/s2.xml"])
+        )
         expected += [
             (url(h, f"/article/{i}"), False),
             (url(h, "/"), False),
@@ -92,11 +114,34 @@ def _compose() -> tuple[list[tuple[str, bytes | None]], list[tuple[str, bool]]]:
             (url(h, f"/anything/{i}"), True),
             (url(h, "/"), True),
         ]
-    return robots, expected
+    # E: directive corner cases (no page urls — robots_filter never sees
+    # these hosts): aibot group with an INVALID then a NEGATIVE delay →
+    # None (no fallback to *'s valid 7: the site addressed aibot
+    # explicitly); second e-host: two aibot groups merge to the MINIMUM
+    robots.append(("e0.example", (
+        "User-agent: aibot\n"
+        "Crawl-delay: fast\n"
+        "Crawl-delay: -3\n"
+        "User-agent: *\n"
+        "Crawl-delay: 7\n"
+    ).encode()))
+    directives.append(("e0.example", None, []))
+    robots.append(("e1.example", (
+        "User-agent: aibot\n"
+        "Crawl-delay: 8\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: aibot\n"
+        "Crawl-delay: 3\n"
+    ).encode()))
+    directives.append(("e1.example", 3.0, []))
+    return robots, expected, directives
 
 
 def ensure_robots() -> tuple[str, str]:
-    """Generate + cache (robots parquet, expected parquet) paths."""
+    """Generate + cache (robots parquet, expected parquet) paths. Also
+    writes directives_expected.parquet (host, crawl_delay, sitemaps
+    space-joined) beside them."""
     os.makedirs(DATA_DIR, exist_ok=True)
     robots_path = os.path.join(DATA_DIR, "robots.parquet")
     expected_path = os.path.join(DATA_DIR, "expected.parquet")
@@ -105,7 +150,7 @@ def ensure_robots() -> tuple[str, str]:
         with open(marker) as f:
             if f.read().strip() == ROBOTS_VERSION:
                 return robots_path, expected_path
-    robots, expected = _compose()
+    robots, expected, directives = _compose()
     pq.write_table(
         pa.table(
             {
@@ -123,6 +168,20 @@ def ensure_robots() -> tuple[str, str]:
             }
         ),
         expected_path,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([h for h, _, _ in directives], pa.string()),
+                "crawl_delay": pa.array(
+                    [d for _, d, _ in directives], pa.float64()
+                ),
+                "sitemaps": pa.array(
+                    [" ".join(s) for _, _, s in directives], pa.string()
+                ),
+            }
+        ),
+        os.path.join(DATA_DIR, "directives_expected.parquet"),
     )
     with open(marker, "w") as f:
         f.write(ROBOTS_VERSION)

@@ -74,6 +74,108 @@ def parse_robots(data) -> list[tuple[str, list[tuple[bool, str]]]]:
         return []
 
 
+def parse_robots_directives(data, agent: str = "*"):
+    """Per-agent politeness directives → ``(crawl_delay, sitemaps)``.
+
+    ``Crawl-delay`` (the de-facto Bing/Yandex extension — RFC 9309
+    deliberately leaves it out, so this is a SEPARATE pass that leaves
+    ``parse_robots``'s pinned RFC semantics untouched) is a GROUP rule:
+    it belongs to the user-agent group it appears in, and the group is
+    selected with the same longest-token-beats-'*' rule as allow/
+    disallow. Multiple valid delays for the chosen token merge to the
+    MINIMUM (conservative politeness). Invalid/negative values are
+    ignored — a chosen group with only an invalid delay yields None (no
+    fallback to '*': the site addressed this agent explicitly).
+
+    ``Sitemap`` lines are FILE-WIDE (the sitemaps.org protocol), agent-
+    independent, returned in document order, duplicates kept.
+
+    Never raises; returns ``(None, [])`` on garbage."""
+    try:
+        if isinstance(data, str):
+            data = data.encode("utf-8", errors="replace")
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            return None, []
+        groups: list[tuple[str, float | None]] = []
+        sitemaps: list[str] = []
+        agents: list[str] = []
+        opened = False  # current group has seen a rule line
+        delay: float | None = None
+
+        def close():
+            nonlocal agents, opened, delay
+            for a in agents:
+                groups.append((a, delay))
+            agents, opened, delay = [], False, None
+
+        for raw_line in bytes(data).splitlines():
+            m = _RULE_RE.match(raw_line)
+            if not m:
+                continue
+            key = m.group(1).lower()
+            val = m.group(2).strip().decode("utf-8", errors="replace")
+            if key == b"user-agent":
+                if opened:
+                    close()
+                agents.append(val.lower())
+            elif key == b"sitemap":
+                if val:
+                    sitemaps.append(val)
+            elif key in (b"allow", b"disallow", b"crawl-delay"):
+                if not agents:
+                    continue  # rules before any user-agent: ignored
+                opened = True
+                if key == b"crawl-delay":
+                    try:
+                        d = float(val)
+                    except ValueError:
+                        continue
+                    if d >= 0 and (delay is None or d < delay):
+                        delay = d
+        close()
+        best_len, best_token = -1, None
+        a = agent.lower()
+        for token, _d in groups:
+            if token != "*" and token in a and len(token) > best_len:
+                best_len, best_token = len(token), token
+        chosen = best_token if best_token is not None else "*"
+        merged = [d for t, d in groups if t == chosen and d is not None]
+        return (min(merged) if merged else None), sitemaps
+    except Exception:  # absolute backstop: never raise
+        return None, []
+
+
+def robots_directives_df(robots_df, agent: str = "*"):
+    """(host, robots binary) → (host, crawl_delay double, sitemaps
+    array<string>) for ``agent`` — the politeness inputs a frontier
+    consumes (per-host fetch spacing; sitemap seeds). ONE mapInArrow
+    over the already-slim robots frame; row-local, no shuffle."""
+    import pyarrow as pa
+
+    def directives(batches):
+        for batch in batches:
+            names = batch.schema.names
+            hosts = batch.column(names.index("host")).to_pylist()
+            txts = batch.column(names.index("robots")).to_pylist()
+            delays, maps = [], []
+            for t in txts:
+                d, s = parse_robots_directives(t, agent)
+                delays.append(d)
+                maps.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(hosts, pa.string()),
+                    pa.array(delays, pa.float64()),
+                    pa.array(maps, pa.list_(pa.string())),
+                ],
+                names=["host", "crawl_delay", "sitemaps"],
+            )
+
+    return robots_df.select("host", "robots").mapInArrow(
+        directives, "host string, crawl_delay double, sitemaps array<string>"
+    )
+
+
 from functools import lru_cache
 
 

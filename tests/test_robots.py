@@ -61,6 +61,42 @@ Disallow: /
     assert robots_allowed([], "/x")
 
 
+def test_directives_semantics():
+    from htmld_spark.sources.robots import parse_robots_directives as pd
+
+    txt = (
+        b"Sitemap: https://h/s1.xml\n"
+        b"User-agent: bot\nCrawl-delay: 4\nDisallow: /x\n"
+        b"User-agent: *\nCrawl-delay: 1\n"
+        b"sitemap: https://h/s2.xml\n"
+    )
+    # own group beats '*'; sitemaps are file-wide, document order
+    assert pd(txt, "MyBotCrawler") == (4.0, ["https://h/s1.xml", "https://h/s2.xml"])
+    assert pd(txt, "other") == (1.0, ["https://h/s1.xml", "https://h/s2.xml"])
+    # invalid/negative in the chosen group: None, NO fallback to '*'
+    bad = b"User-agent: bot\nCrawl-delay: soon\nCrawl-delay: -2\nUser-agent: *\nCrawl-delay: 9\n"
+    assert pd(bad, "bot") == (None, [])
+    assert pd(bad, "zzz") == (9.0, [])
+    # split groups for the same token merge to the MINIMUM
+    two = b"User-agent: bot\nCrawl-delay: 8\nDisallow: /a\n\nUser-agent: bot\nCrawl-delay: 3\n"
+    assert pd(two, "bot") == (3.0, [])
+    # shared agent list: both tokens get the group's delay
+    shared = b"User-agent: a\nUser-agent: b\nCrawl-delay: 6\n"
+    assert pd(shared, "a") == (6.0, []) and pd(shared, "b") == (6.0, [])
+    # no directives at all
+    assert pd(b"User-agent: *\nDisallow:\n", "bot") == (None, [])
+
+
+def test_directives_never_raise():
+    from htmld_spark.sources.robots import parse_robots_directives as pd
+
+    for bad in (None, 5, b"", b"\x00\xff" * 200, "text",
+                b"Crawl-delay: 3\n",  # before any user-agent: ignored
+                b"Sitemap:\n"):       # empty sitemap value: skipped
+        d, s = pd(bad, "bot")
+        assert d is None and s == []
+
+
 def test_never_raises_and_url_path():
     for bad in (None, 5, b"", b"\x00\xff" * 200, "text", b"Allow: /orphan"):
         assert isinstance(parse_robots(bad), list)
