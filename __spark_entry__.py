@@ -1192,6 +1192,48 @@ def _q_semdedup_keep_capped(spark, sf_dir):
     return semdedup_keep(emb, tau=0.3, sample_mod=2, max_cell_size=35)
 
 
+def _q_page_metadata(spark, sf_dir):
+    """X10 page-metadata extraction (engine/meta.py — the head-metadata
+    leg of the extraction tier): first-<title> (RCDATA, ws-normalized),
+    first <meta name=description|robots content=...>, first
+    <link rel~=canonical> resolved against the effective base
+    (first-<base href> rebasing, http(s)-only, first wins even if
+    unusable), <html lang>, charset (meta charset / http-equiv
+    content-type, document order), OpenGraph card first-wins-per-key as
+    parallel sorted arrays. ONE MapInArrow over the fixture pages.
+    Golden oracle: the fixture's COMPOSITION-FIRST expectation (every
+    field picks its expected value first, then derives the markup form —
+    the generator never normalizes/decodes/resolves;
+    fixtures/gen_meta.py)."""
+    from fixtures.gen_meta import ensure_meta
+    from htmld_spark.functions.udfs import extract_meta_df
+
+    pages_path, _exp = ensure_meta()
+    pages = spark.read.parquet(pages_path)
+    return extract_meta_df(pages).select(
+        "url", "title", "description", "meta_robots", "canonical_url",
+        "lang", "charset", "og_props", "og_values",
+    )
+
+
+def _q_sitemap_entries(spark, sf_dir):
+    """R19 sitemap parsing (sources/sitemaps.py — the seed-discovery leg
+    of the crawl on-ramp; sitemaps.org protocol): urlset/sitemapindex/
+    plain-text forms, gzip (salvaging member reader), first-root and
+    first-child-wins rules, loc entity/CDATA decode + RFC 3986
+    resolution + http(s)-only + 2048-char cap, changefreq enum
+    validation, priority range validation. ONE mapInArrow over the
+    (url, body) frame, exploded to one row per entry. Golden oracle:
+    the fixture's COMPOSITION-FIRST expectation (each entry picks its
+    expected record first, then derives the payload form;
+    fixtures/gen_sitemaps.py)."""
+    from fixtures.gen_sitemaps import ensure_sitemaps
+    from htmld_spark.sources.sitemaps import sitemap_entries_df
+
+    maps_path, _exp = ensure_sitemaps()
+    return sitemap_entries_df(spark.read.parquet(maps_path))
+
+
 def _q_extract_links(spark, sf_dir):
     """X9 outlink extraction (engine/links.py — the crawl-frontier leg):
     <a href>/<area href> in document order, first-<base href> rebasing,
@@ -1327,6 +1369,29 @@ def _q_url_dedup_keep(spark, sf_dir):
     )
 
 
+def _q_cdx_index(spark, sf_dir):
+    """L62 CDX-style capture index (functions/urls.py cdx_index — the
+    shape of Common Crawl's public url index): urlkey = SURT key of the
+    canonical url (host labels reversed, comma-joined + ')' + path +
+    query), ts, md5 payload digest, byte length; built as a
+    range-partitioned within-partition sort (sampled split points,
+    never a single-partition global sort). Oracle: the independent
+    DuckDB canonicalization twin extended with its own list_reverse
+    SURT + md5/octet_length over the same messy-url construction (the
+    compare is order-insensitive; the SORT is plan-asserted in
+    tests/test_urls.py, value-asserted here)."""
+    from htmld_spark.functions.urls import cdx_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    caps = docs.selectExpr(
+        f"{_MESSY_URL_SPARK} AS url",
+        "CAST(1767225600 + doc_id AS BIGINT) AS ts",
+        "text AS payload",
+    )
+    out = cdx_index(caps, url_col="url", ts_col="ts", payload_col="payload")
+    return out.withColumn("n_bytes", F.col("n_bytes").cast("long"))
+
+
 def _q_host_link_graph(spark, sf_dir):
     """L59a host-level link graph (crawl-frontier ordering input): page
     outlinks collapse to (src_host, dst_host, n_links) IMMEDIATELY —
@@ -1344,6 +1409,23 @@ def _q_host_link_graph(spark, sf_dir):
     return host_link_graph(extract_links_df(pages)).withColumn(
         "n_links", F.col("n_links").cast("long")
     )
+
+
+def _q_host_degree_stats(spark, sf_dir):
+    """L63 per-host degree/volume features (functions/graph.py
+    host_degree_stats): distinct in/out neighbor counts, in/out link
+    volume, self-link volume — two map-side-combinable groupBys over
+    the host-sized edge list + one full outer join. Oracle: the same
+    aggregates re-derived in DuckDB from the composition-first expected
+    links (regexp host extraction, independent of the engine AND of
+    Spark's url parser)."""
+    from fixtures.gen_links import ensure_links
+    from htmld_spark.functions.graph import host_degree_stats, host_link_graph
+    from htmld_spark.functions.udfs import extract_links_df
+
+    pages_path, _exp = ensure_links()
+    pages = spark.read.parquet(pages_path)
+    return host_degree_stats(host_link_graph(extract_links_df(pages)))
 
 
 def _q_pagerank_hosts(spark, sf_dir):
@@ -1421,27 +1503,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the stalest rotated-out tail, (4) stable driver-green entries
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
-    not hand-maintain the number here). r7 window: the 9 new/changed
-    entries first (semdedup_keep_capped NEW; semdedup_keep cap param;
+    not hand-maintain the number here). r7 window: the new/changed
+    entries first (page_metadata NEW X10; sitemap_entries NEW R19;
+    cdx_index NEW L62; host_degree_stats NEW L63;
+    semdedup_keep_capped NEW; semdedup_keep cap param;
     warc_ingest chunked/gzip body decode; robots_filter slim-frame +
     url_path; pdf_extract/pdf_metadata /Encrypt; temperature_sample
     replica None-lang; host_top_terms + pages_host_counts try_parse_url
     sweep), then 5 r6-new fill (one round old), then the FULL r6
     rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
-    exactly 50 at the cutoff. Every r7 rotated-out entry
-    (dsir_select .. extract_main_text) is driver-green in r6
-    (CORRECTNESS_r06), unchanged, and re-verified locally via
-    check_contract each round. Keep this note current."""
+    exactly 50 at the cutoff (select_extract; the four r7-new
+    insertions pushed outer_html_main .. window_running_qty into the
+    tail). Every r7 rotated-out entry (outer_html_main,
+    pages_dedup_latest, q1_pricing, revenue_by_nation,
+    dsir_select .. extract_main_text) is driver-green in r6
+    (CORRECTNESS_r06) or earlier, unchanged, and re-verified locally
+    via check_contract each round. Keep this note current."""
     return {
         # --- r7: new / behavior-changed this round ---
+        "page_metadata": _q_page_metadata,  # X10 head metadata (NEW r7)
+        "sitemap_entries": _q_sitemap_entries,  # R19 sitemap parsing (NEW r7)
         "extract_links": _q_extract_links,  # X9 outlinks (NEW r7)
         "anchor_pairs": _q_anchor_pairs,  # X9b anchor-text pairs (NEW r7)
         "canonical_urls": _q_canonical_urls,  # L60 url canonicalization (NEW r7)
         "url_dedup_keep": _q_url_dedup_keep,  # L60b url-key dedup (NEW r7)
+        "cdx_index": _q_cdx_index,  # L62 SURT capture index (NEW r7)
         "frontier_select": _q_frontier_select,  # L61 frontier policy (NEW r7)
         "robots_directives": _q_robots_directives,  # R18b politeness (NEW r7)
         "host_link_graph": _q_host_link_graph,  # L59a host edges (NEW r7)
+        "host_degree_stats": _q_host_degree_stats,  # L63 degree features (NEW r7)
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
         "semdedup_keep": _q_semdedup_keep,  # L57 fn grew the cap param (r7)
@@ -1566,6 +1657,12 @@ def oracle_sql() -> dict[str, str]:
     from fixtures.gen_links import ensure_links
 
     _links_pages, links_exp = ensure_links()
+    from fixtures.gen_meta import ensure_meta
+
+    _meta_pages, meta_exp = ensure_meta()
+    from fixtures.gen_sitemaps import ensure_sitemaps
+
+    _sm_maps, sm_exp = ensure_sitemaps()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1602,6 +1699,20 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": (
             f"SELECT url, pos, link_url FROM read_parquet('{links_exp}')"
         ),
+        # R19 sitemap entries: composition-first fixture expectation
+        # (records chosen first, payload forms derived — gen_sitemaps.py
+        # never resolves/decodes/validates)
+        "sitemap_entries": (
+            "SELECT sitemap_url, pos, kind, loc, lastmod, changefreq, "
+            f"priority FROM read_parquet('{sm_exp}')"
+        ),
+        # X10 page metadata: composition-first fixture expectation
+        # (expected values chosen first, markup forms derived —
+        # gen_meta.py never normalizes/decodes/resolves)
+        "page_metadata": (
+            "SELECT url, title, description, meta_robots, canonical_url, "
+            f"lang, charset, og_props, og_values FROM read_parquet('{meta_exp}')"
+        ),
         # L60 url canonicalization: independent DuckDB regexp/list twin
         # of the pinned rule set (construction shared, rules re-derived)
         "canonical_urls": (
@@ -1618,6 +1729,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT canon_url, MIN(doc_id) AS keep_id, "
             f"COUNT(*) AS n_variants FROM canon "
             f"WHERE canon_url IS NOT NULL GROUP BY canon_url"
+        ),
+        # L62 CDX index: the canonicalization twin extended with its own
+        # SURT (list_reverse label join) + md5/octet_length — order
+        # differences are invisible to the compare (it sorts), the SORT
+        # shape is plan-asserted in tests/test_urls.py
+        "cdx_index": (
+            f"WITH messy AS (SELECT doc_id, text, {_MESSY_URL_DUCK} AS url "
+            f"FROM documents), parts AS (SELECT doc_id, text, {_CANON_DUCK} "
+            f"FROM messy), canon AS (SELECT doc_id, text, {_CANON_FINAL_DUCK} "
+            f"AS canon_url FROM parts) "
+            f"SELECT array_to_string(list_reverse(string_split("
+            f"regexp_extract(canon_url, '^[a-z]+://([^/]+)', 1), '.')), ',') "
+            f"|| ')' || regexp_replace(canon_url, '^[a-z]+://[^/]+', '') "
+            f"AS urlkey, 1767225600 + doc_id AS ts, md5(text) AS digest, "
+            f"CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+            f"FROM canon WHERE canon_url IS NOT NULL"
         ),
         # R18b politeness directives: by-construction fixture expectations
         "robots_directives": (
@@ -1652,6 +1779,25 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_extract(link_url, 'https?://([^/]+)', 1) AS dst_host, "
             f"COUNT(*) AS n_links "
             f"FROM read_parquet('{links_exp}') GROUP BY 1, 2"
+        ),
+        # L63 degree features: same aggregates re-derived in DuckDB from
+        # the composed expected links (regexp host extraction)
+        "host_degree_stats": (
+            f"WITH e AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) "
+            f"AS src, regexp_extract(link_url, 'https?://([^/]+)', 1) AS dst, "
+            f"COUNT(*) AS n FROM read_parquet('{links_exp}') GROUP BY 1, 2), "
+            f"s AS (SELECT src AS host, COUNT(*) AS out_deg, SUM(n) AS "
+            f"out_links, SUM(CASE WHEN src = dst THEN n ELSE 0 END) AS "
+            f"self_links FROM e GROUP BY 1), "
+            f"d AS (SELECT dst AS host, COUNT(*) AS in_deg, SUM(n) AS "
+            f"in_links FROM e GROUP BY 1) "
+            f"SELECT COALESCE(s.host, d.host) AS host, "
+            f"CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg, "
+            f"CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg, "
+            f"CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links, "
+            f"CAST(COALESCE(in_links, 0) AS BIGINT) AS in_links, "
+            f"CAST(COALESCE(self_links, 0) AS BIGINT) AS self_links "
+            f"FROM s FULL OUTER JOIN d ON s.host = d.host"
         ),
         # L59b fixed-point PageRank: pure-python integer-spec replica
         # (gen_links.replica_pagerank) over the composed links

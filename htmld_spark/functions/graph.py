@@ -195,3 +195,47 @@ def frontier_select(
             F.col("rank_fp").desc(), F.col("host"), F.col("slot")
         ).limit(budget)
     return out
+
+
+def host_degree_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    n_col: str = "n_links",
+) -> DataFrame:
+    """Per-host degree/volume features of a host edge list (L63) — the
+    cheap graph signals a crawl-quality model consumes next to PageRank
+    (hub-ness, authority-ness, nav-heavy self-linking):
+
+    - ``out_deg`` / ``in_deg``: DISTINCT neighbor hosts linked to /
+      from (self edges count in both — the host is its own neighbor);
+    - ``out_links`` / ``in_links``: total link volume (Σ ``n_col``);
+    - ``self_links``: the host's own-site link volume, reported
+      separately (nav/boilerplate signal).
+
+    Shape: two map-side-combinable groupBys over the ALREADY host-sized
+    edge list (~10⁷ rows regardless of page count) + one full outer
+    join on host; absent sides are zero. No window, no distinct over
+    pages."""
+    src_agg = edges.groupBy(F.col(src_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum(n_col).alias("out_links"),
+        F.sum(
+            F.when(F.col(src_col) == F.col(dst_col), F.col(n_col)).otherwise(0)
+        ).alias("self_links"),
+    )
+    dst_agg = edges.groupBy(F.col(dst_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.sum(n_col).alias("in_links"),
+    )
+    return (
+        src_agg.join(dst_agg, "host", "full_outer")
+        .select(
+            "host",
+            *(
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("out_deg", "in_deg", "out_links", "in_links",
+                          "self_links")
+            ),
+        )
+    )

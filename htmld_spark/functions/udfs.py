@@ -610,3 +610,98 @@ def extract_links_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
     anchor-pair harvesting compose on the array columns with ordinary
     relational ops (arrays_zip + posexplode stay JVM-side)."""
     return df.mapInArrow(make_links_fn(byte_budget), LINKS_SCHEMA)
+
+
+# --- X10: page-metadata extraction ------------------------------------
+
+META_SCHEMA = (
+    "url string, warc_ts timestamp, title string, description string, "
+    "meta_robots string, canonical_url string, lang string, "
+    "charset string, og_props array<string>, og_values array<string>, "
+    "parse_ok boolean"
+)
+
+_META_NULLS = {
+    "title": None, "description": None, "meta_robots": None,
+    "canonical_url": None, "lang": None, "charset": None,
+    "og_props": [], "og_values": [],
+}
+
+
+def make_meta_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """mapInArrow kernel for page-metadata extraction (engine/meta.py):
+    input (url, html[, warc_ts]) → one metadata record per page (title,
+    description, robots consent, canonical url, lang, charset, the
+    OpenGraph card as parallel sorted arrays). Same batching discipline
+    as the HTML extraction kernel."""
+    from htmld_spark.engine import parse_document
+    from htmld_spark.engine.meta import extract_meta
+
+    fields = (
+        "title", "description", "meta_robots", "canonical_url",
+        "lang", "charset",
+    )
+
+    def meta_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            html_col = batch.column(names.index("html"))
+            ts_col = (
+                batch.column(names.index("warc_ts"))
+                if "warc_ts" in names
+                else None
+            )
+            for lo, hi in _slice_offsets(html_col, byte_budget):
+                raws = html_col.slice(lo, hi - lo).to_pylist()
+                urls = url_col.slice(lo, hi - lo).to_pylist()
+                recs: list[dict] = []
+                ok: list[bool] = []
+                for u, raw in zip(urls, raws):
+                    try:
+                        recs.append(
+                            extract_meta(parse_document(raw or b""), u or "")
+                        )
+                        ok.append(True)
+                    except MemoryError:  # never-raise backstop
+                        recs.append(_META_NULLS)
+                        ok.append(False)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url_col.slice(lo, hi - lo),
+                        (
+                            ts_col.slice(lo, hi - lo)
+                            if ts_col is not None
+                            else pa.nulls(hi - lo, pa.timestamp("us"))
+                        ),
+                        *(
+                            pa.array([r[f] for r in recs], pa.string())
+                            for f in fields
+                        ),
+                        pa.array(
+                            [r["og_props"] for r in recs],
+                            pa.list_(pa.string()),
+                        ),
+                        pa.array(
+                            [r["og_values"] for r in recs],
+                            pa.list_(pa.string()),
+                        ),
+                        pa.array(ok, pa.bool_()),
+                    ],
+                    names=[
+                        "url", "warc_ts", "title", "description",
+                        "meta_robots", "canonical_url", "lang", "charset",
+                        "og_props", "og_values", "parse_ok",
+                    ],
+                )
+
+    return meta_batches
+
+
+def extract_meta_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
+    """Page metadata of a pages frame: (url, html[, warc_ts]) → one row
+    per page with the pinned head-metadata record (engine/meta.py).
+    ONE MapInArrow crossing; downstream policy (canonical-vs-L60 dedup
+    keys, consent filtering on meta_robots, language routing) composes
+    with ordinary relational ops."""
+    return df.mapInArrow(make_meta_fn(byte_budget), META_SCHEMA)

@@ -90,3 +90,58 @@ def dedup_urls_keep(
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT-form index key of ``url`` (L62; the public Common-Crawl /
+    Heritrix Sort-friendly URI Reordering Transform): the CANONICAL url
+    (rule set above) with the scheme dropped and the host labels
+    reversed comma-joined, then ``)`` + path + query —
+    ``https://news.example.com/a?b=1`` → ``com,example,news)/a?b=1``.
+    Keys of one registered domain sort adjacently, which is the whole
+    point: a range scan over the sorted index covers a site. Pure
+    Column expression (codegen, row-local); NULL when the url has no
+    parseable scheme + host."""
+    c = canonical_url(url)
+    host = F.regexp_extract(c, r"^[a-z]+://([^/]+)", 1)
+    rest = F.regexp_replace(c, r"^[a-z]+://[^/]+", "")
+    return F.when(
+        c.isNotNull(),
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            F.lit(")"),
+            rest,
+        ),
+    )
+
+
+def cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """CDX-style capture index (L62; the shape of Common Crawl's public
+    url index): one row per capture — (urlkey = SURT key, ts, digest =
+    md5 hex of the payload bytes, n_bytes), globally ordered by
+    (urlkey, ts) the scalable way: ``repartitionByRange`` on the key +
+    ``sortWithinPartitions`` — a distributed range-partitioned sort
+    (sampled split points), NEVER a single-partition global sort. Each
+    output file is a sorted run and the range partitioning makes file
+    boundaries ordered too, so a lookup binary-searches one shard — the
+    index survives 10^12 captures. Unparseable urls (NULL key) are
+    dropped, the same crawl-robustness rule as url dedup. (Real CC uses
+    sha1-base32 digests; md5 is the hash both engines share, and the
+    digest's job — revisit/dedup detection — only needs collision
+    resistance at corpus scale.)"""
+    skinny = df.select(
+        surt_key(url_col).alias("urlkey"),
+        F.col(ts_col).alias("ts"),
+        F.md5(F.col(payload_col).cast("binary")).alias("digest"),
+        F.octet_length(F.col(payload_col)).alias("n_bytes"),
+    ).filter(F.col("urlkey").isNotNull())
+    parts = [n_shards] if n_shards else []
+    return skinny.repartitionByRange(*parts, "urlkey", "ts").sortWithinPartitions(
+        "urlkey", "ts"
+    )

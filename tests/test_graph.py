@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from fixtures.gen_links import replica_pagerank
 from htmld_spark.functions.graph import (
     frontier_select,
+    host_degree_stats,
     host_link_graph,
     pagerank_hosts,
 )
@@ -200,3 +201,31 @@ def test_frontier_deterministic_across_partitionings(spark):
         ).collect())
     )
     assert a == b and len(a) == 8
+
+
+def test_host_degree_stats(spark):
+    """Degrees/volumes/self-links against a hand-computed edge list;
+    hosts absent from one side get zeros; no Python crossing."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("a", "c", 1), ("a", "a", 5),
+            ("b", "a", 2), ("c", "a", 1), ("d", "a", 1),
+        ],
+        "src_host string, dst_host string, n_links int",
+    )
+    out = host_degree_stats(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    rows = {r.host: r for r in out.collect()}
+    a = rows["a"]
+    assert (a.out_deg, a.in_deg, a.out_links, a.in_links, a.self_links) == (
+        3, 4, 9, 9, 5
+    )
+    b = rows["b"]
+    assert (b.out_deg, b.in_deg, b.out_links, b.in_links, b.self_links) == (
+        1, 1, 2, 3, 0
+    )
+    d = rows["d"]  # no in-edges: in side zeroed by the outer join
+    assert (d.out_deg, d.in_deg, d.out_links, d.in_links, d.self_links) == (
+        1, 0, 1, 0, 0
+    )

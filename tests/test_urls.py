@@ -3,7 +3,12 @@ never-raise posture on junk urls, and the all-JVM plan shape."""
 
 import pytest
 
-from htmld_spark.functions.urls import canonical_url, dedup_urls_keep
+from htmld_spark.functions.urls import (
+    canonical_url,
+    cdx_index,
+    dedup_urls_keep,
+    surt_key,
+)
 
 
 def _canon(spark, urls):
@@ -82,6 +87,86 @@ def test_dedup_drops_null_keys(spark):
     rows = dedup_urls_keep(df).collect()
     assert len(rows) == 1
     assert rows[0].keep_id == 2 and rows[0].n_variants == 2
+
+
+def test_surt_key(spark):
+    from pyspark.sql import functions as F
+
+    def surt(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.s for r in df.select(surt_key("url").alias("s")).collect()]
+
+    assert surt(
+        [
+            "https://news.example.com/a?b=1",
+            "HTTP://WWW.Ex.COM:80/Path",  # SURT of the CANONICAL form
+            "https://h.example",
+            "not a url",
+        ]
+    ) == [
+        "com,example,news)/a?b=1",
+        "com,ex)/Path",
+        "example,h)/",
+        None,
+    ]
+    # keys of one registered domain sort adjacently
+    ks = sorted(
+        surt(
+            [
+                "https://a.example.com/x",
+                "https://other.org/y",
+                "https://b.example.com/z",
+            ]
+        )
+    )
+    assert ks[0].startswith("com,example,a") and ks[1].startswith(
+        "com,example,b"
+    )
+
+
+def test_cdx_index_shape_and_values(spark):
+    """Range-partitioned within-partition sort (never a single-partition
+    global sort); digest/length computed JVM-side; NULL keys dropped."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 5).cast("string"),
+            F.lit(".example/p"), (F.col("id") % 11).cast("string"),
+        ).alias("url"),
+        (F.lit(1767225600) + F.col("id")).alias("ts"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias(
+            "payload"
+        ),
+    ).union(
+        spark.createDataFrame(
+            [("junk url", 1, "x")], "url string, ts long, payload string"
+        )
+    )
+    out = cdx_index(df, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    rows = out.collect()
+    assert len(rows) == 200  # junk url dropped
+    assert all(r.urlkey.startswith("example,h") for r in rows)
+    assert all(len(r.digest) == 32 for r in rows)
+    # each output partition is sorted by (urlkey, ts)
+    parts = out.withColumn(
+        "pid", F.spark_partition_id()
+    ).collect()
+    by_pid: dict[int, list] = {}
+    for r in parts:
+        by_pid.setdefault(r.pid, []).append((r.urlkey, r.ts))
+    for pid, ks in by_pid.items():
+        assert ks == sorted(ks)
+    # range partitioning: shard key-ranges do not interleave
+    bounds = sorted(
+        (min(ks), max(ks)) for ks in by_pid.values() if ks
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
 
 
 @pytest.fixture(scope="module")
