@@ -240,6 +240,10 @@ def run_headline(master: str) -> dict:
         "url_dedup_keep",
         "frontier_select",
         "robots_directives",
+        "page_metadata",  # X10 head metadata (100-page fixture)
+        "sitemap_entries",  # R19 (60-payload fixture; plan shape is the signal)
+        "cdx_index",
+        "host_degree_stats",
     ):
         best = None
         for _ in range(2):
@@ -259,7 +263,7 @@ def run_headline(master: str) -> dict:
     extra_plan_shapes = {}
     for name in (
         "dsir_select", "host_term_divergence", "lm_perplexity",
-        "semdedup_keep", "pagerank_hosts",
+        "semdedup_keep", "pagerank_hosts", "cdx_index",
     ):
         plan_str = (
             qs[name](spark, SF_DIR)
@@ -294,6 +298,19 @@ def run_headline(master: str) -> dict:
     )
     assert extra_plan_shapes["pagerank_hosts"]["map_in_arrows"] == 0, (
         "pagerank_hosts: link-extraction MapInArrow re-runs above the checkpoints"
+    )
+    # r7: the CDX index must stay a DISTRIBUTED range-partitioned sort —
+    # a SinglePartition exchange means someone replaced it with a global
+    # orderBy and the index build dies at 10^12 captures
+    _cdx_plan = (
+        qs["cdx_index"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in _cdx_plan.lower(), (
+        "cdx_index: range partitioning gone from the index build"
+    )
+    assert "SinglePartition" not in _cdx_plan, (
+        "cdx_index: single-partition global sort reintroduced"
     )
 
     total = round(sum(timings.values()), 3)

@@ -64,6 +64,7 @@ def curate(
     temperature_frac: float | None = None,
     source: str = "html",
     url_dedup: bool = False,
+    meta_consent: bool = False,
 ) -> DataFrame:
     """Raw pages (url, warc_ts, html[, lang]) → curated, split corpus.
     Returns (url, warc_ts, text, n_tokens, pred_lang, quality_bucket,
@@ -152,6 +153,21 @@ def curate(
     column-prunes the scan; CLAUDE.md plan-diamond rule) —
     localCheckpoint such a frame before calling.
 
+    ``meta_consent`` applies IN-PAGE indexing consent (X10's
+    ``<meta name=robots>`` — the page-level side of the consent story;
+    compose ``sources/robots.robots_filter`` upstream for the
+    robots.txt side): pages whose directive list contains ``noindex``
+    or ``none`` are dropped BEFORE extraction. The deny set comes from
+    ONE extra metadata MapInArrow over the slim (url, html) projection
+    (``extract_meta_df`` — a parse without text/span extraction), is
+    typically a small fraction (AQE broadcasts it), and pages are
+    filtered by one LEFT ANTI join — the html binary is never shuffled.
+    NULL urls and pages with no meta element are KEPT (fail-open, the
+    url_dedup rule). html-source only. Intended input is a raw-scan
+    pages frame (the deny branch column-prunes the scan; an expensive
+    computed upstream executes twice — localCheckpoint it first, the
+    url_dedup caveat verbatim).
+
     ``gopher_gate`` additionally applies the full Gopher rule set
     (functions/text.gopher_rules — word/mean-word-length bounds, symbol
     ratio, bullet/ellipsis line fractions, alpha-word fraction, stopword
@@ -185,6 +201,11 @@ def curate(
         )
     if source not in ("html", "pdf"):
         raise ValueError(f"source must be 'html' or 'pdf', got {source!r}")
+    if meta_consent and source != "html":
+        raise ValueError(
+            "meta_consent needs html pages (the directive lives in the"
+            " markup); PDF crawls have no <meta name=robots>"
+        )
     if url_dedup:
         from htmld_spark.functions.urls import canonical_url
 
@@ -202,6 +223,22 @@ def curate(
             .select("url")
         )
         pages = pages.join(drops, "url", "left_anti")
+    if meta_consent:
+        from htmld_spark.functions.udfs import extract_meta_df
+        from htmld_spark.sources.robots import meta_robots_allowed
+
+        # the skinny deny frame is lazily localCheckpointed: without it
+        # the optimizer pushes the anti join below a Union input and
+        # replans the metadata MapInArrow once PER BRANCH (observed:
+        # PushDownLeftSemiAntiJoin duplicating the deny subtree) — the
+        # robots_filter slim-frame lesson applied here
+        deny = (
+            extract_meta_df(pages.select("url", "html"))
+            .filter(~meta_robots_allowed("meta_robots"))
+            .select("url")
+            .localCheckpoint(eager=False)
+        )
+        pages = pages.join(deny, "url", "left_anti")
     if source == "pdf":
         from htmld_spark.functions.udfs import extract_pdf_pages_df
 

@@ -324,3 +324,23 @@ def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
         .localCheckpoint(eager=False)
     )
     return pages.join(blocked_urls, url_col, "left_anti")
+
+
+def meta_robots_allowed(meta_robots_col):
+    """In-page indexing consent (the ``<meta name=robots>`` side of the
+    consent story; robots.txt is the fetch side above): True when the
+    comma-separated directive list contains neither ``noindex`` nor
+    ``none`` (the two opt-out-of-indexing tokens; tokens trimmed —
+    X10's extract_meta already lowercases and ws-normalizes the value).
+    NULL (no meta element) → allowed, the absent-directive default
+    matching the RFC 9309 absent-robots stance. Row-local codegen
+    Column — no join, no Python crossing."""
+    from pyspark.sql import Column, functions as F
+
+    col = (
+        F.col(meta_robots_col)
+        if isinstance(meta_robots_col, str)
+        else meta_robots_col
+    )
+    toks = F.split(F.coalesce(col, F.lit("")), ",")
+    return ~F.exists(toks, lambda t: F.trim(t).isin("noindex", "none"))

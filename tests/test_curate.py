@@ -396,3 +396,42 @@ def test_curate_gopher_gate(spark):
     passing = {u for u, p in verdicts.items() if p}
     assert got == passing
     assert len(got) > 0
+
+
+def test_curate_meta_consent(spark):
+    """meta_consent=True: pages carrying <meta name=robots noindex|none>
+    are dropped BEFORE extraction; everything else is untouched (equal
+    to the baseline run on the unflagged pages). Plan: the metadata
+    pass hides behind the deny frame's lazy checkpoint (one
+    materialization even when the optimizer pushes the anti join below
+    a Union), so the output plan keeps exactly ONE visible MapInArrow
+    (the extraction), no BatchEvalPython; PDF source rejects the
+    flag."""
+    import pytest as _pytest
+
+    pages = spark.read.parquet(ensure_pages("0.001")).limit(30)
+    flagged = pages.limit(6).withColumn(
+        "html",
+        F.concat(
+            F.lit(b'<meta name="robots" content="noindex, nofollow">'),
+            F.col("html"),
+        ),
+    )
+    rest = pages.join(flagged.select("url"), "url", "left_anti")
+    noisy = rest.unionByName(flagged)
+    out = curate(noisy, min_tokens=3, meta_consent=True).cache()
+    base = curate(rest, min_tokens=3).cache()
+    flagged_urls = {r.url for r in flagged.select("url").collect()}
+    assert not flagged_urls & {r.url for r in out.select("url").collect()}
+    assert (
+        base.exceptAll(out).count() == 0 and out.exceptAll(base).count() == 0
+    )
+    p = (
+        curate(noisy, min_tokens=3, meta_consent=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    with _pytest.raises(ValueError):
+        curate(noisy, source="pdf", meta_consent=True)
+    out.unpersist()
+    base.unpersist()

@@ -169,3 +169,27 @@ def spark():
     s = get_spark(master="local[4]", app_name="pytest_meta")
     yield s
     s.stop()
+
+
+def test_meta_robots_allowed(spark):
+    """In-page consent Column (sources/robots.meta_robots_allowed):
+    noindex/none deny, others allow, NULL allows; row-local (no join,
+    no Python crossing)."""
+    from htmld_spark.sources.robots import meta_robots_allowed
+
+    df = spark.createDataFrame(
+        [
+            ("noindex", False),
+            ("noindex, nofollow", False),
+            ("none", False),
+            ("index, follow", True),
+            ("nofollow", True),  # follow-consent only: indexing allowed
+            (None, True),
+            ("", True),
+        ],
+        "meta_robots string, want boolean",
+    )
+    out = df.select("want", meta_robots_allowed("meta_robots").alias("got"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    assert all(r.got == r.want for r in out.collect())
