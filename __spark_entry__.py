@@ -1035,6 +1035,83 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _q_encoding_extract(spark, sf_dir):
+    """X11 charset-normalized extraction (engine/encoding.py — WHATWG
+    BOM sniff + html5 meta prescan + UTF-8-validation/windows-1252
+    fallback, folded into the extraction kernel BEFORE the parse): one
+    MapInArrow crossing over the multi-charset fixture
+    (fixtures/gen_encodings.py — 38 encoding modes: windows-125x /
+    iso-8859-x alias labels, shift_jis→windows-31j, euc-jp/kr,
+    iso-2022-jp, gbk/gb18030/big5, UTF-16 BOMs, undeclared-1252
+    fallback, prescan edge labels). Golden oracle: the fixture's
+    independently composed text column — the html bytes went through
+    each codec's own encoder, the expectation never did."""
+    from fixtures.gen_encodings import ensure_encodings
+    from htmld_spark.functions.udfs import extract_df
+
+    df = spark.read.parquet(ensure_encodings()).select("url", "html")
+    return extract_df(df, with_spans=False).select("url", "text")
+
+
+def _q_encoding_sniff(spark, sf_dir):
+    """X11b charset census (sniff_encoding_df): per-page (encoding,
+    source) verdicts — the corpus encoding-mix report a curation run
+    uses to budget transcode work. Row-local ONE-MapInArrow plan.
+    Golden oracle: the fixture's expected verdict columns (BOM beats
+    meta beats UTF-8 validation beats the windows-1252 default)."""
+    from fixtures.gen_encodings import ensure_encodings
+    from htmld_spark.functions.udfs import sniff_encoding_df
+
+    df = spark.read.parquet(ensure_encodings()).select("url", "html")
+    return sniff_encoding_df(df)
+
+
+def _q_recrawl_diff(spark, sf_dir):
+    """L64 re-crawl change detection (relational.recrawl_diff): per-key
+    added/removed/changed/unchanged verdicts + digests + byte delta —
+    the refresh-policy input that lets unchanged pages skip the curation
+    tail on a re-crawl. Digest-only pre-projections feed ONE
+    co-partitioned full outer join (text never shuffles). The contract
+    PLANTS the change sets (doc_id%13 added, %11 removed, %7 edited) so
+    every status is genuinely exercised — the trivial-oracle trap
+    dodged; DuckDB replays the same plants + join."""
+    from htmld_spark.functions.relational import recrawl_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 13 != 5)
+    new = docs.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" re-crawl delta"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return recrawl_diff(old, new, key_col="doc_id")
+
+
+def _q_warc_robots(spark, sf_dir):
+    """R18c robots-from-crawl: derive the per-host robots.txt table from
+    the archives themselves (path == /robots.txt captures; LATEST
+    capture per host wins, body-md5 tie-break) — the consent loop with
+    no external table. Row-local pushable filter → one
+    map-side-combinable max_by groupBy on the host; only robots bodies
+    shuffle. Golden oracle: the fixture's composed robots rows (one host
+    has a superseded older capture that must lose) replayed by a DuckDB
+    row_number window."""
+    from fixtures.gen_warc import ensure_warc
+    from htmld_spark.sources.robots import robots_from_pages
+    from htmld_spark.sources.warc import warc_pages_df
+
+    arch, _exp = ensure_warc()
+    rb = robots_from_pages(warc_pages_df(spark, arch))
+    return rb.select("host", F.md5("robots").alias("robots_md5"))
+
+
 def _q_pdf_extract(spark, sf_dir):
     """X8 PDF text extraction (the north rule's "PDF/layout parse" leg;
     engine/pdf.py — forgiving xref-free parse, FlateDecode/ASCIIHex
@@ -1108,7 +1185,29 @@ def _q_warc_ingest(spark, sf_dir):
         "warc_ts",
         F.length("html").cast("long").alias("n_bytes"),
         F.md5("html").alias("html_md5"),
+        "content_type",
     )
+
+
+def _q_warc_extract(spark, sf_dir):
+    """R17b crawl on-ramp end to end: WARC archives → pages (R17, body
+    codings undone) → ``html_pages`` mime filter (image/plain responses
+    dropped by a row-local codegen predicate; headerless captures kept)
+    → X11 charset normalization where the HTTP Content-Type carries the
+    only charset signal (the transport step outranks the meta prescan)
+    → mcx-1 extraction. ONE MapInArrow for the parse + one for the
+    extraction — the real Common-Crawl-to-text path. Golden oracle: the
+    fixture's independently composed main_txt per html row."""
+    from fixtures.gen_warc import ensure_warc
+    from htmld_spark.functions.udfs import extract_df
+    from htmld_spark.sources.warc import html_pages, warc_pages_df
+
+    arch, _exp = ensure_warc()
+    pages = html_pages(warc_pages_df(spark, arch))
+    out = extract_df(
+        pages.select("url", "html", "content_type"), with_spans=False
+    )
+    return out.select("url", "text")
 
 
 def _q_epoch_shuffle(spark, sf_dir):
@@ -1504,7 +1603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fill the rest. The registry COUNT is printed by
     `python tools/check_contract.py` (VERDICT r05 #4: quote the tool, do
     not hand-maintain the number here). r7 window: the new/changed
-    entries first (page_metadata NEW X10; sitemap_entries NEW R19;
+    entries first (encoding_extract NEW X11 + encoding_sniff NEW X11b —
+    charset transcode folded into every html kernel, identity on UTF-8
+    input; page_metadata NEW X10; sitemap_entries NEW R19;
     cdx_index NEW L62; host_degree_stats NEW L63;
     semdedup_keep_capped NEW; semdedup_keep cap param;
     warc_ingest chunked/gzip body decode; robots_filter slim-frame +
@@ -1513,15 +1614,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep), then 5 r6-new fill (one round old), then the FULL r6
     rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
-    exactly 50 at the cutoff (select_extract; the four r7-new
-    insertions pushed outer_html_main .. window_running_qty into the
-    tail). Every r7 rotated-out entry (outer_html_main,
+    exactly 50 at the cutoff (text_quality; the r7-new insertions —
+    four crawl-graph ops, then X11 ×2, warc_extract, warc_robots,
+    recrawl_diff — pushed lang_id .. window_running_qty into the tail).
+    Every r7 rotated-out entry (lang_id, gopher_rules, hash_split,
+    spans_tag_histogram, select_extract, outer_html_main,
     pages_dedup_latest, q1_pricing, revenue_by_nation,
     dsir_select .. extract_main_text) is driver-green in r6
     (CORRECTNESS_r06) or earlier, unchanged, and re-verified locally
     via check_contract each round. Keep this note current."""
     return {
         # --- r7: new / behavior-changed this round ---
+        "encoding_extract": _q_encoding_extract,  # X11 transcode (NEW r7)
+        "encoding_sniff": _q_encoding_sniff,  # X11b charset census (NEW r7)
         "page_metadata": _q_page_metadata,  # X10 head metadata (NEW r7)
         "sitemap_entries": _q_sitemap_entries,  # R19 sitemap parsing (NEW r7)
         "extract_links": _q_extract_links,  # X9 outlinks (NEW r7)
@@ -1536,7 +1641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,  # L59b fixed-point PR (NEW r7)
         "semdedup_keep_capped": _q_semdedup_keep_capped,  # L57b hot-cell cap (NEW r7)
         "semdedup_keep": _q_semdedup_keep,  # L57 fn grew the cap param (r7)
-        "warc_ingest": _q_warc_ingest,  # R17 chunked/gzip body decode (r7)
+        "warc_ingest": _q_warc_ingest,  # R17 + content_type passthrough (r7)
+        "warc_extract": _q_warc_extract,  # R17b warc→mime→X11→text (NEW r7)
+        "warc_robots": _q_warc_robots,  # R18c robots-from-crawl (NEW r7)
+        "recrawl_diff": _q_recrawl_diff,  # L64 re-crawl change report (NEW r7)
         "robots_filter": _q_robots_filter,  # R18 slim frame + url_path fix (r7)
         "pdf_extract": _q_pdf_extract,  # X8 /Encrypt detection (r7)
         "pdf_metadata": _q_pdf_metadata,  # X8b pdf_encrypted flag (r7)
@@ -1663,6 +1771,9 @@ def oracle_sql() -> dict[str, str]:
     from fixtures.gen_sitemaps import ensure_sitemaps
 
     _sm_maps, sm_exp = ensure_sitemaps()
+    from fixtures.gen_encodings import ensure_encodings
+
+    enc_fx = ensure_encodings()
     lang_scores = {
         "en": r"\b(the|and|of)\b",
         "de": r"\b(der|die|und)\b",
@@ -1692,6 +1803,12 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         # golden oracles: the fixture's text column IS the expected output
         "extract_main_text": f"SELECT url, warc_ts, text FROM read_parquet('{fx}')",
+        # X11 charset normalization: expected text composed from the
+        # logical lines; html serialized through each codec's encoder
+        "encoding_extract": f"SELECT url, text FROM read_parquet('{enc_fx}')",
+        "encoding_sniff": (
+            f"SELECT url, encoding, source FROM read_parquet('{enc_fx}')"
+        ),
         # X8 PDF leg: the fixture's independently composed text column IS
         # the byte-exact expectation (fixtures/gen_pdfs.py)
         # X9 outlinks: composition-first fixture expectation (targets
@@ -1814,8 +1931,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         # R17 WARC ingest: fixture-composed rows ARE the expectation
         "warc_ingest": (
-            f"SELECT url, warc_ts, n_bytes, html_md5 "
+            f"SELECT url, warc_ts, n_bytes, html_md5, content_type "
             f"FROM read_parquet('{warc_exp}')"
+        ),
+        # R17b end-to-end: html-mime filter + transport-charset decode +
+        # extraction; main_txt composed independently in gen_warc.py
+        "warc_extract": (
+            f"SELECT url, main_txt AS text FROM read_parquet('{warc_exp}') "
+            f"WHERE is_html"
+        ),
+        # L64 re-crawl diff: identical plants + full outer join replay
+        "recrawl_diff": (
+            "WITH old AS (SELECT doc_id, coalesce(text, '') AS t "
+            "FROM documents WHERE doc_id % 13 != 5), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "coalesce(text, '') || ' re-crawl delta' ELSE "
+            "coalesce(text, '') END AS t "
+            "FROM documents WHERE doc_id % 11 != 3) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN md5(o.t) = md5(n.t) THEN 'unchanged' "
+            "ELSE 'changed' END AS status, "
+            "CASE WHEN o.doc_id IS NULL THEN NULL ELSE md5(o.t) END "
+            "AS old_md5, "
+            "CASE WHEN n.doc_id IS NULL THEN NULL ELSE md5(n.t) END "
+            "AS new_md5, "
+            "coalesce(length(n.t), 0) - coalesce(length(o.t), 0) "
+            "AS len_delta "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
+        ),
+        # R18c robots-from-crawl: latest capture per host wins (the
+        # row_number window lives in the ORACLE only; the Spark side is
+        # one map-side-combinable max_by)
+        "warc_robots": (
+            f"SELECT host, html_md5 AS robots_md5 FROM ("
+            f"SELECT host, html_md5, row_number() OVER ("
+            f"PARTITION BY host ORDER BY warc_ts DESC, html_md5 DESC) AS rn "
+            f"FROM read_parquet('{warc_exp}') WHERE is_robots) WHERE rn = 1"
         ),
         # R18 robots filtering: kept = the by-construction allowed set
         "robots_filter": (

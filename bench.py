@@ -244,6 +244,11 @@ def run_headline(master: str) -> dict:
         "sitemap_entries",  # R19 (60-payload fixture; plan shape is the signal)
         "cdx_index",
         "host_degree_stats",
+        "encoding_extract",  # X11 transcode (152-page, 38-mode fixture)
+        "encoding_sniff",
+        "warc_extract",  # R17b warc→mime→X11→text e2e (97-page fixture)
+        "warc_robots",  # R18c robots-from-crawl (latest-wins max_by)
+        "recrawl_diff",  # L64 digest-join change report
     ):
         best = None
         for _ in range(2):

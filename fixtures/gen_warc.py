@@ -22,9 +22,22 @@ independent ISO 28500 writer the reader must normalize away:
   expected html is the two-chunk prefix (salvage, composed here
   independently of the reader).
 
-The EXPECTED table (url, warc_ts, n_bytes, html_md5) is composed from
-the drawn pages directly — binary html is compared via its md5 so the
-DuckDB oracle stays dialect-neutral.
+The EXPECTED table (url, warc_ts, n_bytes, html_md5, content_type,
+is_html, main_txt) is composed from the drawn pages directly — binary
+html is compared via its md5 so the DuckDB oracle stays
+dialect-neutral; main_txt is the independently composed mcx-1
+main-content expectation for the html rows (the warc_extract e2e
+golden), NULL for the non-html specials.
+
+v3 adds SPECIAL responses the mime/charset plumbing must handle:
+- a shift_jis page whose charset arrives ONLY via the HTTP
+  Content-Type header (X11 transport step — no meta, no BOM);
+- an image/png response (html_pages must drop it);
+- robots.txt captures (text/plain — dropped by html_pages, harvested by
+  robots_from_pages; one host has TWO captures so latest-wins is
+  genuinely exercised);
+- a headerless capture (payload with no HTTP status line → body
+  passes through whole, content_type NULL → html_pages keeps it).
 """
 
 from __future__ import annotations
@@ -43,7 +56,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "warc")
-WARC_VERSION = "2"  # v2: chunked / gzip / deflate coded responses
+WARC_VERSION = "4"  # v3/v4: content_type + specials (sjis, png, robots, …)
 N_PAGES = 90  # across 3 archives (one extra corrupt-chunked response on top)
 
 # body-coding rotation, assigned per page index — the writer frames,
@@ -109,6 +122,76 @@ def _corrupt_chunked_response() -> tuple[bytes, bytes]:
     return payload, c1 + c2
 
 
+def _special_records():
+    """v3 composed-first specials. Returns rows of (url, ts, payload,
+    expected_body, content_type, is_html, main_txt, is_robots, host) —
+    every expectation chosen FIRST, the wire payload derived from it."""
+    out = []
+    # (a) transport charset: shift_jis announced ONLY by the HTTP header
+    # (no meta, no BOM) — X11's transport step must decode it
+    line = "日本語 トランスポート charset テスト"
+    body = (
+        f"<html><body><main><p>{line}</p></main></body></html>"
+    ).encode("cp932")
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=shift_jis\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body)
+    ) + body
+    out.append((
+        "https://crawl-sjis.example/page", datetime(2024, 3, 29, 8, 0),
+        payload, body, "text/html; charset=shift_jis", True, line,
+        False, None,
+    ))
+    # (b) an image response: html_pages must drop it, ingest must land it
+    png = b"\x89PNG\r\n\x1a\n" + bytes((i * 37 + 11) % 256 for i in range(64))
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(png)
+    ) + png
+    out.append((
+        "https://crawl-img.example/logo.png", datetime(2024, 3, 29, 9, 0),
+        payload, png, "image/png", False, None, False, None,
+    ))
+    # (c) robots.txt captures (text/plain — dropped by html_pages,
+    # harvested by robots_from_pages). crawl0.example has TWO captures:
+    # the LATER one must win (R18c latest-wins rule)
+    def robots_rec(host, ts, rules):
+        body = rules.encode("utf-8")
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body)
+        ) + body
+        return (
+            f"https://{host}/robots.txt", ts, payload, body,
+            "text/plain; charset=utf-8", False, None, True, host,
+        )
+
+    out.append(robots_rec(
+        "crawl-txt.example", datetime(2024, 3, 29, 10, 0),
+        "User-agent: *\nDisallow: /private/\n",
+    ))
+    out.append(robots_rec(  # superseded capture — must NOT win
+        "crawl0.example", datetime(2024, 3, 10, 10, 0),
+        "User-agent: *\nDisallow: /\n",
+    ))
+    out.append(robots_rec(  # the latest capture — must win
+        "crawl0.example", datetime(2024, 3, 20, 10, 0),
+        "User-agent: aibot\nDisallow: /page/\nAllow: /page/9\n",
+    ))
+    # (d) headerless capture: no HTTP status line → the payload IS the
+    # body, content_type NULL → html_pages keeps it
+    line2 = "headerless capture body words"
+    body2 = (
+        f"<html><body><main><p>{line2}</p></main></body></html>"
+    ).encode("utf-8")
+    out.append((
+        "https://crawl-bare.example/page", datetime(2024, 3, 29, 11, 0),
+        body2, body2, None, True, line2, False, None,
+    ))
+    return out
+
+
 def _record(rtype: str, headers: dict[str, str], payload: bytes) -> bytes:
     head = [f"WARC/1.0", f"WARC-Type: {rtype}"]
     head += [f"{k}: {v}" for k, v in headers.items()]
@@ -124,12 +207,16 @@ def _record(rtype: str, headers: dict[str, str], payload: bytes) -> bytes:
 def _draw_page(i: int, rng: random.Random):
     url = f"https://crawl{i % 9}.example/page/{i}"
     ts = datetime(2024, 3, 1 + i % 27, i % 24, i % 60)
+    # the logical line IS the mcx-1 expectation (single <p> in <main>);
+    # the html derives from it — composed independently of the engine
+    line = f"página {i} naïve 日本語 " + " ".join(
+        ["word"] * rng.randint(3, 30)
+    )
     body = (
         f"<html><head><title>p{i}</title></head><body><main>"
-        f"<p>página {i} naïve 日本語 {'word ' * rng.randint(3, 30)}</p>"
-        f"</main></body></html>"
+        f"<p>{line}</p></main></body></html>"
     ).encode("utf-8")
-    return url, ts, body
+    return url, ts, body, line
 
 
 def _archive(pages, rng: random.Random, gz: bool, corrupt_tail: bool,
@@ -140,7 +227,7 @@ def _archive(pages, rng: random.Random, gz: bool, corrupt_tail: bool,
         out.extend(gzip.compress(rec, 6) if gz else rec)
 
     emit(_record("warcinfo", {"WARC-Filename": "synth.warc"}, b"software: synth\r\n"))
-    for url, ts, body, coding in pages:
+    for url, ts, body, _line, coding in pages:
         wdate = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
         if rng.random() < 0.5:  # interleaved request record (skipped)
             emit(
@@ -191,30 +278,50 @@ def ensure_warc() -> tuple[str, str]:
     bad_url = "https://crawl-bad.example/chunked"
     bad_ts = datetime(2024, 3, 28, 12, 30)
     bad_payload, bad_expected = _corrupt_chunked_response()
+    specials = _special_records()
     specs = [  # (filename, gz, corrupt_tail, extra_payloads)
-        ("part-0.warc.gz", True, False, [(bad_url, bad_ts, bad_payload)]),
+        ("part-0.warc.gz", True, False,
+         [(bad_url, bad_ts, bad_payload)]
+         + [(u, t, p) for u, t, p, *_ in specials[:2]]),
         ("part-1.warc.gz", True, True, []),  # salvage: corrupt member LAST
-        ("part-2.warc", False, False, []),
+        ("part-2.warc", False, False,
+         [(u, t, p) for u, t, p, *_ in specials[2:]]),
     ]
     for (fname, gz, corrupt, extras), chunk in zip(specs, thirds):
         with open(os.path.join(arch_dir, fname), "wb") as f:
             f.write(_archive(chunk, rng, gz, corrupt, extras))
-    exp_rows = [(u, t, b) for u, t, b, _c in pages]
-    exp_rows.append((bad_url, bad_ts, bad_expected))
+    std_ct = "text/html; charset=utf-8"  # what _http_response writes
+    exp_rows = [
+        (u, t, b, std_ct, True, line, False, None)
+        for u, t, b, line, _c in pages
+    ]
+    exp_rows.append((bad_url, bad_ts, bad_expected, "text/html", True,
+                     "salvaged part one and part two", False, None))
+    exp_rows += [
+        (u, t, b, ct, ih, mt, ir, h)
+        for u, t, _p, b, ct, ih, mt, ir, h in specials
+    ]
     pq.write_table(
         pa.table(
             {
-                "url": pa.array([u for u, _t, _b in exp_rows], pa.string()),
+                "url": pa.array([r[0] for r in exp_rows], pa.string()),
                 "warc_ts": pa.array(
-                    [t for _u, t, _b in exp_rows], pa.timestamp("us")
+                    [r[1] for r in exp_rows], pa.timestamp("us")
                 ),
                 "n_bytes": pa.array(
-                    [len(b) for _u, _t, b in exp_rows], pa.int64()
+                    [len(r[2]) for r in exp_rows], pa.int64()
                 ),
                 "html_md5": pa.array(
-                    [hashlib.md5(b).hexdigest() for _u, _t, b in exp_rows],
+                    [hashlib.md5(r[2]).hexdigest() for r in exp_rows],
                     pa.string(),
                 ),
+                "content_type": pa.array(
+                    [r[3] for r in exp_rows], pa.string()
+                ),
+                "is_html": pa.array([r[4] for r in exp_rows], pa.bool_()),
+                "main_txt": pa.array([r[5] for r in exp_rows], pa.string()),
+                "is_robots": pa.array([r[6] for r in exp_rows], pa.bool_()),
+                "host": pa.array([r[7] for r in exp_rows], pa.string()),
             }
         ),
         expected,

@@ -73,3 +73,54 @@ def asof_join(
         .cogroup(right_renamed.groupBy(r_by))
         .applyInPandas(lambda _key, l, r: merge(l, r), out_schema)
     )
+
+
+def recrawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl change report (L64): per key, status ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` plus both content digests
+    and the byte delta — the refresh-policy input (what to re-extract,
+    what to expire) and the dedup shortcut (unchanged pages skip the
+    whole curation tail on a re-crawl).
+
+    Content equality is md5-of-text (digests compare, text never
+    shuffles twice); each side is digested in a pre-projection so ONLY
+    (key, md5, length) reaches the join. One co-partitioned full outer
+    join on the key — both sides shuffle once on the same key, AQE
+    broadcasts if one crawl slice is small. Inputs must be unique per
+    key (run latest-capture dedup first — curate()'s w_url rule);
+    duplicate keys would cross-multiply in the join.
+
+    NULL text is digested as the empty string (a captured-but-empty
+    page is CONTENT, distinct from an absent key)."""
+    from pyspark.sql import functions as F
+
+    def side(df, tag):
+        txt = F.coalesce(F.col(text_col), F.lit(""))
+        return df.select(
+            F.col(key_col),
+            F.md5(txt).alias(f"{tag}_md5"),
+            F.length(txt).cast("long").alias(f"_{tag}_len"),
+        )
+
+    j = side(old, "old").join(side(new, "new"), key_col, "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), "added")
+        .when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5") == F.col("new_md5"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        key_col,
+        status.alias("status"),
+        "old_md5",
+        "new_md5",
+        (
+            F.coalesce(F.col("_new_len"), F.lit(0))
+            - F.coalesce(F.col("_old_len"), F.lit(0))
+        ).alias("len_delta"),
+    )

@@ -22,6 +22,11 @@ import pyarrow as pa
 
 from htmld_spark import ENGINE_VERSION
 from htmld_spark.engine.dom import parse_document
+from htmld_spark.engine.encoding import (
+    content_type_charset,
+    sniff_encoding,
+    to_utf8,
+)
 from htmld_spark.engine.extract import (
     MAIN_TEXT_RULES_VERSION,
     element_span_columns,
@@ -99,6 +104,11 @@ def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUD
             html_col = batch.column(names.index("html"))
             ts_col = batch.column(names.index("warc_ts")) if "warc_ts" in names else None
             lang_col = batch.column(names.index("lang")) if "lang" in names else None
+            ct_col = (
+                batch.column(names.index("content_type"))
+                if "content_type" in names
+                else None
+            )
 
             for lo, hi in _slice_offsets(html_col, byte_budget):
                 texts: list[str] = []
@@ -111,11 +121,28 @@ def make_extract_fn(with_spans: bool = True, byte_budget: int = DEFAULT_BYTE_BUD
                 span_offsets: list[int] = [0]
                 # one bulk copy per slice — never per-row Arrow scalars
                 raws = html_col.slice(lo, hi - lo).to_pylist()
-                for raw in raws:
+                cts = (
+                    ct_col.slice(lo, hi - lo).to_pylist()
+                    if ct_col is not None
+                    else None
+                )
+                for ri, raw in enumerate(raws):
                     if raw is None:
                         raw = b""
                     try:
-                        doc = parse_document(raw)
+                        # X11: charset sniff + UTF-8 normalization BEFORE
+                        # the parse (engine/encoding.py — zero-copy when
+                        # the input already validates as UTF-8; an HTTP
+                        # Content-Type charset, when the input carries a
+                        # content_type column, outranks the meta prescan).
+                        # Spans index the normalized bytes.
+                        label = (
+                            content_type_charset(cts[ri])
+                            if cts is not None
+                            else None
+                        )
+                        utf8, _codec, _src = to_utf8(raw, label)
+                        doc = parse_document(utf8)
                         txt = main_text(doc).decode("utf-8", "replace")
                         ns = (
                             element_span_columns(doc, span_cols)
@@ -227,7 +254,7 @@ def make_select_count_fn(
             for lo, hi in _slice_offsets(html_col, byte_budget):
                 counts: list[list[int]] = [[] for _ in compiled]
                 for raw in html_col.slice(lo, hi - lo).to_pylist():
-                    doc = parse_document(raw or b"")
+                    doc = parse_document(to_utf8(raw or b"")[0])
                     for slot, (_, sel) in enumerate(compiled):
                         counts[slot].append(
                             sum(1 for _ in query_select_all(doc, sel))
@@ -297,7 +324,7 @@ def make_select_extract_fn(
                 tss = ts_col.slice(lo, hi - lo) if ts_col is not None else None
                 o_url, o_ts, o_sel, o_n, o_texts, o_htmls = [], [], [], [], [], []
                 for ri, (url, raw) in enumerate(zip(urls, raws)):
-                    doc = parse_document(raw or b"")
+                    doc = parse_document(to_utf8(raw or b"")[0])
                     for sel_str, sel in compiled:
                         nodes = []
                         for nid in query_select_all(doc, sel):
@@ -572,7 +599,7 @@ def make_links_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
                     raw = raw or b""
                     try:
                         pairs = extract_links_with_text(
-                            parse_document(raw), u or ""
+                            parse_document(to_utf8(raw)[0]), u or ""
                         )
                         links.append([p[0] for p in pairs])
                         texts.append([p[1] for p in pairs])
@@ -660,7 +687,10 @@ def make_meta_fn(byte_budget: int = DEFAULT_BYTE_BUDGET):
                 for u, raw in zip(urls, raws):
                     try:
                         recs.append(
-                            extract_meta(parse_document(raw or b""), u or "")
+                            extract_meta(
+                                parse_document(to_utf8(raw or b"")[0]),
+                                u or "",
+                            )
                         )
                         ok.append(True)
                     except MemoryError:  # never-raise backstop
@@ -705,3 +735,51 @@ def extract_meta_df(df, byte_budget: int = DEFAULT_BYTE_BUDGET):
     keys, consent filtering on meta_robots, language routing) composes
     with ordinary relational ops."""
     return df.mapInArrow(make_meta_fn(byte_budget), META_SCHEMA)
+
+
+# --- X11: charset sniff census ------------------------------------------
+
+ENCODING_SCHEMA = "url string, encoding string, source string"
+
+
+def sniff_encoding_df(df):
+    """Charset census of a pages frame (X11, engine/encoding.py): (url,
+    html) → (url, encoding, source) where ``encoding`` is the pinned
+    Python codec the normalizer would decode with (WHATWG labels folded:
+    latin1→cp1252, shift_jis→cp932, …) and ``source`` is bom / meta /
+    utf-8 / fallback — plus ``transport`` when the frame carries a
+    ``content_type`` column (WARC ingest) whose charset parameter
+    resolves. ONE row-local MapInArrow crossing — the corpus
+    encoding-mix report (GROUP BY encoding downstream stays JVM-side)."""
+    in_cols = ["url", "html"] + (
+        ["content_type"] if "content_type" in df.columns else []
+    )
+
+    def sniff_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            url_col = batch.column(names.index("url"))
+            raws = batch.column(names.index("html")).to_pylist()
+            if "content_type" in names:
+                labels = [
+                    content_type_charset(ct)
+                    for ct in batch.column(
+                        names.index("content_type")
+                    ).to_pylist()
+                ]
+            else:
+                labels = [None] * len(raws)
+            pairs = [
+                sniff_encoding(r or b"", lab)
+                for r, lab in zip(raws, labels)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    url_col,
+                    pa.array([p[0] for p in pairs], pa.string()),
+                    pa.array([p[1] for p in pairs], pa.string()),
+                ],
+                names=["url", "encoding", "source"],
+            )
+
+    return df.select(*in_cols).mapInArrow(sniff_batches, ENCODING_SCHEMA)

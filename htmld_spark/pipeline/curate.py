@@ -130,7 +130,9 @@ def curate(
     Both parameters must be given together.
 
     ``source`` selects the extraction leg: ``'html'`` (default — the
-    forgiving HTML engine over an (url, warc_ts, html[, lang]) frame) or
+    forgiving HTML engine over an (url, warc_ts, html[, lang]) frame; a
+    ``content_type`` column, when present — WARC ingest emits one —
+    feeds X11's transport-charset step inside the same crossing) or
     ``'pdf'`` (the engine/pdf.py leg over (url, pdf[, warc_ts, lang]) —
     the north rule's "PDF/layout parse" feeding the IDENTICAL downstream
     plan: same one-MapInArrow crossing, same enrichment, gates, dedups,
@@ -250,7 +252,11 @@ def curate(
     else:
         extracted = extract_df(
             pages.select(
-                *[c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
+                *[
+                    c
+                    for c in ("url", "warc_ts", "html", "lang", "content_type")
+                    if c in pages.columns
+                ]
             ),
             with_spans=False,
         )

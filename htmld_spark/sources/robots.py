@@ -326,6 +326,45 @@ def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
     return pages.join(blocked_urls, url_col, "left_anti")
 
 
+def robots_from_pages(pages, url_col: str = "url", body_col: str = "html",
+                      ts_col: str = "warc_ts"):
+    """Derive the (host, robots) consent table from the CRAWL ITSELF
+    (R18c): keep captures whose url path is exactly ``/robots.txt``
+    (RFC 9309's well-known location), one row per host — the LATEST
+    capture wins (``ts_col`` descending; body-md5 breaks exact-ts ties
+    so re-runs are deterministic; a missing/NULL timestamp sorts as the
+    epoch). Closes the consent loop with no external table: WARC
+    archives alone feed ``robots_filter`` / ``robots_directives_df``.
+
+    Plan shape: a row-local pushable filter (robots captures are a tiny
+    sliver of a crawl), then ONE map-side-combinable ``max_by`` groupBy
+    on the host — the only shuffled bytes are the robots bodies
+    themselves. NULL-host rows (unparseable capture urls) are dropped:
+    they could never join a page's host."""
+    from pyspark.sql import functions as F
+
+    url = F.col(url_col)
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    host = F.try_parse_url(url, F.lit("HOST"))
+    ts = (
+        F.coalesce(
+            F.col(ts_col), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
+        if ts_col in pages.columns
+        else F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+    cand = (
+        pages.filter((path == "/robots.txt") & host.isNotNull())
+        .select(
+            host.alias("host"),
+            ts.alias("_rb_ts"),
+            F.col(body_col).alias("robots"),
+        )
+    )
+    key = F.struct(F.col("_rb_ts"), F.md5(F.col("robots")))
+    return cand.groupBy("host").agg(F.max_by("robots", key).alias("robots"))
+
+
 def meta_robots_allowed(meta_robots_col):
     """In-page indexing consent (the ``<meta name=robots>`` side of the
     consent story; robots.txt is the fetch side above): True when the

@@ -21,7 +21,10 @@ TOLERANT like the HTML/PDF engines — it never raises on any byte input:
   payload is split at its header/body boundary and the BODY — after
   undoing the HTTP transfer/content codings the capture preserved — is
   the html column (bytes, exactly as the engine wants them);
-  WARC-Target-URI and WARC-Date (ISO 8601) become url and warc_ts;
+  WARC-Target-URI and WARC-Date (ISO 8601) become url and warc_ts; the
+  HTTP ``Content-Type`` value rides along as content_type — its mime
+  drives non-html response filtering (``html_pages``) and its charset
+  parameter feeds X11's transport-level encoding step downstream;
 - HTTP bodies are DECODED per RFC 9112/9110: ``Transfer-Encoding:
   chunked`` framing (hex size lines interleaved with content) is
   removed, and ``Content-Encoding: gzip/x-gzip/deflate`` bodies are
@@ -193,18 +196,23 @@ def _decode_content(body: bytes, coding: str) -> bytes:
     return body
 
 
-def _http_body(payload: bytes) -> bytes:
-    """HTTP response payload → decoded body bytes: split at the
-    header/body boundary, remove chunked transfer framing, undo
-    gzip/deflate content codings (RFC 9112/9110 — real Common Crawl
-    response records store the raw capture). A payload without a status
-    line (bare content) passes through whole. Never raises."""
+def _http_body(payload: bytes) -> tuple[bytes, str | None]:
+    """HTTP response payload → (decoded body bytes, Content-Type header
+    value or None): split at the header/body boundary, remove chunked
+    transfer framing, undo gzip/deflate content codings (RFC 9112/9110 —
+    real Common Crawl response records store the raw capture). A payload
+    without a status line (bare content) passes through whole. The
+    Content-Type rides along because downstream needs BOTH its mime
+    (non-html response filtering) and its charset parameter (X11
+    transport-level encoding, which outranks the meta prescan). Never
+    raises."""
     if payload[:5] not in (b"HTTP/", b"http/"):
-        return payload
+        return payload, None
     sep = payload.find(b"\r\n\r\n")
     if sep == -1:
-        return payload
+        return payload, None
     headers = _parse_headers(payload[:sep])
+    content_type = headers.get("content-type") or None
     body = payload[sep + 4 :]
     # Transfer codings, outermost last (RFC 9112 §6.1): chunked is
     # required to be final, so undo it first, then any stacked codings.
@@ -220,7 +228,7 @@ def _http_body(payload: bytes) -> bytes:
           headers.get("content-encoding", "").split(",") if c.strip()]
     for coding in reversed(ce):
         body = _decode_content(body, coding)
-    return body
+    return body, content_type
 
 
 def _warc_ts(value: str):
@@ -236,7 +244,7 @@ def _warc_ts(value: str):
 
 def warc_pages(data: bytes):
     """All response-record pages of one WARC archive:
-    (url, warc_ts, html bytes) tuples. Never raises."""
+    (url, warc_ts, html bytes, content_type) tuples. Never raises."""
     out = []
     try:
         for headers, payload in iter_warc_records(data):
@@ -245,15 +253,19 @@ def warc_pages(data: bytes):
             url = headers.get("warc-target-uri")
             if not url:
                 continue
+            body, ctype = _http_body(payload)
             out.append(
-                (url, _warc_ts(headers.get("warc-date", "")), _http_body(payload))
+                (url, _warc_ts(headers.get("warc-date", "")), body, ctype)
             )
     except Exception:
         pass
     return out
 
 
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, warc_file string"
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, content_type string, "
+    "warc_file string"
+)
 
 
 def warc_pages_df(spark, path: str):
@@ -268,22 +280,43 @@ def warc_pages_df(spark, path: str):
             names = batch.schema.names
             paths = batch.column(names.index("path")).to_pylist()
             contents = batch.column(names.index("content")).to_pylist()
-            urls, tss, htmls, files = [], [], [], []
+            urls, tss, htmls, ctypes, files = [], [], [], [], []
             for p, blob in zip(paths, contents):
-                for url, ts, html in warc_pages(blob or b""):
+                for url, ts, html, ctype in warc_pages(blob or b""):
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(html)
+                    ctypes.append(ctype)
                     files.append(p)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(urls, pa.string()),
                     pa.array(tss, pa.timestamp("us")),
                     pa.array(htmls, pa.binary()),
+                    pa.array(ctypes, pa.string()),
                     pa.array(files, pa.string()),
                 ],
-                names=["url", "warc_ts", "html", "warc_file"],
+                names=["url", "warc_ts", "html", "content_type", "warc_file"],
             )
 
     raw = spark.read.format("binaryFile").load(path)
     return raw.select("path", "content").mapInArrow(parse_batches, PAGES_SCHEMA)
+
+
+_HTML_MIMES = ("text/html", "application/xhtml+xml")
+
+
+def html_pages(df, content_type_col: str = "content_type"):
+    """Keep the rows an HTML-extraction pipeline should parse: mime
+    (the Content-Type value before any ``;`` parameter, trimmed +
+    lowercased) is text/html or application/xhtml+xml, or the header is
+    ABSENT (bare/headerless captures are overwhelmingly html in real
+    crawls; the forgiving parser is the cheap arbiter). Everything else
+    — image/*, application/pdf, text/css, … — is dropped BEFORE the
+    html binary travels anywhere. Row-local codegen predicate: no
+    shuffle, no Python crossing, pushable to the scan."""
+    from pyspark.sql import functions as F
+
+    col = F.col(content_type_col)
+    mime = F.lower(F.trim(F.substring_index(col, ";", 1)))
+    return df.filter(col.isNull() | mime.isin(*_HTML_MIMES))

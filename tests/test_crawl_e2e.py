@@ -48,13 +48,16 @@ def _expected_blocked(urls):
 def test_warc_robots_curate_composition(spark):
     from htmld_spark.pipeline.curate import curate
     from htmld_spark.sources.robots import robots_filter
-    from htmld_spark.sources.warc import warc_pages_df
+    from htmld_spark.sources.warc import html_pages, warc_pages_df
 
     arch_dir, _exp = ensure_warc()
-    # the on-ramp recipe: WARC parse is an EXPENSIVE upstream feeding the
-    # robots diamond (slim branch + anti-join), so checkpoint it once —
-    # the robots_filter docstring's contract for computed frames
-    pages = warc_pages_df(spark, arch_dir).localCheckpoint(eager=False)
+    # the on-ramp recipe: mime-filter first (row-local predicate — the
+    # png/text-plain responses never reach extraction), then checkpoint:
+    # the WARC parse is an EXPENSIVE upstream feeding the robots diamond
+    # (slim branch + anti-join) — the robots_filter docstring's contract
+    pages = html_pages(warc_pages_df(spark, arch_dir)).localCheckpoint(
+        eager=False
+    )
     robots = spark.createDataFrame(ROBOTS_ROWS, "host string, robots binary")
     clean = robots_filter(pages, robots, agent="aibot")
 
@@ -69,12 +72,19 @@ def test_warc_robots_curate_composition(spark):
     urls = {r.url for r in rows}
     assert urls and urls <= kept
     assert not urls & blocked
-    # byte-identity spot check: curated text == engine main_text(html)
+    # byte-identity spot check: curated text == engine main_text over
+    # the X11-normalized bytes (content_type carries the transport
+    # charset for the sjis special)
     from htmld_spark.engine import main_text, parse_document
+    from htmld_spark.engine.encoding import content_type_charset, to_utf8
 
-    html_of = {r.url: bytes(r.html) for r in pages.collect()}
+    page_of = {
+        r.url: (bytes(r.html), r.content_type) for r in pages.collect()
+    }
     for r in rows[:10]:
-        assert r.text == main_text(parse_document(html_of[r.url])).decode("utf-8")
+        raw, ct = page_of[r.url]
+        norm = to_utf8(raw, content_type_charset(ct))[0]
+        assert r.text == main_text(parse_document(norm)).decode("utf-8")
 
     # composed plan: exactly ONE MapInArrow (the extraction crossing) —
     # the WARC parse and robots verdict crossings sit behind lazy
@@ -86,3 +96,32 @@ def test_warc_robots_curate_composition(spark):
     assert plan.count("MapInArrow") == 1, plan[:2000]
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # checkpoint-hidden on-ramp
+
+
+def test_consent_from_the_crawl_itself(spark):
+    """R18c closes the loop: the robots table comes FROM the archives
+    (robots_from_pages — /robots.txt captures, latest per host), then
+    filters the very pages that rode alongside them. crawl0.example has
+    a superseded blanket-disallow capture; only its LATEST rules
+    (aibot: Disallow /page/ except /page/9) may apply."""
+    from htmld_spark.sources.robots import robots_filter, robots_from_pages
+    from htmld_spark.sources.warc import html_pages, warc_pages_df
+
+    arch_dir, _exp = ensure_warc()
+    raw = warc_pages_df(spark, arch_dir).localCheckpoint(eager=False)
+    robots = robots_from_pages(raw)
+    got = {r.host: bytes(r.robots) for r in robots.collect()}
+    assert set(got) == {"crawl-txt.example", "crawl0.example"}
+    assert b"aibot" in got["crawl0.example"]  # latest capture won
+    assert b"Disallow: /\n" not in got["crawl0.example"]
+
+    clean = robots_filter(html_pages(raw), robots, agent="aibot")
+    kept0 = sorted(
+        r.url for r in clean.collect()
+        if r.url.startswith("https://crawl0.example/")
+    )
+    # crawl0 pages are /page/{i} for i % 9 == 0; aibot may fetch only
+    # /page/9 (longest-match Allow beats the /page/ Disallow)
+    assert kept0 == ["https://crawl0.example/page/9"]
+    # other hosts have no harvested robots -> all their pages survive
+    assert clean.count() == html_pages(raw).count() - 9  # 10 crawl0 pages - 1

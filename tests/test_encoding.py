@@ -1,0 +1,149 @@
+"""Charset sniff + UTF-8 normalization (engine/encoding.py, X11):
+WHATWG label registry, BOM/meta-prescan/fallback ladder, the zero-copy
+identity fast path, and the never-raise contract. Semantics are pinned
+by the multi-charset fixture (fixtures/gen_encodings.py — html bytes
+serialized through each codec's own encoder, expected text composed
+independently from the logical lines)."""
+
+import codecs
+import random
+
+from htmld_spark.engine import main_text, parse_document
+from htmld_spark.engine.encoding import _LABELS, sniff_encoding, to_utf8
+
+
+def test_every_label_resolves():
+    """Every registry value must be a real stdlib codec (a typo here
+    would turn into a silent fallback at crawl time)."""
+    for label, codec in _LABELS.items():
+        codecs.lookup(codec)
+        assert label == label.strip().lower()
+
+
+def test_bom_wins():
+    assert sniff_encoding(b"\xef\xbb\xbf<meta charset=latin1>") == (
+        "utf-8", "bom",
+    )
+    assert sniff_encoding(b"\xff\xfex\x00") == ("utf-16-le", "bom")
+    assert sniff_encoding(b"\xfe\xff\x00x") == ("utf-16-be", "bom")
+
+
+def test_meta_prescan_forms():
+    assert sniff_encoding(b"<meta charset=latin1>") == ("cp1252", "meta")
+    assert sniff_encoding(b'<meta charset="Shift_JIS">') == ("cp932", "meta")
+    assert sniff_encoding(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=EUC-KR">'
+    ) == ("cp949", "meta")
+    # first RECOGNIZED label wins; junk labels are skipped
+    assert sniff_encoding(
+        b"<meta charset=banana><meta charset=koi8-r>"
+    ) == ("koi8-r", "meta")
+    # a charset= outside a <meta tag is not a declaration
+    assert sniff_encoding(b"<p>charset=koi8-r</p>") == ("utf-8", "utf-8")
+    # beyond the 1024-byte prescan window: not seen
+    late = b"<p>" + b"x" * 1100 + b"</p><meta charset=koi8-r>"
+    assert sniff_encoding(late) == ("utf-8", "utf-8")
+
+
+def test_prescan_edge_rules():
+    # declared utf-16 over ASCII-compatible bytes -> read as UTF-8
+    assert sniff_encoding(b"<meta charset=utf-16>x") == ("utf-8", "meta")
+    # x-user-defined -> windows-1252 (the prescan post-processing rule)
+    assert sniff_encoding(b"<meta charset=x-user-defined>") == (
+        "cp1252", "meta",
+    )
+
+
+def test_transport_precedence():
+    """BOM > transport (HTTP Content-Type) > meta prescan."""
+    from htmld_spark.engine.encoding import content_type_charset
+
+    assert sniff_encoding(b"<meta charset=koi8-r>x", "windows-1251") == (
+        "cp1251", "transport",
+    )
+    assert sniff_encoding(b"\xef\xbb\xbfx", "shift_jis") == ("utf-8", "bom")
+    # unrecognized transport label falls through to the prescan
+    assert sniff_encoding(b"<meta charset=koi8-r>x", "bogus-cs") == (
+        "koi8-r", "meta",
+    )
+    # transport-level utf-16 is authoritative; a PRESCAN utf-16 label is
+    # self-refuting and reads as utf-8 (html5 post-processing rule)
+    assert sniff_encoding(b"\x00a\x00b", "utf-16be") == (
+        "utf-16-be", "transport",
+    )
+    assert sniff_encoding(b"<meta charset=utf-16be>ab") == ("utf-8", "meta")
+    src = "<main><p>données</p></main>"
+    assert to_utf8(src.encode("utf-16-be"), "utf-16be")[0] == src.encode()
+
+    assert content_type_charset("text/html; charset=UTF-8") == "utf-8"
+    assert content_type_charset('a/b; charset="Shift_JIS"') == "shift_jis"
+    assert content_type_charset("text/html") is None
+    assert content_type_charset(None) is None
+    assert content_type_charset(b"text/html;charset=latin1") == "latin1"
+    assert content_type_charset("a/b; boundary=x; charset=koi8-r") == "koi8-r"
+    assert content_type_charset("a/b; charset=") is None
+
+
+def test_fallback_ladder():
+    assert sniff_encoding(b"plain ascii") == ("utf-8", "utf-8")
+    assert sniff_encoding("café".encode()) == ("utf-8", "utf-8")
+    assert sniff_encoding(b"caf\xe9 undeclared") == ("cp1252", "fallback")
+    assert sniff_encoding(b"") == ("utf-8", "utf-8")
+    assert sniff_encoding(None) == ("utf-8", "utf-8")
+
+
+def test_identity_fast_path_returns_same_object():
+    b = b"<main><p>ascii page</p></main>"
+    out, codec, src = to_utf8(b)
+    assert out is b and codec == "utf-8"
+    u = "<meta charset=utf-8><p>café".encode()
+    assert to_utf8(u)[0] is u
+
+
+def test_transcode_and_bom_strip():
+    assert to_utf8(b"<meta charset=latin1><p>caf\xe9")[0] == (
+        "<meta charset=latin1><p>café".encode()
+    )
+    src = "<main><p>Zürich Ω</p></main>"
+    assert to_utf8(b"\xff\xfe" + src.encode("utf-16-le"))[0] == src.encode()
+    assert to_utf8(b"\xfe\xff" + src.encode("utf-16-be"))[0] == src.encode()
+    assert to_utf8(b"\xef\xbb\xbf" + src.encode())[0] == src.encode()
+    jp = "<meta charset=sjis><p>日本語"
+    assert to_utf8(jp.encode("cp932"))[0] == jp.encode()
+    # declared utf-8 with invalid bytes: U+FFFD replacement, never a raise
+    out, _, _ = to_utf8(b"<meta charset=utf-8><p>\xff\xfe\xfa")
+    out.decode("utf-8")
+
+
+def test_fixture_parity():
+    """Engine output == the independently composed expectation for every
+    fixture row (the same rows the driver contract checks via Spark)."""
+    import pyarrow.parquet as pq
+
+    from fixtures.gen_encodings import ensure_encodings
+
+    for r in pq.read_table(ensure_encodings()).to_pylist():
+        utf8, codec, source = to_utf8(r["html"])
+        assert (codec, source) == (r["encoding"], r["source"]), r["url"]
+        txt = main_text(parse_document(utf8)).decode("utf-8", "replace")
+        assert txt == r["text"], r["url"]
+
+
+def test_never_raises_and_deterministic():
+    rng = random.Random(0xE11)
+    probes = [
+        b"", b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf", b"\xff" * 64,
+        b"<meta charset=", b"<meta charset=\x00\xff>",
+        b"<meta " + b"a" * 4096 + b" charset=koi8-r>",
+        bytes(range(256)) * 8,
+    ]
+    probes += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 600)))
+        for _ in range(500)
+    ]
+    for blob in probes:
+        a = to_utf8(blob)
+        assert a == to_utf8(blob)  # deterministic
+        a[0].decode("utf-8")  # output is ALWAYS valid UTF-8
+        sniff_encoding(blob)

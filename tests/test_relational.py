@@ -75,3 +75,35 @@ def test_asof_column_collision_suffix(frames):
 def test_asof_no_rows_lost(frames):
     left, right = frames
     assert asof_join(left, right, on="ts", by="user_id").count() == left.count()
+
+
+def test_recrawl_diff_statuses(spark):
+    """L64: every status from hand-built crawls; digests and byte delta
+    match the hand expectation; duplicate-free inputs contract."""
+    from htmld_spark.functions.relational import recrawl_diff
+
+    old = spark.createDataFrame(
+        [("a", "same text"), ("b", "before"), ("c", "going away"),
+         ("e", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "same text"), ("b", "after edit"), ("d", "fresh page"),
+         ("e", "")],
+        "url string, text string",
+    )
+    rows = {r.url: r for r in recrawl_diff(old, new).collect()}
+    assert rows["a"].status == "unchanged" and rows["a"].len_delta == 0
+    assert rows["b"].status == "changed"
+    assert rows["b"].len_delta == len("after edit") - len("before")
+    assert rows["c"].status == "removed" and rows["c"].new_md5 is None
+    assert rows["c"].len_delta == -len("going away")
+    assert rows["d"].status == "added" and rows["d"].old_md5 is None
+    # NULL text is content (empty string), not absence: e is unchanged
+    assert rows["e"].status == "unchanged"
+    # digest-only projection: the join plan carries no text column
+    plan = (
+        recrawl_diff(old, new)._jdf.queryExecution()
+        .optimizedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan

@@ -278,3 +278,34 @@ def test_job_pdf_source_format(spark, tmp_path_factory):
     # re-run resumes to a no-op (manifest covers all buckets)
     stats2 = run_extract_job(spark, cfg)
     assert stats2["done_at_start"] == 4 and stats2["rounds"] == 0
+
+
+def test_encoding_kernels_e2e(spark):
+    """X11 through the Spark surface: extract_df transcodes non-UTF-8
+    pages before the parse (one MapInArrow), and sniff_encoding_df
+    reports the census verdicts — both against the multi-charset
+    fixture's independently composed expectations."""
+    from fixtures.gen_encodings import ensure_encodings
+    from htmld_spark.functions.udfs import extract_df, sniff_encoding_df
+
+    fx = spark.read.parquet(ensure_encodings())
+    out = extract_df(fx.select("url", "html"), with_spans=False)
+    j = out.join(
+        fx.select("url", F.col("text").alias("expected")), "url"
+    )
+    assert j.count() == fx.count()
+    assert j.filter(F.col("text") != F.col("expected")).count() == 0
+
+    sn = sniff_encoding_df(fx.select("url", "html"))
+    k = sn.join(
+        fx.select(
+            "url",
+            F.col("encoding").alias("e_exp"),
+            F.col("source").alias("s_exp"),
+        ),
+        "url",
+    )
+    assert k.filter(
+        (F.col("encoding") != F.col("e_exp"))
+        | (F.col("source") != F.col("s_exp"))
+    ).count() == 0

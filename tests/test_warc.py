@@ -42,11 +42,16 @@ def test_fixture_parity_all_archives():
     got = []
     for f in sorted(os.listdir(arch)):
         got.extend(warc_pages(open(os.path.join(arch, f), "rb").read()))
-    gm = {u: (ts, len(b), hashlib.md5(b).hexdigest()) for u, ts, b in got}
-    want = pq.read_table(exp).to_pylist()
-    assert len(got) == len(want)
-    for r in want:
-        assert gm[r["url"]] == (r["warc_ts"], r["n_bytes"], r["html_md5"])
+    gm = sorted(
+        (u, ts, len(b), hashlib.md5(b).hexdigest(), ct)
+        for u, ts, b, ct in got
+    )  # multiset compare: one url carries TWO robots captures
+    want = sorted(
+        (r["url"], r["warc_ts"], r["n_bytes"], r["html_md5"],
+         r["content_type"])
+        for r in pq.read_table(exp).to_pylist()
+    )
+    assert gm == want
 
 
 def test_gzip_member_salvage():
@@ -60,10 +65,10 @@ def test_gzip_member_salvage():
                                         "WARC-Date": "2024-01-01T00:00:00Z"},
                            b"HTTP/1.1 200 OK\r\n\r\nbody2"))
     pages = warc_pages(a + bad + b)
-    assert [(u, h) for u, _t, h in pages] == [("u1", b"body1")]
+    assert [(u, h) for u, _t, h, _c in pages] == [("u1", b"body1")]
     # uncorrupted concatenation parses both
     both = warc_pages(a + b)
-    assert [(u, h) for u, _t, h in both] == [("u1", b"body1"), ("u2", b"body2")]
+    assert [(u, h) for u, _t, h, _c in both] == [("u1", b"body1"), ("u2", b"body2")]
 
 
 def test_bogus_content_length_resyncs():
@@ -78,7 +83,7 @@ def test_bogus_content_length_resyncs():
                            "WARC-Date": "2024-01-02T00:00:00Z"},
               b"HTTP/1.1 200 OK\r\n\r\nsecond")
     pages = warc_pages(r1 + r2)
-    urls = [u for u, _t, _h in pages]
+    urls = [u for u, _t, _h, _c in pages]
     assert urls == ["u1", "u2"]
     assert pages[1][2] == b"second"
     assert pages[0][2].startswith(b"short")  # resynced payload, salvaged
@@ -103,7 +108,7 @@ def test_non_response_records_skipped_and_never_raises():
     # ts parse tolerance
     r = _rec("response", {"WARC-Target-URI": "u", "WARC-Date": "not-a-date"},
              b"HTTP/1.1 200 OK\r\n\r\nx")
-    (u, ts, h), = warc_pages(r)
+    (u, ts, h, _c), = warc_pages(r)
     assert u == "u" and ts is None and h == b"x"
     assert _gunzip_members(b"plain passthrough") == b"plain passthrough"
     assert len(list(iter_warc_records(b"junk WARC/1.0\r\nA: b\r\n\r\nxy"))) == 1
@@ -117,19 +122,28 @@ def test_spark_warc_to_extraction(spark):
     from htmld_spark.functions.udfs import extract_df
     from htmld_spark.sources.warc import warc_pages_df
 
-    arch, _exp = ensure_warc()
+    import pyarrow.parquet as pq
+
+    from htmld_spark.sources.warc import html_pages
+
+    arch, exp = ensure_warc()
     pages = warc_pages_df(spark, arch)
     p = pages._jdf.queryExecution().executedPlan().toString()
     assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
-    ex = extract_df(pages.select("url", "warc_ts", "html"), with_spans=False)
-    rows = ex.select("url", "text", "parse_ok").collect()
-    assert len(rows) == 91  # 90 drawn pages + the corrupt-chunked salvage
-    assert all(r.parse_ok for r in rows)
-    for r in rows:
-        if r.url == "https://crawl-bad.example/chunked":
-            assert "salvaged part one and part two" in r.text
-        else:
-            assert "página" in r.text
+    assert pages.count() == 97  # 90 drawn + corrupt-chunked + 6 specials
+    kept = html_pages(pages)
+    ex = extract_df(
+        kept.select("url", "html", "content_type"), with_spans=False
+    )
+    rows = {r.url: r for r in ex.select("url", "text", "parse_ok").collect()}
+    want = {
+        r["url"]: r["main_txt"]
+        for r in pq.read_table(exp).to_pylist()
+        if r["is_html"]
+    }
+    assert set(rows) == set(want)  # png/text-plain dropped, bare kept
+    for u, txt in want.items():
+        assert rows[u].parse_ok and rows[u].text == txt, u
 
 
 # ------------------------------------------------------------------ HTTP body decoding
@@ -145,7 +159,7 @@ def test_http_chunked_body_dechunked():
             b"a;ext=1\r\n" + body[:10] + b"\r\n"
             b"10\r\n" + body[10:26] + b"\r\n"
             b"0\r\nX-Trailer: t\r\n\r\n")
-    assert _http_body(wire) == body
+    assert _http_body(wire)[0] == body
 
 
 def test_http_content_encoding_gzip_and_deflate():
@@ -154,15 +168,15 @@ def test_http_content_encoding_gzip_and_deflate():
     body = b"<main>compressed content body</main>" * 10
     gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
           + gzip.compress(body, 6))
-    assert _http_body(gz) == body
+    assert _http_body(gz)[0] == body
     import zlib
     zl = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
           + zlib.compress(body, 6))
-    assert _http_body(zl) == body
+    assert _http_body(zl)[0] == body
     c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw-deflate server bug
     raw = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
            + c.compress(body) + c.flush())
-    assert _http_body(raw) == body
+    assert _http_body(raw)[0] == body
 
 
 def test_http_chunked_then_gzip_stacked():
@@ -176,7 +190,7 @@ def test_http_chunked_then_gzip_stacked():
             b"Transfer-Encoding: chunked\r\n\r\n"
             b"%x\r\n%s\r\n%x\r\n%s\r\n0\r\n\r\n"
             % (7, gz[:7], len(gz) - 7, gz[7:]))
-    assert _http_body(wire) == body
+    assert _http_body(wire)[0] == body
 
 
 def test_http_corrupt_codings_salvage_never_raise():
@@ -185,17 +199,52 @@ def test_http_corrupt_codings_salvage_never_raise():
     # corrupt chunk-size line: the valid prefix is salvaged
     wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"5\r\nhello\r\nZZ\r\nlost")
-    assert _http_body(wire) == b"hello"
+    assert _http_body(wire)[0] == b"hello"
     # truncated final chunk: what arrived is kept
     wire = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
             b"ff\r\nonly this much arrived")
-    assert _http_body(wire) == b"only this much arrived"
+    assert _http_body(wire)[0] == b"only this much arrived"
     # garbage gzip body: raw bytes pass through (never raise)
     wire = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bgarbage"
-    assert _http_body(wire) == b"\x1f\x8bgarbage"
+    assert _http_body(wire)[0] == b"\x1f\x8bgarbage"
     # unknown coding (br): raw bytes pass through
     wire = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nrawbr"
-    assert _http_body(wire) == b"rawbr"
+    assert _http_body(wire)[0] == b"rawbr"
+
+
+def test_content_type_extraction():
+    """The Content-Type header value rides along with the body; absent
+    header or headerless capture → None."""
+    from htmld_spark.sources.warc import _http_body
+
+    wire = (b"HTTP/1.1 200 OK\r\ncontent-TYPE:  text/html; charset=SJIS \r\n"
+            b"\r\nbody")
+    assert _http_body(wire) == (b"body", "text/html; charset=SJIS")
+    assert _http_body(b"HTTP/1.1 200 OK\r\n\r\nbody")[1] is None
+    assert _http_body(b"<p>bare capture") == (b"<p>bare capture", None)
+
+
+def test_html_pages_mime_filter(spark):
+    """html_pages keeps text/html / application/xhtml+xml / NULL and
+    drops everything else — as a row-local codegen predicate."""
+    from htmld_spark.sources.warc import html_pages
+
+    df = spark.createDataFrame(
+        [
+            ("a", "text/html"),
+            ("b", "text/html; charset=utf-8"),
+            ("c", " Application/XHTML+xml ; q=1"),
+            ("d", None),
+            ("e", "image/png"),
+            ("f", "text/plain; charset=utf-8"),
+            ("g", "application/pdf"),
+        ],
+        "url string, content_type string",
+    )
+    kept = html_pages(df)
+    assert sorted(r.url for r in kept.collect()) == ["a", "b", "c", "d"]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
 
 
 def test_inflate_bomb_capped():
@@ -218,4 +267,4 @@ def test_missing_header_terminator_resyncs():
                              "WARC-Date": "2024-01-01T00:00:00Z"},
                 b"HTTP/1.1 200 OK\r\n\r\nrescued")
     pages = warc_pages(junk + b"\r\n" + good)
-    assert [(u, h) for u, _t, h in pages] == [("u9", b"rescued")]
+    assert [(u, h) for u, _t, h, _c in pages] == [("u9", b"rescued")]
