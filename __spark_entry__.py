@@ -1066,6 +1066,69 @@ def _q_encoding_sniff(spark, sf_dir):
     return sniff_encoding_df(df)
 
 
+def _q_script_mix(spark, sf_dir):
+    """L65 Unicode script-mix census (text.script_mix): per-doc letter
+    counts across 10 BMP script families + dominant script — the
+    language-routing confidence signal (declared-lang vs letters
+    mismatch flags mojibake/mislabels). Row-local JVM regex passes, no
+    shuffle. The contract PLANTS Cyrillic/CJK/Hangul/Arabic suffixes on
+    %5/%7/%11/%13 ids (the documents fixture is all-Latin — without
+    plants the census would be vacuously latin-dominant); DuckDB replays
+    the plants and the same generated dominant-chain comparison."""
+    from htmld_spark.functions.text import script_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    for mod, suffix in _SCRIPT_PLANTS:
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % mod == 0,
+                F.concat(F.col("text"), F.lit(suffix)),
+            ).otherwise(F.col("text")),
+        )
+    return script_mix(docs)
+
+
+_SCRIPT_PLANTS = [
+    (5, " данные корпус текст"),
+    (7, " 日本語テスト 中文数据"),
+    (11, " 한국어 텍스트"),
+    (13, " نص بيانات"),
+]
+
+
+def _script_mix_oracle() -> str:
+    """DuckDB twin generated from the SAME SCRIPT_RANGES table and
+    plant list as the Spark side — ranges and the first-in-order-max
+    dominant chain are shared data, the replay logic is DuckDB's own."""
+    from htmld_spark.functions.text import SCRIPT_RANGES
+
+    t = "coalesce(text, '')"
+    for mod, suffix in _SCRIPT_PLANTS:
+        t = f"CASE WHEN doc_id % {mod} = 0 THEN {t} || '{suffix}' ELSE {t} END"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '[{rng}]')) AS {name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = [n for n, _ in SCRIPT_RANGES]
+    whens = []
+    for i, n in enumerate(names):
+        conds = [f"{n} > 0"]
+        conds += [f"{n} > {names[j]}" for j in range(i)]
+        conds += [f"{n} >= {names[j]}" for j in range(i + 1, len(names))]
+        whens.append("WHEN " + " AND ".join(conds) + f" THEN '{n}'")
+    dom = "CASE " + " ".join(whens) + " ELSE NULL END"
+    total = " + ".join(names)
+    return (
+        f"WITH planted AS (SELECT doc_id, {t} AS t FROM documents), "
+        f"counted AS (SELECT doc_id, {counts} FROM planted) "
+        f"SELECT doc_id, {', '.join(names)}, {total} AS scripted_chars, "
+        f"{dom} AS dominant_script FROM counted"
+    )
+
+
 def _q_recrawl_diff(spark, sf_dir):
     """L64 re-crawl change detection (relational.recrawl_diff): per-key
     added/removed/changed/unchanged verdicts + digests + byte delta —
@@ -1614,10 +1677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep), then 5 r6-new fill (one round old), then the FULL r6
     rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
-    exactly 50 at the cutoff (text_quality; the r7-new insertions —
+    exactly 50 at the cutoff (text_token_stats; the r7-new insertions —
     four crawl-graph ops, then X11 ×2, warc_extract, warc_robots,
-    recrawl_diff — pushed lang_id .. window_running_qty into the tail).
-    Every r7 rotated-out entry (lang_id, gopher_rules, hash_split,
+    recrawl_diff, script_mix — pushed bpe_token_stats ..
+    window_running_qty into the tail). Every r7 rotated-out entry
+    (bpe_token_stats, text_quality, lang_id, gopher_rules, hash_split,
     spans_tag_histogram, select_extract, outer_html_main,
     pages_dedup_latest, q1_pricing, revenue_by_nation,
     dsir_select .. extract_main_text) is driver-green in r6
@@ -1645,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,  # R17b warc→mime→X11→text (NEW r7)
         "warc_robots": _q_warc_robots,  # R18c robots-from-crawl (NEW r7)
         "recrawl_diff": _q_recrawl_diff,  # L64 re-crawl change report (NEW r7)
+        "script_mix": _q_script_mix,  # L65 script census (NEW r7)
         "robots_filter": _q_robots_filter,  # R18 slim frame + url_path fix (r7)
         "pdf_extract": _q_pdf_extract,  # X8 /Encrypt detection (r7)
         "pdf_metadata": _q_pdf_metadata,  # X8b pdf_encrypted flag (r7)
@@ -1940,6 +2005,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, main_txt AS text FROM read_parquet('{warc_exp}') "
             f"WHERE is_html"
         ),
+        # L65 script census: shared ranges/plants, DuckDB-generated twin
+        "script_mix": _script_mix_oracle(),
         # L64 re-crawl diff: identical plants + full outer join replay
         "recrawl_diff": (
             "WITH old AS (SELECT doc_id, coalesce(text, '') AS t "

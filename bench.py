@@ -249,6 +249,7 @@ def run_headline(master: str) -> dict:
         "warc_extract",  # R17b warc→mime→X11→text e2e (97-page fixture)
         "warc_robots",  # R18c robots-from-crawl (latest-wins max_by)
         "recrawl_diff",  # L64 digest-join change report
+        "script_mix",  # L65 script census (row-local regex passes)
     ):
         best = None
         for _ in range(2):

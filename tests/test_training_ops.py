@@ -2065,3 +2065,37 @@ def test_epoch_shuffle_properties(spark):
     assert len({r.doc_id for r in other}) == 300  # same corpus, new order
     with _pytest.raises(ValueError):
         epoch_shuffle(df, seed=1, n_shards=0)
+
+
+def test_script_mix_census(spark):
+    """L65: hand-composed multi-script docs — counts, total, dominant
+    (first-in-order tie-break), NULL dominant for letterless docs,
+    row-local plan."""
+    from htmld_spark.functions.text import script_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain latin words"),
+            (2, "данные и текст"),          # cyrillic
+            (3, "日本語テスト"),              # han + kana
+            (4, "mixed данные text"),        # latin 9 letters vs cyr 6
+            (5, "12345 .,!?"),               # no scripted letters
+            (6, None),
+            (7, "ab ва"),                    # 2 vs 2: latin wins the tie
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in script_mix(df).collect()}
+    assert rows[1].dominant_script == "latin"
+    assert rows[1].latin == 15 and rows[1].scripted_chars == 15
+    assert rows[2].dominant_script == "cyrillic" and rows[2].latin == 0
+    assert rows[2].cyrillic == 12
+    # 日本語 = 3 han; テスト = 3 kana; dominant = first-in-order max
+    assert rows[3].han == 3 and rows[3].kana == 3
+    assert rows[3].dominant_script == "kana"  # kana precedes han in order
+    assert rows[4].dominant_script == "latin"
+    assert rows[5].dominant_script is None and rows[5].scripted_chars == 0
+    assert rows[6].dominant_script is None
+    assert rows[7].dominant_script == "latin"  # equal counts: order wins
+    plan = script_mix(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
