@@ -1129,6 +1129,33 @@ def _script_mix_oracle() -> str:
     )
 
 
+def _q_wet_roundtrip(spark, sf_dir):
+    """L66 WET-style export (the corpus OUT-ramp) proven by ROUND TRIP:
+    documents → `wet_export` conversion-record shards (ISO 28500, one
+    gzip member per record, Content-Length framing) → `wet_pages_df`
+    read-back → (url, text). The oracle is the SOURCE table itself — a
+    value-level identity over the full write→read cycle, so any framing
+    bug (length, CRLF, member boundary, UTF-8) breaks the hash. One
+    mapInArrow sink pass + one read pass; 4 shards via repartition."""
+    import os
+    import shutil
+    import tempfile
+
+    from htmld_spark.sources.warc import wet_export, wet_pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "htmld_spark_wet_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    wet_export(docs.repartition(4), out).count()  # export IS this action
+    return wet_pages_df(spark, out).select("url", "text")
+
+
 def _q_recrawl_diff(spark, sf_dir):
     """L64 re-crawl change detection (relational.recrawl_diff): per-key
     added/removed/changed/unchanged verdicts + digests + byte delta —
@@ -1677,11 +1704,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep), then 5 r6-new fill (one round old), then the FULL r6
     rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
-    exactly 50 at the cutoff (text_token_stats; the r7-new insertions —
+    exactly 50 at the cutoff (embed_ann_ivf; the r7-new insertions —
     four crawl-graph ops, then X11 ×2, warc_extract, warc_robots,
-    recrawl_diff, script_mix — pushed bpe_token_stats ..
+    recrawl_diff, script_mix, wet_roundtrip — pushed text_token_stats ..
     window_running_qty into the tail). Every r7 rotated-out entry
-    (bpe_token_stats, text_quality, lang_id, gopher_rules, hash_split,
+    (text_token_stats, bpe_token_stats, text_quality, lang_id,
+    gopher_rules, hash_split,
     spans_tag_histogram, select_extract, outer_html_main,
     pages_dedup_latest, q1_pricing, revenue_by_nation,
     dsir_select .. extract_main_text) is driver-green in r6
@@ -1710,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_robots": _q_warc_robots,  # R18c robots-from-crawl (NEW r7)
         "recrawl_diff": _q_recrawl_diff,  # L64 re-crawl change report (NEW r7)
         "script_mix": _q_script_mix,  # L65 script census (NEW r7)
+        "wet_roundtrip": _q_wet_roundtrip,  # L66 WET export round trip (NEW r7)
         "robots_filter": _q_robots_filter,  # R18 slim frame + url_path fix (r7)
         "pdf_extract": _q_pdf_extract,  # X8 /Encrypt detection (r7)
         "pdf_metadata": _q_pdf_metadata,  # X8b pdf_encrypted flag (r7)
@@ -2004,6 +2033,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": (
             f"SELECT url, main_txt AS text FROM read_parquet('{warc_exp}') "
             f"WHERE is_html"
+        ),
+        # L66 WET round trip: the oracle is the source table — identity
+        # over the full write→read cycle
+        "wet_roundtrip": (
+            "SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR)"
+            " AS url, coalesce(text, '') AS text FROM documents"
         ),
         # L65 script census: shared ranges/plants, DuckDB-generated twin
         "script_mix": _script_mix_oracle(),

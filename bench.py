@@ -250,6 +250,7 @@ def run_headline(master: str) -> dict:
         "warc_robots",  # R18c robots-from-crawl (latest-wins max_by)
         "recrawl_diff",  # L64 digest-join change report
         "script_mix",  # L65 script census (row-local regex passes)
+        "wet_roundtrip",  # L66 WET export + read-back identity
     ):
         best = None
         for _ in range(2):

@@ -320,3 +320,135 @@ def html_pages(df, content_type_col: str = "content_type"):
     col = F.col(content_type_col)
     mime = F.lower(F.trim(F.substring_index(col, ";", 1)))
     return df.filter(col.isNull() | mime.isin(*_HTML_MIMES))
+
+
+# --- L66: WET-style conversion-record export (the corpus OUT-ramp) -----
+
+WET_MANIFEST_SCHEMA = "warc_file string, n_records bigint, n_bytes bigint"
+
+
+def wet_export(df, out_dir: str, url_col: str = "url",
+               text_col: str = "text", ts_col: str = "warc_ts"):
+    """Write extracted text as WET-style shards — ISO 28500
+    ``conversion`` records (the Common Crawl WET layout: one gzip
+    member per record, ``Content-Type: text/plain; charset=utf-8``,
+    Content-Length framing so arbitrary text — embedded newlines, even
+    literal ``WARC/1.0`` — round-trips), one ``part-<partition>.warc.gz``
+    file per input partition. Returns the lazy manifest frame
+    (warc_file, n_records, n_bytes) — counting it IS the export action.
+
+    ONE mapInArrow sink pass: each task streams its partition into its
+    own shard (no driver collect, no shuffle — repartition upstream to
+    choose the shard count/size). Files land on the task-local
+    filesystem at ``out_dir``; on a multi-executor cluster point
+    ``out_dir`` at a shared mount, or lift the ``open()`` to the
+    Hadoop-FS API (documented single seam). Re-runs overwrite
+    deterministically-named shards. NULL text exports as empty (a
+    document with no text is still a record); NULL urls are skipped
+    (a conversion record without WARC-Target-URI is unaddressable)."""
+    import gzip
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_ts = ts_col in df.columns
+    cols = [url_col, text_col] + ([ts_col] if has_ts else [])
+
+    def export_batches(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n_records = 0
+        n_bytes = 0
+        with open(path, "wb") as f:
+            for batch in batches:
+                names = batch.schema.names
+                urls = batch.column(names.index(url_col)).to_pylist()
+                texts = batch.column(names.index(text_col)).to_pylist()
+                tss = (
+                    batch.column(names.index(ts_col)).to_pylist()
+                    if has_ts
+                    else [None] * len(urls)
+                )
+                for u, t, ts in zip(urls, texts, tss):
+                    if u is None:
+                        continue
+                    body = (t or "").encode("utf-8")
+                    head = [b"WARC/1.0", b"WARC-Type: conversion"]
+                    head.append(
+                        b"WARC-Target-URI: "
+                        + u.encode("utf-8", "replace")
+                    )
+                    if ts is not None:
+                        head.append(
+                            b"WARC-Date: "
+                            + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+                        )
+                    head.append(
+                        b"Content-Type: text/plain; charset=utf-8"
+                    )
+                    head.append(b"Content-Length: %d" % len(body))
+                    rec = (
+                        b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+                    )
+                    f.write(gzip.compress(rec, 6))
+                    n_records += 1
+                    n_bytes += len(body)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([path], pa.string()),
+                pa.array([n_records], pa.int64()),
+                pa.array([n_bytes], pa.int64()),
+            ],
+            names=["warc_file", "n_records", "n_bytes"],
+        )
+
+    return df.select(*cols).mapInArrow(export_batches, WET_MANIFEST_SCHEMA)
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string, warc_file string"
+
+
+def wet_pages_df(spark, path: str):
+    """Read WET-style shards back: binaryFile scan → one mapInArrow over
+    ``conversion`` records (same tolerant reader as the response path —
+    member salvage, Content-Length resync). The inverse of
+    ``wet_export``; text decodes as UTF-8 (that is what the records
+    declare and what the exporter writes)."""
+    import pyarrow as pa
+
+    def parse_batches(batches):
+        for batch in batches:
+            names = batch.schema.names
+            paths = batch.column(names.index("path")).to_pylist()
+            contents = batch.column(names.index("content")).to_pylist()
+            urls, tss, texts, files = [], [], [], []
+            for p, blob in zip(paths, contents):
+                try:
+                    for headers, payload in iter_warc_records(blob or b""):
+                        if headers.get("warc-type", "").lower() != "conversion":
+                            continue
+                        url = headers.get("warc-target-uri")
+                        if not url:
+                            continue
+                        urls.append(url)
+                        tss.append(_warc_ts(headers.get("warc-date", "")))
+                        texts.append(payload.decode("utf-8", "replace"))
+                        files.append(p)
+                except Exception:
+                    continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(texts, pa.string()),
+                    pa.array(files, pa.string()),
+                ],
+                names=["url", "warc_ts", "text", "warc_file"],
+            )
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInArrow(parse_batches, WET_SCHEMA)

@@ -268,3 +268,32 @@ def test_missing_header_terminator_resyncs():
                 b"HTTP/1.1 200 OK\r\n\r\nrescued")
     pages = warc_pages(junk + b"\r\n" + good)
     assert [(u, h) for u, _t, h, _c in pages] == [("u9", b"rescued")]
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """L66: write→read identity over hostile text (embedded CRLFCRLF,
+    a literal WARC/1.0 line, unicode, empty, NULL text); NULL urls are
+    skipped; the manifest counts what landed."""
+    from htmld_spark.sources.warc import wet_export, wet_pages_df
+
+    rows = [
+        ("https://a.example/1", "plain text"),
+        ("https://a.example/2", "embedded\r\n\r\nblank CRLF block"),
+        ("https://a.example/3", "fake header\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nx"),
+        ("https://a.example/4", "unicode 日本語 données Ω"),
+        ("https://a.example/5", ""),
+        ("https://a.example/6", None),
+        (None, "no uri -> skipped"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    manifest = wet_export(df.repartition(2), out).collect()
+    assert sum(m.n_records for m in manifest) == 6
+    back = {r.url: r.text for r in wet_pages_df(spark, out).collect()}
+    assert len(back) == 6
+    for u, t in rows[:6]:
+        assert back[u] == (t or ""), u
+    # the response-record reader ignores conversion records entirely
+    from htmld_spark.sources.warc import warc_pages_df
+
+    assert warc_pages_df(spark, out).count() == 0
