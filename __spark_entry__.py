@@ -1129,6 +1129,28 @@ def _script_mix_oracle() -> str:
     )
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """L67 token-budget corpus mixing (text.token_budget_sample): the
+    practitioner's "X tokens of src0, unlimited src1, none of the rest"
+    recipe — per-stratum rate min(1, budget/token_mass) from ONE
+    map-side-combinable sum + bounded collect, then the content-stable
+    keep-hash filter (zero joins, predicate-pushable). Budgets
+    (gen_golden.TOKEN_BUDGET_CONTRACT, shared dict) exercise a clamped
+    rate, two mid rates, a small rate, and 16 unbudgeted strata that
+    must drop entirely. Golden oracle: the pure-Python xxh64 replica's
+    parquet (rates derived by the same sorted-order single division)."""
+    from fixtures.gen_golden import TOKEN_BUDGET_CONTRACT
+    from htmld_spark.functions.text import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_sample(
+        docs, TOKEN_BUDGET_CONTRACT, stratum_col="source",
+        tokens_col="n_chars",
+    ).select("doc_id", "source")
+
+
 def _q_wet_roundtrip(spark, sf_dir):
     """L66 WET-style export (the corpus OUT-ramp) proven by ROUND TRIP:
     documents → `wet_export` conversion-record shards (ISO 28500, one
@@ -1706,10 +1728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
     exactly 50 at the cutoff (embed_ann_ivf; the r7-new insertions —
     four crawl-graph ops, then X11 ×2, warc_extract, warc_robots,
-    recrawl_diff, script_mix, wet_roundtrip — pushed text_token_stats ..
-    window_running_qty into the tail). Every r7 rotated-out entry
-    (text_token_stats, bpe_token_stats, text_quality, lang_id,
-    gopher_rules, hash_split,
+    recrawl_diff, script_mix, wet_roundtrip, token_budget_sample —
+    pushed text_token_stats .. window_running_qty into the tail). Every
+    r7 rotated-out entry (text_token_stats, bpe_token_stats,
+    text_quality, lang_id, gopher_rules, hash_split,
     spans_tag_histogram, select_extract, outer_html_main,
     pages_dedup_latest, q1_pricing, revenue_by_nation,
     dsir_select .. extract_main_text) is driver-green in r6
@@ -1739,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_diff": _q_recrawl_diff,  # L64 re-crawl change report (NEW r7)
         "script_mix": _q_script_mix,  # L65 script census (NEW r7)
         "wet_roundtrip": _q_wet_roundtrip,  # L66 WET export round trip (NEW r7)
+        "token_budget_sample": _q_token_budget_sample,  # L67 mixing (NEW r7)
         "robots_filter": _q_robots_filter,  # R18 slim frame + url_path fix (r7)
         "pdf_extract": _q_pdf_extract,  # X8 /Encrypt detection (r7)
         "pdf_metadata": _q_pdf_metadata,  # X8b pdf_encrypted flag (r7)
@@ -2033,6 +2056,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": (
             f"SELECT url, main_txt AS text FROM read_parquet('{warc_exp}') "
             f"WHERE is_html"
+        ),
+        # L67 token-budget mixing: xxh64 replica golden (sorted-order
+        # single-division rates, same keep-hash)
+        "token_budget_sample": (
+            f"SELECT doc_id, source FROM read_parquet("
+            f"'{os.path.join(gold, 'token_budget_sample.parquet')}')"
         ),
         # L66 WET round trip: the oracle is the source table — identity
         # over the full write→read cycle

@@ -251,6 +251,7 @@ def run_headline(master: str) -> dict:
         "recrawl_diff",  # L64 digest-join change report
         "script_mix",  # L65 script census (row-local regex passes)
         "wet_roundtrip",  # L66 WET export + read-back identity
+        "token_budget_sample",  # L67 budget-keyed mixing (one sum + filter)
     ):
         best = None
         for _ in range(2):

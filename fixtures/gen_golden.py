@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fixtures.xxh64 import Long, spark_xxhash64  # noqa: E402
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-GOLDEN_VERSION = "17"  # bump to invalidate cached golden parquet
+GOLDEN_VERSION = "18"  # bump to invalidate cached golden parquet
 
 # Java \s (no UNICODE flag) — NOT Python \s, which is unicode-aware on str.
 _JAVA_WS = r"[ \t\n\x0B\f\r]+"
@@ -326,6 +326,40 @@ def golden_temperature_sample(
     target = sample_frac * total
     rates = {l: min(1.0, target * (qs[l] / z) / counts[l]) for l in sorted(qs)}
     return golden_stratified_sample(rows, rates, default_rate=0.0)
+
+
+# token-budget mixing contract: budgets over the documents fixture's
+# source strata — src1 clamps to rate 1.0, src0/src3 land mid-rates,
+# src2 a small rate, every other source is unbudgeted → dropped.
+# Shared with __spark_entry__._q_token_budget_sample (same dict object).
+TOKEN_BUDGET_CONTRACT: dict[str, float] = {
+    "src0": 3000, "src1": 999_999, "src2": 500, "src3": 7000,
+}
+
+
+def golden_token_budget_sample(
+    rows: list[tuple[int, str, int]],
+    budgets: dict[str, float],
+) -> list[tuple[int, str]]:
+    """Replicates functions/text.token_budget_sample over (doc_id,
+    source, n_tokens): per-stratum rate min(1, budget/token_sum) in
+    sorted-stratum order (one division — bit-identical to the Spark
+    driver's token_budget_rates), then the same xxh64 keep-hash as
+    golden_stratified_sample. NULL strata/token counts mirror the Spark
+    side's collect-side drop."""
+    sums: dict[str, int] = {}
+    for _d, s, t in rows:
+        if s is None or t is None:
+            continue
+        sums[s] = sums.get(s, 0) + int(t)
+    rates = {
+        s: min(1.0, float(budgets[s]) / sums[s])
+        for s in sorted(sums)
+        if s in budgets and sums[s] > 0
+    }
+    return golden_stratified_sample(
+        [(d, s) for d, s, _t in rows], rates, default_rate=0.0
+    )
 
 
 # ------------------------------------------------------------------ embeddings family
@@ -809,6 +843,30 @@ def ensure_golden(sf_dir: str) -> str:
             }
         ),
         os.path.join(out_dir, "temperature_sample.parquet"),
+    )
+
+    # token-budget corpus mixing (budgets over source strata; n_chars
+    # stands in as the token-mass column — the op is tokens_col-agnostic)
+    st = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    tb = golden_token_budget_sample(
+        list(zip(
+            st.column("doc_id").to_pylist(),
+            st.column("source").to_pylist(),
+            st.column("n_chars").to_pylist(),
+        )),
+        TOKEN_BUDGET_CONTRACT,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in tb], pa.int64()),
+                "source": pa.array([r[1] for r in tb], pa.string()),
+            }
+        ),
+        os.path.join(out_dir, "token_budget_sample.parquet"),
     )
 
     # deterministic epoch shuffle (hash-shard + intra-shard order)

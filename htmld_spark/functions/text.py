@@ -2144,3 +2144,53 @@ def script_mix(df, id_col: str = "doc_id", text_col: str = "text"):
         total.alias("scripted_chars"),
         dominant.alias("dominant_script"),
     )
+
+
+def token_budget_rates(
+    sums: dict[str, int], budgets: dict[str, float]
+) -> dict[str, float]:
+    """Driver-side rate table for ``token_budget_sample``: rate_s =
+    min(1, budget_s / tokens_s), sorted-stratum order so the (single
+    division per stratum) float math is bit-identical to the pure-Python
+    golden replica. Strata without a budget entry get NO rate (the
+    caller's default_rate=0 drops them); zero-mass strata likewise."""
+    return {
+        s: min(1.0, float(budgets[s]) / sums[s])
+        for s in sorted(sums)
+        if s in budgets and sums[s] > 0
+    }
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-BUDGET corpus mixing (L67 — the practitioner's recipe
+    "X tokens of web, Y of books, none of the rest"): per-stratum keep
+    rate = min(1, budget_s / available_tokens_s); strata absent from
+    ``budgets`` are dropped. EXPECTED kept token mass ≈ the budget
+    (content-stable Bernoulli-by-hash selection — same key keeps
+    identically across runs/partitionings); exact-to-the-token packing
+    would need a global sort and buys nothing for pretraining mixes.
+
+    Shape at 10^12 docs: ONE map-side-combinable per-stratum token-sum
+    groupBy, a BOUNDED collect (#strata rows), driver-side rates in
+    deterministic sorted order, then ``stratified_sample``'s row-local
+    predicate-pushable keep-hash filter. Zero joins, zero extra passes —
+    the automated sibling of the manual ``mixture=`` rate table, keyed
+    by token mass instead of corpus share (``temperature_sample``)."""
+    sums = {
+        r[0]: int(r[1])
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("_t"))
+        .collect()  # bounded by the number of strata
+        if r[0] is not None and r[1] is not None
+    }
+    rates = token_budget_rates(sums, budgets)
+    return stratified_sample(
+        df, rates=rates, stratum_col=stratum_col, key_col=key_col,
+        default_rate=0.0,
+    )

@@ -2099,3 +2099,35 @@ def test_script_mix_census(spark):
     assert rows[7].dominant_script == "latin"  # equal counts: order wins
     plan = script_mix(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_budget_sample(spark):
+    """L67: clamped / fractional / omitted-stratum rates, expected kept
+    token mass ≈ budget, content-stability under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from htmld_spark.functions.text import (
+        token_budget_rates,
+        token_budget_sample,
+    )
+
+    rates = token_budget_rates(
+        {"a": 1000, "b": 400, "c": 0}, {"a": 250, "b": 4000, "zzz": 9}
+    )
+    assert rates == {"a": 0.25, "b": 1.0}  # clamp; zero-mass + no-budget drop
+
+    rows = [(i, "a" if i % 2 else "b", 10 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budgets = {"a": 500}  # stratum b unbudgeted -> dropped entirely
+    kept = token_budget_sample(df, budgets, tokens_col="n_tokens")
+    got = kept.select("doc_id", "source").collect()
+    assert got and all(r.source == "a" for r in got)
+    kept_mass = kept.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 150 < kept_mass < 1200  # ≈budget under Bernoulli-by-hash
+    # content-stable: same keys keep identically after repartitioning
+    again = token_budget_sample(
+        df.repartition(7), budgets, tokens_col="n_tokens"
+    )
+    assert sorted(r.doc_id for r in got) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
