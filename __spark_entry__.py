@@ -1298,7 +1298,24 @@ def _q_warc_ingest(spark, sf_dir):
         F.length("html").cast("long").alias("n_bytes"),
         F.md5("html").alias("html_md5"),
         "content_type",
+        "http_status",
+        "redirect_location",
     )
+
+
+def _q_warc_redirects(spark, sf_dir):
+    """R17c redirect map: 3xx responses with a Location header become
+    (url, redirect_location, http_status) edges — canonical-resolution /
+    frontier-chasing / dead-link-repair input. Location is resolved
+    against the capture url INSIDE the one parse crossing (RFC 9110
+    allows relative forms — the fixture's 302 carries one); downstream
+    is a row-local pushable filter on skinny envelope columns. Golden
+    oracle: the fixture's composed status + resolved-location fields."""
+    from fixtures.gen_warc import ensure_warc
+    from htmld_spark.sources.warc import redirect_edges, warc_pages_df
+
+    arch, _exp = ensure_warc()
+    return redirect_edges(warc_pages_df(spark, arch))
 
 
 def _q_warc_extract(spark, sf_dir):
@@ -1726,11 +1743,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sweep), then 5 r6-new fill (one round old), then the FULL r6
     rotated-out 38-entry tail (VERDICT r06 #3/#4: pack_shards ..
     sessionize, last driver rows r5; 2 of the 38 sit in the r7 block) —
-    exactly 50 at the cutoff (embed_ann_ivf; the r7-new insertions —
+    exactly 50 at the cutoff (decontaminate; the r7-new insertions —
     four crawl-graph ops, then X11 ×2, warc_extract, warc_robots,
-    recrawl_diff, script_mix, wet_roundtrip, token_budget_sample —
-    pushed text_token_stats .. window_running_qty into the tail). Every
-    r7 rotated-out entry (text_token_stats, bpe_token_stats,
+    warc_redirects, recrawl_diff, script_mix, wet_roundtrip,
+    token_budget_sample — pushed embed_ann_ivf .. window_running_qty
+    into the tail). Every r7 rotated-out entry (embed_ann_ivf,
+    text_token_stats, bpe_token_stats,
     text_quality, lang_id, gopher_rules, hash_split,
     spans_tag_histogram, select_extract, outer_html_main,
     pages_dedup_latest, q1_pricing, revenue_by_nation,
@@ -1758,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,  # R17 + content_type passthrough (r7)
         "warc_extract": _q_warc_extract,  # R17b warc→mime→X11→text (NEW r7)
         "warc_robots": _q_warc_robots,  # R18c robots-from-crawl (NEW r7)
+        "warc_redirects": _q_warc_redirects,  # R17c redirect map (NEW r7)
         "recrawl_diff": _q_recrawl_diff,  # L64 re-crawl change report (NEW r7)
         "script_mix": _q_script_mix,  # L65 script census (NEW r7)
         "wet_roundtrip": _q_wet_roundtrip,  # L66 WET export round trip (NEW r7)
@@ -2048,8 +2067,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # R17 WARC ingest: fixture-composed rows ARE the expectation
         "warc_ingest": (
-            f"SELECT url, warc_ts, n_bytes, html_md5, content_type "
+            f"SELECT url, warc_ts, n_bytes, html_md5, content_type, "
+            f"http_status, redirect_location "
             f"FROM read_parquet('{warc_exp}')"
+        ),
+        # R17c redirect map: composed status + resolved-location fields
+        "warc_redirects": (
+            f"SELECT url, redirect_location, http_status "
+            f"FROM read_parquet('{warc_exp}') "
+            f"WHERE http_status BETWEEN 300 AND 399 "
+            f"AND redirect_location IS NOT NULL"
         ),
         # R17b end-to-end: html-mime filter + transport-charset decode +
         # extraction; main_txt composed independently in gen_warc.py
@@ -2096,9 +2123,9 @@ def oracle_sql() -> dict[str, str]:
         # row_number window lives in the ORACLE only; the Spark side is
         # one map-side-combinable max_by)
         "warc_robots": (
-            f"SELECT host, html_md5 AS robots_md5 FROM ("
-            f"SELECT host, html_md5, row_number() OVER ("
-            f"PARTITION BY host ORDER BY warc_ts DESC, html_md5 DESC) AS rn "
+            f"SELECT host, robots_md5 FROM ("
+            f"SELECT host, robots_md5, row_number() OVER ("
+            f"PARTITION BY host ORDER BY warc_ts DESC, robots_md5 DESC) AS rn "
             f"FROM read_parquet('{warc_exp}') WHERE is_robots) WHERE rn = 1"
         ),
         # R18 robots filtering: kept = the by-construction allowed set

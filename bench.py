@@ -248,6 +248,7 @@ def run_headline(master: str) -> dict:
         "encoding_sniff",
         "warc_extract",  # R17b warc→mime→X11→text e2e (97-page fixture)
         "warc_robots",  # R18c robots-from-crawl (latest-wins max_by)
+        "warc_redirects",  # R17c 3xx map (envelope-column filter)
         "recrawl_diff",  # L64 digest-join change report
         "script_mix",  # L65 script census (row-local regex passes)
         "wet_roundtrip",  # L66 WET export + read-back identity

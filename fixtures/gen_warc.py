@@ -29,7 +29,7 @@ dialect-neutral; main_txt is the independently composed mcx-1
 main-content expectation for the html rows (the warc_extract e2e
 golden), NULL for the non-html specials.
 
-v3 adds SPECIAL responses the mime/charset plumbing must handle:
+v3–v5 add SPECIAL responses the envelope plumbing must handle:
 - a shift_jis page whose charset arrives ONLY via the HTTP
   Content-Type header (X11 transport step — no meta, no BOM);
 - an image/png response (html_pages must drop it);
@@ -37,7 +37,13 @@ v3 adds SPECIAL responses the mime/charset plumbing must handle:
   robots_from_pages; one host has TWO captures so latest-wins is
   genuinely exercised);
 - a headerless capture (payload with no HTTP status line → body
-  passes through whole, content_type NULL → html_pages keeps it).
+  passes through whole, content_type/status NULL → html_pages keeps it);
+- v5 (R17c): a 301 with an absolute Location and a 302 with a RELATIVE
+  one (the parse crossing must resolve it), a 404 html error page
+  (html MIME, error STATUS — html_pages must drop it), a 503 robots
+  capture (RFC 9309 unreachable → the robots table carries the
+  synthetic complete-disallow, recorded as robots_md5) and a 404 robots
+  capture (no robots file → allowed-by-absence, NO robots row).
 """
 
 from __future__ import annotations
@@ -56,7 +62,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "warc")
-WARC_VERSION = "4"  # v3/v4: content_type + specials (sjis, png, robots, …)
+WARC_VERSION = "5"  # v5: + http_status / redirects / robots reachability
 N_PAGES = 90  # across 3 archives (one extra corrupt-chunked response on top)
 
 # body-coding rotation, assigned per page index — the writer frames,
@@ -123,48 +129,50 @@ def _corrupt_chunked_response() -> tuple[bytes, bytes]:
 
 
 def _special_records():
-    """v3 composed-first specials. Returns rows of (url, ts, payload,
-    expected_body, content_type, is_html, main_txt, is_robots, host) —
-    every expectation chosen FIRST, the wire payload derived from it."""
+    """v3–v5 composed-first specials. Returns rows of (url, ts, payload,
+    expected_body, content_type, is_html, main_txt, is_robots, host,
+    http_status, redirect_location, robots_body) — every expectation
+    chosen FIRST, the wire payload derived from it. is_html means "kept
+    by html_pages" (mime AND status); is_robots means "produces a
+    robots-table candidate" (so a 404 robots capture is False and a 503
+    one is True with the RFC's synthetic disallow-all as robots_body)."""
     out = []
+
+    def http(status_line, headers, body):
+        head = [b"HTTP/1.1 " + status_line] + headers
+        head.append(b"Content-Length: %d" % len(body))
+        return b"\r\n".join(head) + b"\r\n\r\n" + body
+
     # (a) transport charset: shift_jis announced ONLY by the HTTP header
     # (no meta, no BOM) — X11's transport step must decode it
     line = "日本語 トランスポート charset テスト"
     body = (
         f"<html><body><main><p>{line}</p></main></body></html>"
     ).encode("cp932")
-    payload = (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=shift_jis\r\n"
-        b"Content-Length: %d\r\n\r\n" % len(body)
-    ) + body
     out.append((
         "https://crawl-sjis.example/page", datetime(2024, 3, 29, 8, 0),
-        payload, body, "text/html; charset=shift_jis", True, line,
-        False, None,
+        http(b"200 OK", [b"Content-Type: text/html; charset=shift_jis"], body),
+        body, "text/html; charset=shift_jis", True, line,
+        False, None, 200, None, None,
     ))
     # (b) an image response: html_pages must drop it, ingest must land it
     png = b"\x89PNG\r\n\x1a\n" + bytes((i * 37 + 11) % 256 for i in range(64))
-    payload = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
-        b"Content-Length: %d\r\n\r\n" % len(png)
-    ) + png
     out.append((
         "https://crawl-img.example/logo.png", datetime(2024, 3, 29, 9, 0),
-        payload, png, "image/png", False, None, False, None,
+        http(b"200 OK", [b"Content-Type: image/png"], png),
+        png, "image/png", False, None, False, None, 200, None, None,
     ))
     # (c) robots.txt captures (text/plain — dropped by html_pages,
     # harvested by robots_from_pages). crawl0.example has TWO captures:
     # the LATER one must win (R18c latest-wins rule)
     def robots_rec(host, ts, rules):
         body = rules.encode("utf-8")
-        payload = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
-            b"Content-Length: %d\r\n\r\n" % len(body)
-        ) + body
         return (
-            f"https://{host}/robots.txt", ts, payload, body,
-            "text/plain; charset=utf-8", False, None, True, host,
+            f"https://{host}/robots.txt", ts,
+            http(b"200 OK",
+                 [b"Content-Type: text/plain; charset=utf-8"], body),
+            body, "text/plain; charset=utf-8", False, None, True, host,
+            200, None, body,
         )
 
     out.append(robots_rec(
@@ -180,14 +188,59 @@ def _special_records():
         "User-agent: aibot\nDisallow: /page/\nAllow: /page/9\n",
     ))
     # (d) headerless capture: no HTTP status line → the payload IS the
-    # body, content_type NULL → html_pages keeps it
+    # body, content_type/status NULL → html_pages keeps it
     line2 = "headerless capture body words"
     body2 = (
         f"<html><body><main><p>{line2}</p></main></body></html>"
     ).encode("utf-8")
     out.append((
         "https://crawl-bare.example/page", datetime(2024, 3, 29, 11, 0),
-        body2, body2, None, True, line2, False, None,
+        body2, body2, None, True, line2, False, None, None, None, None,
+    ))
+    # (e/f) redirects (R17c): 301 absolute + 302 RELATIVE Location (the
+    # parse crossing must resolve it against the capture url); their
+    # stub bodies are NOT corpus content (is_html False)
+    stub = b"<html><body>Moved</body></html>"
+    out.append((
+        "https://crawl-301.example/old", datetime(2024, 3, 29, 12, 0),
+        http(b"301 Moved Permanently",
+             [b"Content-Type: text/html",
+              b"Location: https://moved.example/new"], stub),
+        stub, "text/html", False, None, False, None, 301,
+        "https://moved.example/new", None,
+    ))
+    out.append((
+        "https://crawl5.example/tmp/page", datetime(2024, 3, 29, 12, 30),
+        http(b"302 Found",
+             [b"Content-Type: text/html",
+              b"Location: /moved/here?x=1"], stub),
+        stub, "text/html", False, None, False, None, 302,
+        "https://crawl5.example/moved/here?x=1", None,
+    ))
+    # (g) 404 error page: html MIME but error STATUS — html_pages must
+    # drop it (its <main> text would otherwise pollute the corpus)
+    err = b"<html><body><main><p>not found error page</p></main></body></html>"
+    out.append((
+        "https://crawl-404.example/missing", datetime(2024, 3, 29, 13, 0),
+        http(b"404 Not Found", [b"Content-Type: text/html"], err),
+        err, "text/html", False, None, False, None, 404, None, None,
+    ))
+    # (h) 503 robots capture: RFC 9309 unreachable → the robots table
+    # must carry the synthetic complete-disallow, NOT the error body
+    unavail = b"<html><body>Service Unavailable</body></html>"
+    out.append((
+        "https://crawl-err.example/robots.txt", datetime(2024, 3, 29, 14, 0),
+        http(b"503 Service Unavailable", [b"Content-Type: text/html"], unavail),
+        unavail, "text/html", False, None, True, "crawl-err.example",
+        503, None, b"User-agent: *\nDisallow: /\n",
+    ))
+    # (i) 404 robots capture: "no robots file" → allowed-by-absence, so
+    # NO robots-table row (the error body must never be parsed as rules)
+    nf = b"robots not found here"
+    out.append((
+        "https://crawl-miss.example/robots.txt", datetime(2024, 3, 29, 15, 0),
+        http(b"404 Not Found", [b"Content-Type: text/plain"], nf),
+        nf, "text/plain", False, None, False, None, 404, None, None,
     ))
     return out
 
@@ -282,24 +335,25 @@ def ensure_warc() -> tuple[str, str]:
     specs = [  # (filename, gz, corrupt_tail, extra_payloads)
         ("part-0.warc.gz", True, False,
          [(bad_url, bad_ts, bad_payload)]
-         + [(u, t, p) for u, t, p, *_ in specials[:2]]),
+         + [(u, t, p) for u, t, p, *_ in specials[:4]]),
         ("part-1.warc.gz", True, True, []),  # salvage: corrupt member LAST
         ("part-2.warc", False, False,
-         [(u, t, p) for u, t, p, *_ in specials[2:]]),
+         [(u, t, p) for u, t, p, *_ in specials[4:]]),
     ]
     for (fname, gz, corrupt, extras), chunk in zip(specs, thirds):
         with open(os.path.join(arch_dir, fname), "wb") as f:
             f.write(_archive(chunk, rng, gz, corrupt, extras))
     std_ct = "text/html; charset=utf-8"  # what _http_response writes
     exp_rows = [
-        (u, t, b, std_ct, True, line, False, None)
+        (u, t, b, std_ct, True, line, False, None, 200, None, None)
         for u, t, b, line, _c in pages
     ]
     exp_rows.append((bad_url, bad_ts, bad_expected, "text/html", True,
-                     "salvaged part one and part two", False, None))
+                     "salvaged part one and part two", False, None,
+                     200, None, None))
     exp_rows += [
-        (u, t, b, ct, ih, mt, ir, h)
-        for u, t, _p, b, ct, ih, mt, ir, h in specials
+        (u, t, b, ct, ih, mt, ir, h, st, rd, rb)
+        for u, t, _p, b, ct, ih, mt, ir, h, st, rd, rb in specials
     ]
     pq.write_table(
         pa.table(
@@ -322,6 +376,17 @@ def ensure_warc() -> tuple[str, str]:
                 "main_txt": pa.array([r[5] for r in exp_rows], pa.string()),
                 "is_robots": pa.array([r[6] for r in exp_rows], pa.bool_()),
                 "host": pa.array([r[7] for r in exp_rows], pa.string()),
+                "http_status": pa.array(
+                    [r[8] for r in exp_rows], pa.int32()
+                ),
+                "redirect_location": pa.array(
+                    [r[9] for r in exp_rows], pa.string()
+                ),
+                "robots_md5": pa.array(
+                    [hashlib.md5(r[10]).hexdigest() if r[10] is not None
+                     else None for r in exp_rows],
+                    pa.string(),
+                ),
             }
         ),
         expected,

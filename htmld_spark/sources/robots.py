@@ -326,6 +326,11 @@ def robots_filter(pages, robots_df, agent: str = "*", url_col: str = "url"):
     return pages.join(blocked_urls, url_col, "left_anti")
 
 
+# RFC 9309 §2.3.1.4: an unreachable (5xx) robots.txt means the crawler
+# MUST assume complete disallow — this synthetic body encodes that.
+UNREACHABLE_DISALLOW_ALL = b"User-agent: *\nDisallow: /\n"
+
+
 def robots_from_pages(pages, url_col: str = "url", body_col: str = "html",
                       ts_col: str = "warc_ts"):
     """Derive the (host, robots) consent table from the CRAWL ITSELF
@@ -335,6 +340,16 @@ def robots_from_pages(pages, url_col: str = "url", body_col: str = "html",
     so re-runs are deterministic; a missing/NULL timestamp sorts as the
     epoch). Closes the consent loop with no external table: WARC
     archives alone feed ``robots_filter`` / ``robots_directives_df``.
+
+    HTTP status semantics (RFC 9309 §2.3.1, applied when the frame
+    carries an ``http_status`` column — WARC ingest emits one): 4xx
+    means "no robots file" → the capture is DROPPED (absent file =
+    allowed; a 404 error page must not be parsed as rules); 5xx means
+    "unreachable" → the RFC mandates assuming COMPLETE DISALLOW, so the
+    capture's body is replaced by a synthetic ``Disallow: /`` for every
+    agent; 2xx (and statusless captures) keep their body. The
+    latest-capture rule then runs over the mapped rows — a recent 503
+    correctly shadows an older 200.
 
     Plan shape: a row-local pushable filter (robots captures are a tiny
     sliver of a crawl), then ONE map-side-combinable ``max_by`` groupBy
@@ -353,12 +368,20 @@ def robots_from_pages(pages, url_col: str = "url", body_col: str = "html",
         if ts_col in pages.columns
         else F.lit("1970-01-01 00:00:00").cast("timestamp")
     )
+    body = F.col(body_col)
+    keep = (path == "/robots.txt") & host.isNotNull()
+    if "http_status" in pages.columns:
+        st = F.col("http_status")
+        keep = keep & (st.isNull() | ~st.between(400, 499))
+        body = F.when(
+            st.between(500, 599), F.lit(UNREACHABLE_DISALLOW_ALL)
+        ).otherwise(body)
     cand = (
-        pages.filter((path == "/robots.txt") & host.isNotNull())
+        pages.filter(keep)
         .select(
             host.alias("host"),
             ts.alias("_rb_ts"),
-            F.col(body_col).alias("robots"),
+            body.alias("robots"),
         )
     )
     key = F.struct(F.col("_rb_ts"), F.md5(F.col("robots")))

@@ -196,23 +196,31 @@ def _decode_content(body: bytes, coding: str) -> bytes:
     return body
 
 
-def _http_body(payload: bytes) -> tuple[bytes, str | None]:
+def _http_body(payload: bytes) -> tuple[bytes, str | None, int | None, str | None]:
     """HTTP response payload → (decoded body bytes, Content-Type header
-    value or None): split at the header/body boundary, remove chunked
+    value, status code, Location header value — the latter three None
+    when absent): split at the header/body boundary, remove chunked
     transfer framing, undo gzip/deflate content codings (RFC 9112/9110 —
     real Common Crawl response records store the raw capture). A payload
-    without a status line (bare content) passes through whole. The
-    Content-Type rides along because downstream needs BOTH its mime
-    (non-html response filtering) and its charset parameter (X11
-    transport-level encoding, which outranks the meta prescan). Never
-    raises."""
+    without a status line (bare content) passes through whole with no
+    status. The envelope fields ride along because downstream needs
+    them: mime → non-html filtering; charset → X11 transport encoding;
+    status → error-page exclusion (a 404's html body is an error page,
+    not content) and robots reachability semantics; Location → redirect
+    edges. Never raises."""
     if payload[:5] not in (b"HTTP/", b"http/"):
-        return payload, None
+        return payload, None, None, None
     sep = payload.find(b"\r\n\r\n")
     if sep == -1:
-        return payload, None
+        return payload, None, None, None
     headers = _parse_headers(payload[:sep])
     content_type = headers.get("content-type") or None
+    status = None
+    try:
+        status = int(payload[:sep].split(b"\r\n", 1)[0].split()[1])
+    except (IndexError, ValueError):
+        pass
+    location = headers.get("location") or None
     body = payload[sep + 4 :]
     # Transfer codings, outermost last (RFC 9112 §6.1): chunked is
     # required to be final, so undo it first, then any stacked codings.
@@ -228,7 +236,7 @@ def _http_body(payload: bytes) -> tuple[bytes, str | None]:
           headers.get("content-encoding", "").split(",") if c.strip()]
     for coding in reversed(ce):
         body = _decode_content(body, coding)
-    return body, content_type
+    return body, content_type, status, location
 
 
 def _warc_ts(value: str):
@@ -243,8 +251,14 @@ def _warc_ts(value: str):
 
 
 def warc_pages(data: bytes):
-    """All response-record pages of one WARC archive:
-    (url, warc_ts, html bytes, content_type) tuples. Never raises."""
+    """All response-record pages of one WARC archive: (url, warc_ts,
+    html bytes, content_type, http_status, redirect_location) tuples.
+    ``redirect_location`` is the Location header RESOLVED against the
+    capture url (RFC 9110 allows relative Locations) — resolution
+    happens here, inside the one parse crossing, so the redirect-edge
+    table downstream is pure relational work. Never raises."""
+    from urllib.parse import urljoin
+
     out = []
     try:
         for headers, payload in iter_warc_records(data):
@@ -253,9 +267,16 @@ def warc_pages(data: bytes):
             url = headers.get("warc-target-uri")
             if not url:
                 continue
-            body, ctype = _http_body(payload)
+            body, ctype, status, location = _http_body(payload)
+            redirect = None
+            if location is not None:
+                try:
+                    redirect = urljoin(url, location.strip())
+                except ValueError:
+                    redirect = location
             out.append(
-                (url, _warc_ts(headers.get("warc-date", "")), body, ctype)
+                (url, _warc_ts(headers.get("warc-date", "")), body, ctype,
+                 status, redirect)
             )
     except Exception:
         pass
@@ -264,7 +285,7 @@ def warc_pages(data: bytes):
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, content_type string, "
-    "warc_file string"
+    "http_status int, redirect_location string, warc_file string"
 )
 
 
@@ -280,23 +301,25 @@ def warc_pages_df(spark, path: str):
             names = batch.schema.names
             paths = batch.column(names.index("path")).to_pylist()
             contents = batch.column(names.index("content")).to_pylist()
-            urls, tss, htmls, ctypes, files = [], [], [], [], []
+            cols = ([], [], [], [], [], [], [])
             for p, blob in zip(paths, contents):
-                for url, ts, html, ctype in warc_pages(blob or b""):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(html)
-                    ctypes.append(ctype)
-                    files.append(p)
+                for row in warc_pages(blob or b""):
+                    for slot, v in zip(cols, (*row, p)):
+                        slot.append(v)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us")),
-                    pa.array(htmls, pa.binary()),
-                    pa.array(ctypes, pa.string()),
-                    pa.array(files, pa.string()),
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.timestamp("us")),
+                    pa.array(cols[2], pa.binary()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.int32()),
+                    pa.array(cols[5], pa.string()),
+                    pa.array(cols[6], pa.string()),
                 ],
-                names=["url", "warc_ts", "html", "content_type", "warc_file"],
+                names=[
+                    "url", "warc_ts", "html", "content_type",
+                    "http_status", "redirect_location", "warc_file",
+                ],
             )
 
     raw = spark.read.format("binaryFile").load(path)
@@ -306,20 +329,42 @@ def warc_pages_df(spark, path: str):
 _HTML_MIMES = ("text/html", "application/xhtml+xml")
 
 
-def html_pages(df, content_type_col: str = "content_type"):
+def html_pages(df, content_type_col: str = "content_type",
+               status_col: str = "http_status"):
     """Keep the rows an HTML-extraction pipeline should parse: mime
     (the Content-Type value before any ``;`` parameter, trimmed +
     lowercased) is text/html or application/xhtml+xml, or the header is
     ABSENT (bare/headerless captures are overwhelmingly html in real
-    crawls; the forgiving parser is the cheap arbiter). Everything else
-    — image/*, application/pdf, text/css, … — is dropped BEFORE the
-    html binary travels anywhere. Row-local codegen predicate: no
+    crawls; the forgiving parser is the cheap arbiter) — AND the HTTP
+    status is 2xx or absent (R17c: a 404's html body is an ERROR PAGE
+    and a 301's is a stub — neither is corpus content; harvest 3xx rows
+    with ``redirect_edges`` instead). Everything else is dropped BEFORE
+    the html binary travels anywhere. Row-local codegen predicate: no
     shuffle, no Python crossing, pushable to the scan."""
     from pyspark.sql import functions as F
 
     col = F.col(content_type_col)
     mime = F.lower(F.trim(F.substring_index(col, ";", 1)))
-    return df.filter(col.isNull() | mime.isin(*_HTML_MIMES))
+    keep = col.isNull() | mime.isin(*_HTML_MIMES)
+    if status_col in df.columns:
+        st = F.col(status_col)
+        keep = keep & (st.isNull() | st.between(200, 299))
+    return df.filter(keep)
+
+
+def redirect_edges(df, url_col: str = "url"):
+    """Redirect map of a crawl (R17c): 3xx responses with a Location →
+    (url, redirect_location, http_status) edges — the input for
+    canonical-url resolution, frontier chasing, and dead-link repair.
+    Location is already absolute (the parse crossing resolved relative
+    forms against the capture url). Row-local pushable filter on the
+    skinny envelope columns; the html binary is pruned away."""
+    from pyspark.sql import functions as F
+
+    st = F.col("http_status")
+    return df.filter(
+        st.between(300, 399) & F.col("redirect_location").isNotNull()
+    ).select(url_col, "redirect_location", "http_status")
 
 
 # --- L66: WET-style conversion-record export (the corpus OUT-ramp) -----

@@ -111,7 +111,12 @@ def test_consent_from_the_crawl_itself(spark):
     raw = warc_pages_df(spark, arch_dir).localCheckpoint(eager=False)
     robots = robots_from_pages(raw)
     got = {r.host: bytes(r.robots) for r in robots.collect()}
-    assert set(got) == {"crawl-txt.example", "crawl0.example"}
+    # crawl-err's 503 capture maps to the RFC synthetic disallow-all;
+    # crawl-miss's 404 capture maps to NO row (allowed-by-absence)
+    assert set(got) == {
+        "crawl-txt.example", "crawl0.example", "crawl-err.example",
+    }
+    assert got["crawl-err.example"] == b"User-agent: *\nDisallow: /\n"
     assert b"aibot" in got["crawl0.example"]  # latest capture won
     assert b"Disallow: /\n" not in got["crawl0.example"]
 

@@ -43,12 +43,12 @@ def test_fixture_parity_all_archives():
     for f in sorted(os.listdir(arch)):
         got.extend(warc_pages(open(os.path.join(arch, f), "rb").read()))
     gm = sorted(
-        (u, ts, len(b), hashlib.md5(b).hexdigest(), ct)
-        for u, ts, b, ct in got
+        (u, ts, len(b), hashlib.md5(b).hexdigest(), ct, st, rd)
+        for u, ts, b, ct, st, rd in got
     )  # multiset compare: one url carries TWO robots captures
     want = sorted(
         (r["url"], r["warc_ts"], r["n_bytes"], r["html_md5"],
-         r["content_type"])
+         r["content_type"], r["http_status"], r["redirect_location"])
         for r in pq.read_table(exp).to_pylist()
     )
     assert gm == want
@@ -65,10 +65,10 @@ def test_gzip_member_salvage():
                                         "WARC-Date": "2024-01-01T00:00:00Z"},
                            b"HTTP/1.1 200 OK\r\n\r\nbody2"))
     pages = warc_pages(a + bad + b)
-    assert [(u, h) for u, _t, h, _c in pages] == [("u1", b"body1")]
+    assert [(u, h) for u, _t, h, *_ in pages] == [("u1", b"body1")]
     # uncorrupted concatenation parses both
     both = warc_pages(a + b)
-    assert [(u, h) for u, _t, h, _c in both] == [("u1", b"body1"), ("u2", b"body2")]
+    assert [(u, h) for u, _t, h, *_ in both] == [("u1", b"body1"), ("u2", b"body2")]
 
 
 def test_bogus_content_length_resyncs():
@@ -83,7 +83,7 @@ def test_bogus_content_length_resyncs():
                            "WARC-Date": "2024-01-02T00:00:00Z"},
               b"HTTP/1.1 200 OK\r\n\r\nsecond")
     pages = warc_pages(r1 + r2)
-    urls = [u for u, _t, _h, _c in pages]
+    urls = [u for u, _t, _h, *_ in pages]
     assert urls == ["u1", "u2"]
     assert pages[1][2] == b"second"
     assert pages[0][2].startswith(b"short")  # resynced payload, salvaged
@@ -108,7 +108,7 @@ def test_non_response_records_skipped_and_never_raises():
     # ts parse tolerance
     r = _rec("response", {"WARC-Target-URI": "u", "WARC-Date": "not-a-date"},
              b"HTTP/1.1 200 OK\r\n\r\nx")
-    (u, ts, h, _c), = warc_pages(r)
+    (u, ts, h, *_), = warc_pages(r)
     assert u == "u" and ts is None and h == b"x"
     assert _gunzip_members(b"plain passthrough") == b"plain passthrough"
     assert len(list(iter_warc_records(b"junk WARC/1.0\r\nA: b\r\n\r\nxy"))) == 1
@@ -130,7 +130,7 @@ def test_spark_warc_to_extraction(spark):
     pages = warc_pages_df(spark, arch)
     p = pages._jdf.queryExecution().executedPlan().toString()
     assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
-    assert pages.count() == 97  # 90 drawn + corrupt-chunked + 6 specials
+    assert pages.count() == 102  # 90 drawn + corrupt-chunked + 11 specials
     kept = html_pages(pages)
     ex = extract_df(
         kept.select("url", "html", "content_type"), with_spans=False
@@ -219,9 +219,13 @@ def test_content_type_extraction():
 
     wire = (b"HTTP/1.1 200 OK\r\ncontent-TYPE:  text/html; charset=SJIS \r\n"
             b"\r\nbody")
-    assert _http_body(wire) == (b"body", "text/html; charset=SJIS")
+    assert _http_body(wire) == (b"body", "text/html; charset=SJIS", 200, None)
     assert _http_body(b"HTTP/1.1 200 OK\r\n\r\nbody")[1] is None
-    assert _http_body(b"<p>bare capture") == (b"<p>bare capture", None)
+    assert _http_body(b"<p>bare capture") == (b"<p>bare capture", None, None, None)
+    # status + Location parsing; garbage status lines yield None
+    wire = (b"HTTP/1.1 301 Moved\r\nLocation: /next\r\n\r\nstub")
+    assert _http_body(wire) == (b"stub", None, 301, "/next")
+    assert _http_body(b"HTTP/1.1 banana\r\n\r\nx")[2] is None
 
 
 def test_html_pages_mime_filter(spark):
@@ -267,7 +271,7 @@ def test_missing_header_terminator_resyncs():
                              "WARC-Date": "2024-01-01T00:00:00Z"},
                 b"HTTP/1.1 200 OK\r\n\r\nrescued")
     pages = warc_pages(junk + b"\r\n" + good)
-    assert [(u, h) for u, _t, h, _c in pages] == [("u9", b"rescued")]
+    assert [(u, h) for u, _t, h, *_ in pages] == [("u9", b"rescued")]
 
 
 def test_wet_export_roundtrip(spark, tmp_path):
@@ -297,3 +301,36 @@ def test_wet_export_roundtrip(spark, tmp_path):
     from htmld_spark.sources.warc import warc_pages_df
 
     assert warc_pages_df(spark, out).count() == 0
+
+
+def test_redirect_edges_and_status_filter(spark):
+    """R17c: 3xx rows become resolved redirect edges; html_pages drops
+    error/redirect statuses while keeping statusless captures."""
+    from pyspark.sql import functions as F
+
+    from htmld_spark.sources.warc import (
+        html_pages,
+        redirect_edges,
+        warc_pages_df,
+    )
+
+    arch, _exp = ensure_warc()
+    pages = warc_pages_df(spark, arch)
+    edges = {
+        r.url: (r.redirect_location, r.http_status)
+        for r in redirect_edges(pages).collect()
+    }
+    assert edges == {
+        "https://crawl-301.example/old": ("https://moved.example/new", 301),
+        # the RELATIVE Location resolved against the capture url
+        "https://crawl5.example/tmp/page": (
+            "https://crawl5.example/moved/here?x=1", 302,
+        ),
+    }
+    kept = html_pages(pages)
+    urls = {r.url for r in kept.select("url").collect()}
+    assert "https://crawl-404.example/missing" not in urls  # error page
+    assert "https://crawl-301.example/old" not in urls  # redirect stub
+    assert "https://crawl-bare.example/page" in urls  # statusless kept
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "BatchEvalPython" not in plan
