@@ -24,7 +24,11 @@ core, and serializes the WHOLE page through one of ~30 encoding modes:
   falls through to UTF-8 validation;
 - fallback rows: undeclared windows-1252 bytes (invalid as UTF-8 →
   the windows-1252 default), undeclared pure-ASCII and undeclared
-  valid UTF-8 (the identity path).
+  valid UTF-8 (the identity path);
+- v2: a LATE ``<meta charset>`` pushed ~3 KB into the head (past the
+  spec's 1024-byte prescan, inside the engine's widened 4096 window)
+  and BOM-less UTF-16LE/BE rows (the NUL-pattern detection rung —
+  real servers strip BOMs).
 
 Columns: url, html (binary), text (expected mcx-1 output), encoding +
 source (the expected sniff verdict — the census golden), declared_label.
@@ -47,7 +51,7 @@ import pyarrow.parquet as pq
 DATA_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "encodings"
 )
-ENC_FIXTURE_VERSION = "1"
+ENC_FIXTURE_VERSION = "2"
 
 _ASCII = (
     "crawl corpus extract parse token batch shard worker lineage "
@@ -117,6 +121,12 @@ MODES = [
     ("utf-16", "utf-8", "uni", "utf-8", "meta", None),
     ("x-user-defined", "cp1252", "west", "cp1252", "meta", None),
     ("banana", "utf-8", "uni", "utf-8", "utf-8", None),
+    # v2: a LATE meta (~3 KB of head script before it — past the spec's
+    # 1024-byte prescan, inside this engine's 4096 batch window)
+    ("koi8-r", "koi8-r", "cyr", "koi8-r", "meta", None, True),
+    # v2: BOM-less UTF-16 (servers strip BOMs) — the NUL-pattern rung
+    (None, "utf-16-le", "uni", "utf-16-le", "nul-pattern", None),
+    (None, "utf-16-be", "uni", "utf-16-be", "nul-pattern", None),
 ]
 
 ROWS_PER_MODE = 4
@@ -134,7 +144,8 @@ def _lines(rng: random.Random, pool_key: str) -> list[str]:
     return lines
 
 
-def _page(declared: str | None, lines: list[str], rng: random.Random) -> str:
+def _page(declared: str | None, lines: list[str], rng: random.Random,
+          late: bool = False) -> str:
     if declared is None:
         meta = ""
     elif rng.random() < 0.5:
@@ -144,6 +155,8 @@ def _page(declared: str | None, lines: list[str], rng: random.Random) -> str:
             '<meta http-equiv="Content-Type" '
             f'content="text/html; charset={declared}">'
         )
+    if late:  # push the declaration past the 1024-byte spec prescan
+        meta = '<script>var pad="' + "x" * 3000 + '";</script>' + meta
     return (
         "<!DOCTYPE html><html><head><title>enc fixture</title>"
         f"{meta}</head><body>"
@@ -155,10 +168,13 @@ def _page(declared: str | None, lines: list[str], rng: random.Random) -> str:
 
 
 def draw_row(i: int):
-    declared, codec, pool, exp_codec, exp_source, bom = MODES[i % len(MODES)]
+    declared, codec, pool, exp_codec, exp_source, bom, *rest = (
+        MODES[i % len(MODES)]
+    )
     rng = random.Random(0xE11C + i)
     lines = _lines(rng, pool)
-    html = _page(declared, lines, rng).encode(codec)  # strict: a pool word
+    late = bool(rest and rest[0])
+    html = _page(declared, lines, rng, late).encode(codec)  # strict: a pool word
     # outside its codec is a GENERATOR bug and must fail loudly here
     if bom is not None:
         html = bom + html

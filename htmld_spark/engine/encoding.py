@@ -23,6 +23,10 @@ browsers do, following the PUBLIC WHATWG Encoding Standard
    own post-processing rules a declared ``utf-16*`` label means the
    document actually serialized as ASCII-compatible bytes → read it as
    UTF-8, and ``x-user-defined`` → windows-1252;
+2b. **BOM-less UTF-16 detection** — a dense one-sided NUL pattern in
+   the window (ASCII-heavy markup in UTF-16 puts a NUL at every other
+   byte) reads as UTF-16BE/LE; real servers strip BOMs and WHATWG
+   punts this case to transport metadata a batch pipeline may lack;
 3. **UTF-8 validation fallback** — undeclared documents that validate
    as strict UTF-8 are UTF-8 (a UTF-8 misread is astronomically
    unlikely: any non-ASCII windows-1252 text almost surely fails UTF-8
@@ -51,8 +55,13 @@ from __future__ import annotations
 
 import re
 
-PRESCAN_BYTES = 1024  # the html5 prescan window
-ENCODING_RULES_VERSION = "x11-1"
+# The html5 prescan window is 1024 bytes — but a browser that misses a
+# LATE <meta charset> re-decodes when the real parser reaches it, and a
+# one-shot batch pipeline cannot. Real pages routinely push the meta
+# past 1 KiB with script/style-filled heads, so we scan 4× further;
+# still fixed-cost and deterministic.
+PRESCAN_BYTES = 4096
+ENCODING_RULES_VERSION = "x11-2"
 
 # WHATWG label registry → Python codec names (the subset with stdlib
 # codecs; every value is validated by codecs.lookup in the unit tests).
@@ -231,7 +240,8 @@ def content_type_charset(value) -> str | None:
 def sniff_encoding(data, transport_label: str | None = None) -> tuple[str, str]:
     """(python_codec, source) for an html byte stream; source is one of
     ``bom`` / ``transport`` (a recognized HTTP Content-Type charset
-    label — pass it via ``transport_label``) / ``meta`` / ``utf-8``
+    label — pass it via ``transport_label``) / ``meta`` /
+    ``nul-pattern`` (BOM-less UTF-16 by NUL layout) / ``utf-8``
     (validated undeclared) / ``fallback`` (windows-1252 default).
     Precedence per the WHATWG ladder: BOM > transport > meta prescan >
     content sniff. Never raises."""
@@ -252,6 +262,22 @@ def sniff_encoding(data, transport_label: str | None = None) -> tuple[str, str]:
         codec = _prescan(data)
         if codec is not None:
             return codec, "meta"
+        # BOM-less UTF-16 (servers strip BOMs; WHATWG leaves this to
+        # transport metadata a batch pipeline may not have): markup is
+        # ASCII-heavy, so UTF-16 text shows a NUL at every other byte —
+        # at the HIGH (even) offset for BE, the LOW (odd) one for LE.
+        # Only a dense, one-sided NUL pattern triggers (no sane
+        # single-byte page is ≥35% NUL); anything weaker falls through.
+        if len(data) >= 8:
+            window = data[: PRESCAN_BYTES & ~1]
+            even = window[::2].count(0)
+            odd = window[1::2].count(0)
+            half = len(window) // 2
+            if even + odd >= int(0.35 * len(window)):
+                if even >= 4 * max(odd, 1) and even >= half // 2:
+                    return "utf-16-be", "nul-pattern"
+                if odd >= 4 * max(even, 1) and odd >= half // 2:
+                    return "utf-16-le", "nul-pattern"
         try:
             data.decode("utf-8")
             return "utf-8", "utf-8"

@@ -41,9 +41,12 @@ def test_meta_prescan_forms():
     ) == ("koi8-r", "meta")
     # a charset= outside a <meta tag is not a declaration
     assert sniff_encoding(b"<p>charset=koi8-r</p>") == ("utf-8", "utf-8")
-    # beyond the 1024-byte prescan window: not seen
+    # inside the widened 4096-byte batch window: still seen
     late = b"<p>" + b"x" * 1100 + b"</p><meta charset=koi8-r>"
-    assert sniff_encoding(late) == ("utf-8", "utf-8")
+    assert sniff_encoding(late) == ("koi8-r", "meta")
+    # beyond the window: not seen
+    very_late = b"<p>" + b"x" * 4200 + b"</p><meta charset=koi8-r>"
+    assert sniff_encoding(very_late) == ("utf-8", "utf-8")
 
 
 def test_prescan_edge_rules():
@@ -83,6 +86,31 @@ def test_transport_precedence():
     assert content_type_charset(b"text/html;charset=latin1") == "latin1"
     assert content_type_charset("a/b; boundary=x; charset=koi8-r") == "koi8-r"
     assert content_type_charset("a/b; charset=") is None
+
+
+def test_bomless_utf16_nul_pattern():
+    """BOM-less UTF-16 detection: dense one-sided NULs decide; sparse
+    or two-sided NULs fall through to the usual ladder."""
+    src = "<html><body><main><p>bomless utf16 page</p></main></body></html>"
+    assert sniff_encoding(src.encode("utf-16-le")) == (
+        "utf-16-le", "nul-pattern",
+    )
+    assert sniff_encoding(src.encode("utf-16-be")) == (
+        "utf-16-be", "nul-pattern",
+    )
+    out, codec, source = to_utf8(src.encode("utf-16-le"))
+    assert out == src.encode() and source == "nul-pattern"
+    # sparse NULs: not utf-16 (NUL is valid UTF-8 — ladder continues)
+    assert sniff_encoding(b"<p>x\x00y</p>" + b"z" * 40)[1] == "utf-8"
+    # dense one-sided NULs but NON-ascii single-byte content: the
+    # pattern needs ≥35% density, this has none
+    assert sniff_encoding(b"caf\xe9 " * 30)[1] == "fallback"
+    # dense but TWO-SIDED NULs: ambiguous, falls through
+    blob = b"\x00\x00ab" * 64
+    assert sniff_encoding(blob)[1] in ("fallback", "utf-8")
+    # a declared charset still outranks the pattern (meta wins)
+    page = "<meta charset=utf-16le><p>x"
+    assert sniff_encoding(page.encode("utf-16-le"))[1] == "nul-pattern"
 
 
 def test_fallback_ladder():
