@@ -208,3 +208,22 @@ def test_utf8_text_roundtrips_identically(txt):
     data = txt.lstrip("﻿").encode("utf-8")
     out, codec, _source = to_utf8(data)
     assert out == data and codec == "utf-8"
+
+
+def test_oversized_blob_bounded_time():
+    """A multi-MB page must cost O(n) through the whole ladder — the
+    prescan window is fixed-size, validation/transcode are single
+    C-speed passes (the r6 adversarial-scale pattern)."""
+    import time
+
+    big_ascii = b"<main>" + b"<p>word</p>" * 1_000_000 + b"</main>"
+    t0 = time.monotonic()
+    out, codec, _ = to_utf8(big_ascii)
+    assert out is big_ascii and codec == "utf-8"  # identity, zero copy
+    big_1252 = b"<meta charset=latin1>" + b"caf\xe9 " * 2_000_000
+    out2, codec2, _ = to_utf8(big_1252)
+    assert codec2 == "cp1252" and len(out2) > len(big_1252)
+    big_nul = ("<p>" + "word " * 1_000_000).encode("utf-16-le")
+    out3, _, src3 = to_utf8(big_nul)
+    assert src3 == "nul-pattern"
+    assert time.monotonic() - t0 < 20.0  # ~32 MB of input, 3 ladders
