@@ -557,6 +557,15 @@ class DOMBuilder:
         d.total_text_len = self._text_len
 
 
+def _parse_document_python(html: bytes, options=None, dom_options=None) -> Document:
+    builder = DOMBuilder(html, dom_options or DEFAULT_DOM_OPTIONS)
+    if options is None:
+        tokenize(html, builder)
+    else:
+        tokenize(html, builder, options=options)
+    return builder.doc
+
+
 def parse_document(html: bytes, options=None, dom_options=None) -> Document:
     """Parse raw html bytes into a Document. Never raises on malformed input.
 
@@ -564,10 +573,56 @@ def parse_document(html: bytes, options=None, dom_options=None) -> Document:
     (src/html/dom.d [recalled]): single pass, tokenizer callbacks feed the
     builder directly — no intermediate token list. ``options`` is a
     tokenizer.ParserOptions (tokenizer-side flags); ``dom_options`` is a
-    DOMOptions (builder-side flags — the DOMCreateOptions analog)."""
-    builder = DOMBuilder(html, dom_options or DEFAULT_DOM_OPTIONS)
-    if options is None:
-        tokenize(html, builder)
-    else:
-        tokenize(html, builder, options=options)
-    return builder.doc
+    DOMOptions (builder-side flags — the DOMCreateOptions analog).
+
+    Default-option parses go through the C accelerator when available
+    (engine/_native.c — a semantics-identical performance twin, parity-
+    gated by tests/test_native_parity.py); non-default options and any
+    build/load failure use the pure-Python path."""
+    if options is None and dom_options is None:
+        native = _get_native()
+        if native is not None:
+            (
+                kind, tag, tag_raw, attrs, content, parent, first_child,
+                last_child, next_sib, prev_sib, raw_start, raw_end,
+                text_start, text_end, total_text_len,
+            ) = native.parse(html, _NAMED_ENTITIES, _MAX_NAME_LEN)
+            doc = Document.__new__(Document)
+            doc.kind = kind
+            doc.tag = tag
+            doc.tag_raw = tag_raw
+            doc.attrs = attrs
+            doc.content = content
+            doc.parent = parent
+            doc.first_child = first_child
+            doc.last_child = last_child
+            doc.next_sib = next_sib
+            doc.prev_sib = prev_sib
+            doc.raw_start = raw_start
+            doc.raw_end = raw_end
+            doc.text_start = text_start
+            doc.text_end = text_end
+            doc.source = html
+            doc.total_text_len = total_text_len
+            return doc
+    return _parse_document_python(html, options, dom_options)
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        from htmld_spark.engine.native import get_native
+
+        _NATIVE = get_native()
+        _NATIVE_TRIED = True
+    return _NATIVE
+
+
+from htmld_spark.engine.entities import (  # noqa: E402  (native-parse args)
+    MAX_NAME_LEN as _MAX_NAME_LEN,
+    NAMED_ENTITIES as _NAMED_ENTITIES,
+)

@@ -265,6 +265,12 @@ def element_span_columns(doc: Document, cols: tuple[list, ...]) -> int:
     columnar fast path for Arrow batch construction. Returns the number of
     spans appended. Tag-name str decoding is memoized across documents (the
     tag vocabulary is tiny; one decode per distinct tag per worker)."""
+    native = _get_native()
+    if native is not None and type(doc.kind) is list:
+        return native.span_columns(
+            doc.kind, doc.tag, doc.parent, doc.raw_start, doc.raw_end,
+            doc.text_start, doc.text_end, cols, _TAG_STR_MEMO,
+        )
     kind = doc.kind
     c_nid, c_pid, c_tag, c_s, c_e, c_ts, c_te = cols
     tag, parent = doc.tag, doc.parent
@@ -400,5 +406,29 @@ def main_text(doc: Document) -> bytes:
        (main, article, [role=main], #main, #content, .main-content,
        .post-content, .article-body, .content, body) else document root;
     2. strip STRIP_TAGS subtrees;
-    3. blocked + whitespace-collapsed text per main_text_node."""
+    3. blocked + whitespace-collapsed text per main_text_node.
+
+    Accelerated by the C twin (engine/_native.c main_text — container
+    ladder + walk + collapse replicated 1:1, parity-gated by
+    tests/test_native_parity.py) whenever the arena is list-backed."""
+    native = _get_native()
+    if native is not None and type(doc.kind) is list:
+        return native.main_text(
+            doc.kind, doc.tag, doc.attrs, doc.content, doc.parent,
+            doc.first_child, doc.last_child, doc.next_sib, doc.prev_sib,
+        )
     return main_text_node(doc, _find_container(doc))
+
+
+def _get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        from htmld_spark.engine.native import get_native
+
+        _NATIVE = get_native()
+        _NATIVE_TRIED = True
+    return _NATIVE
+
+
+_NATIVE = None
+_NATIVE_TRIED = False

@@ -310,14 +310,20 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()  # re-joined every round: materialize once
+        .localCheckpoint(eager=False)  # re-joined every round
     )
     # localCheckpoint (executor-side materialization + lineage truncation)
     # after every round — without it the k-th round re-executes all k-1
     # previous rounds (iterative-DataFrame lineage blowup, O(k²) work),
     # and nothing is ever collected to the driver beyond the scalar
-    # convergence count.
-    comp = sym.select("u").distinct().withColumn("c", F.col("u")).localCheckpoint()
+    # convergence count. LAZY checkpoints (r8): the per-round ``changed``
+    # count is the action that materializes that round's new_comp (and,
+    # in round 1, sym+comp), so each round runs ONE job instead of two —
+    # same blocks, same truncation, half the job-scheduling overhead.
+    comp = (
+        sym.select("u").distinct().withColumn("c", F.col("u"))
+        .localCheckpoint(eager=False)
+    )
     changed = None
     for _ in range(max_iter):
         # candidate label per node: min over self and neighbors' labels
@@ -326,7 +332,7 @@ def connected_components(
             comp.unionByName(neigh)
             .groupBy("u")
             .agg(F.min("c").alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_comp.alias("n")

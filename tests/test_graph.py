@@ -177,16 +177,51 @@ def test_frontier_unknown_host_rank_zero_and_dups(spark):
     assert len([u for u in out if "new.example" in u]) == 1  # deduped
 
 
-def test_frontier_single_shuffle_and_takeordered(spark):
+def test_frontier_shuffles_and_takeordered(spark):
     import re
 
     out = frontier_select(_cand(spark), _ranks(spark), per_host_cap=2, budget=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # ONE hash shuffle on host serves distinct + politeness window (the
-    # repartition hint); the budget cut is TakeOrdered, never a sort
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # r8 skew-safe shape: exchange 1 on (host, salt) serves the distinct
+    # AND the salted pre-prune window; exchange 2 on host carries only the
+    # pre-pruned (≤ n_salts·cap per host) frame into the politeness
+    # window; the budget cut is TakeOrdered, never a global sort
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "pre_slot" in plan  # the salted pre-prune window survived
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_frontier_salted_preprune_identical_on_skew(spark):
+    """A mega-host with heavy url duplication: the salted pre-prune must
+    not change the selected batch (global per-host top-cap by url order,
+    over DISTINCT urls), for several salt counts."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(f"https://mega.example/p{i:04d}",) for i in range(300)] * 3
+        + [(f"https://tiny.example/q{i}",) for i in range(5)]
+    )
+    cand = spark.createDataFrame(rows, "url string")
+    ranks = spark.createDataFrame(
+        [("mega.example", 100), ("tiny.example", 50)], "host string, rank_fp long"
+    ).select("host", F.col("rank_fp").cast("long"))
+    expect = sorted(
+        [(f"https://mega.example/p{i:04d}", "mega.example", 100, i + 1)
+         for i in range(7)]
+        + [(f"https://tiny.example/q{i}", "tiny.example", 50, i + 1)
+           for i in range(5)]
+    )
+    for n_salts in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                frontier_select(
+                    cand, ranks, per_host_cap=7, n_salts=n_salts
+                ).collect(),
+            )
+        )
+        assert got == expect, n_salts
 
 
 def test_frontier_deterministic_across_partitionings(spark):
