@@ -671,7 +671,13 @@ def ensure_pages(sf: str) -> str:
         with open(done_marker) as f:
             if f.read().strip() == FIXTURE_VERSION:
                 return path
-    n = ROWS[sf]
+    # Known SFs use the pinned row counts; any other sf (e.g. a larger
+    # driver-generated scale factor like "1.0") derives rows from the
+    # same 1M-rows-per-unit-sf rule the pinned entries follow — without
+    # this, a bench run pointed at an unseen sf dies in KeyError.
+    n = ROWS.get(sf)
+    if n is None:
+        n = max(1, round(float(sf) * 1_000_000))
     cols = gen_rows(n)
     arrays = {}
     for field in SCHEMA:

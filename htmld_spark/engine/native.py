@@ -82,8 +82,14 @@ def get_native():
         with open(_SRC, "rb") as f:
             src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
         tag = f"{src_hash}-cp{sys.version_info.major}{sys.version_info.minor}"
-        d = _cache_dir()
-        os.makedirs(d, exist_ok=True)
+        try:
+            d = _cache_dir()
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            import tempfile
+
+            d = os.path.join(tempfile.gettempdir(), "htmld_spark")
+            os.makedirs(d, exist_ok=True)
         so_path = os.path.join(d, f"_htmld_native-{tag}.so")
         if not os.path.exists(so_path):
             # one builder per host: exclusive lock, others wait then load
