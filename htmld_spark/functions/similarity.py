@@ -39,15 +39,19 @@ def with_cosine(df: DataFrame, query_df: DataFrame, vec_col: str = "embedding") 
     """Cross-join the (single-row, broadcast) query and add a ``cosine``
     column. Vectors are cast to double so the fold matches a left-to-right
     float64 accumulation (oracle-comparable)."""
-    q = query_df.select(F.col(vec_col).cast("array<double>").alias("_qvec"))
+    # query norm computed once on the (single-row, broadcast) side — the
+    # per-row expression pays one norm fold, not two (r8; bit-identical:
+    # same expression, same input, evaluated on the build side)
+    qv = F.col(vec_col).cast("array<double>")
+    q = query_df.select(qv.alias("_qvec"), _norm(qv).alias("_qnrm"))
     v = F.col(vec_col).cast("array<double>")
     return (
         df.crossJoin(F.broadcast(q))
         .withColumn(
             "cosine",
-            _dot(v, F.col("_qvec")) / (_norm(v) * _norm(F.col("_qvec"))),
+            _dot(v, F.col("_qvec")) / (_norm(v) * F.col("_qnrm")),
         )
-        .drop("_qvec")
+        .drop("_qvec", "_qnrm")
     )
 
 
@@ -90,9 +94,13 @@ def batch_cosine_topk(
     k-boundary ties resolve identically to the DuckDB oracle."""
     from pyspark.sql.window import Window
 
+    qv = F.col(vec_col).cast("array<double>")
     q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        qv.alias("_qvec"),
+        # query norms ride the broadcast precomputed (r8; bit-identical —
+        # same expression, same input, evaluated on the build side)
+        _norm(qv).alias("_qnrm"),
     )
     v = F.col(vec_col).cast("array<double>")
     scored = (
@@ -103,7 +111,7 @@ def batch_cosine_topk(
             F.col(id_col),
             (
                 -F.round(
-                    _dot(v, F.col("_qvec")) / (_norm(v) * _norm(F.col("_qvec"))), 6
+                    _dot(v, F.col("_qvec")) / (_norm(v) * F.col("_qnrm")), 6
                 )
             ).alias("_negcos"),
         )
@@ -504,18 +512,28 @@ def lsh_near_pairs(
         df, dim, bands, rows_per_band, seed, id_col, vec_col,
         max_bucket_size, checkpoint,
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # r8 (guide §1.2 step 2): cast + norm ONCE PER VECTOR in a projection
+    # BELOW the join (projections don't get pulled up through joins), so
+    # the per-candidate expression is dot + multiply + divide instead of
+    # re-running both HOF norms per pair side. Bit-identical arithmetic —
+    # same expressions, same inputs, evaluated earlier.
+    vd = F.col(vec_col).cast("array<double>")
+    vecs = df.select(
+        F.col(id_col), vd.alias("_vd"), _norm(vd).alias("_nrm")
+    )
     va_df = vecs.alias("va")
     vb_df = vecs.alias("vb")
-    va = F.col("va." + vec_col).cast("array<double>")
-    vb = F.col("vb." + vec_col).cast("array<double>")
     return (
         cand.join(va_df, F.col("id_a") == F.col(f"va.{id_col}"))
         .join(vb_df, F.col("id_b") == F.col(f"vb.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("va._vd"), F.col("vb._vd"))
+                / (F.col("va._nrm") * F.col("vb._nrm")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
@@ -611,8 +629,19 @@ def semdedup_keep(
         df, n_cells=n_cells, sample_limit=sample_limit,
         sample_mod=sample_mod, seed=seed, id_col=id_col, vec_col=vec_col,
     )
+    # r8 (guide §1.2 step 2 — per-task work): the within-cell pairwise
+    # pass used to evaluate cast(vec) AND both HOF norms PER PAIR (O(cell²)
+    # array allocations + folds); precompute the double-cast vector and
+    # its norm ONCE PER ROW here — the checkpoint materializes them, and
+    # the per-pair expression becomes dot + one multiply + divide.
+    # Bit-identical: _norm/cast are the same expressions on the same
+    # inputs, just evaluated once, and the pair-level arithmetic
+    # round(dot/(norm_a*norm_b), 6) is unchanged op for op (measured
+    # 34.2 s → see OPTIMIZATION_r08.md @ sf1.0; oracle rows unchanged).
+    vd = F.col(vec_col).cast("array<double>")
     slim = assigned.select(
-        F.col(id_col), F.col("ivf_cell"), F.col(vec_col)
+        F.col(id_col), F.col("ivf_cell"), vd.alias("_vd"),
+        _norm(vd).alias("_nrm"),
     ).localCheckpoint(eager=False)
     dedupable = slim
     if max_cell_size is not None:
@@ -624,8 +653,6 @@ def semdedup_keep(
         )
         dedupable = slim.join(F.broadcast(hot), "ivf_cell", "left_anti")
     a, b = dedupable.alias("a"), dedupable.alias("b")
-    va = F.col(f"a.{vec_col}").cast("array<double>")
-    vb = F.col(f"b.{vec_col}").cast("array<double>")
     dropped = (
         a.join(
             b,
@@ -633,7 +660,12 @@ def semdedup_keep(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6) >= tau
+            F.round(
+                _dot(F.col("a._vd"), F.col("b._vd"))
+                / (F.col("a._nrm") * F.col("b._nrm")),
+                6,
+            )
+            >= tau
         )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
