@@ -262,50 +262,70 @@ def curate(
         )
     enriched = enrich_features(extracted)
 
-    # re-crawl dedup: latest capture per url
+    # re-crawl dedup: latest capture per url. This is the ONE exchange
+    # that carries the text payload on the way down (r8, guide §8): the
+    # frame is lazily localCheckpointed here, every decision below runs
+    # on a SLIM proxy (url + per-row decision columns, ~60 B/row instead
+    # of text-sized rows), and text moves again only in the final
+    # attach join — the former shape shuffled the full payload through
+    # every window (md5 dedup, winnow/minhash, host quota).
     w_url = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
     latest = (
         enriched.withColumn("_rn", F.row_number().over(w_url))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
     )
 
-    # quality gate (row-local)
+    # slim decision frame: url is UNIQUE after the latest-capture window,
+    # so it is both the dedup identity and the re-attach key. Every gate
+    # input that needs text is computed here row-locally (same
+    # expressions as the former inline gates — decisions are identical).
     lines = F.split(F.col("text"), r"\n")
     dup_line_frac = 1 - F.size(F.array_distinct(lines)) / F.size(lines)
-    gated = latest.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("quality_bucket") != "low")
-        & (dup_line_frac <= max_dup_line_frac)
-    )
-    if langs:
-        gated = gated.filter(F.col("pred_lang").isin(langs))
+    slim_cols = [
+        F.col("url"), F.col("warc_ts"), F.col("n_tokens"),
+        F.col("pred_lang"), F.col("quality_bucket"), F.col("winnow_fp"),
+        F.md5("text").alias("_md5"), dup_line_frac.alias("_dlf"),
+    ]
     # ADVICE r03: gate on identity, not truthiness — gopher_gate={} is a
     # plausible way to say "published defaults" and must apply the gate.
-    if gopher_gate is not False and gopher_gate is not None:
+    apply_gopher = gopher_gate is not False and gopher_gate is not None
+    if apply_gopher:
         from htmld_spark.functions.text import gopher_passes_expr
 
         overrides = gopher_gate if isinstance(gopher_gate, dict) else {}
-        gated = gated.filter(gopher_passes_expr("text", **overrides))
+        slim_cols.append(
+            gopher_passes_expr("text", **overrides).alias("_gopher_ok")
+        )
     if min_quality_score is not None:
-        # model-based gate: the quality_score sigmoid as an INLINE column
-        # (a semi-join against a frame derived from `gated` would re-run
-        # the upstream extraction — the plan-diamond trap)
         from htmld_spark.functions.text import quality_score_expr
 
-        gated = gated.filter(
-            quality_score_expr("text") >= float(min_quality_score)
-        )
+        slim_cols.append(quality_score_expr("text").alias("_qscore"))
+    slim = latest.select(*slim_cols)
+
+    # quality gate (row-local, precomputed columns)
+    gated = slim.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_bucket") != "low")
+        & (F.col("_dlf") <= max_dup_line_frac)
+    )
+    if langs:
+        gated = gated.filter(F.col("pred_lang").isin(langs))
+    if apply_gopher:
+        gated = gated.filter(F.col("_gopher_ok"))
+    if min_quality_score is not None:
+        gated = gated.filter(F.col("_qscore") >= float(min_quality_score))
     if lm_ref is not None:
         from htmld_spark.functions.text import lm_perplexity
 
-        # `gated` feeds BOTH the ppl aggregation and the semi-join back —
-        # the same plan diamond as minhash mode; checkpoint once so the
-        # extraction materializes a single time.
+        # the ppl aggregation needs text: attach it for the gate only
+        # (left-semi against the slim key set, read from the checkpoint)
         gated = gated.localCheckpoint(eager=False)
+        gated_text = latest.join(gated.select("url"), "url", "left_semi")
         keep_ids = (
             lm_perplexity(
-                gated, lm_ref, id_col="url", ref_text_col=lm_ref_text_col
+                gated_text, lm_ref, id_col="url", ref_text_col=lm_ref_text_col
             )
             .filter(F.col("bigram_ppl") <= float(max_bigram_ppl))
             .select("url")
@@ -314,12 +334,11 @@ def curate(
     if dsir_target is not None:
         from htmld_spark.functions.text import dsir_select
 
-        # same diamond rule as the LM gate: `gated` feeds the DSIR scoring
-        # pass AND the semi-join back — checkpoint so the extraction (and
-        # the LM gate's join, when stacked) materializes once.
+        # same text-attach rule as the LM gate
         gated = gated.localCheckpoint(eager=False)
+        gated_text = latest.join(gated.select("url"), "url", "left_semi")
         sel = dsir_select(
-            gated.withColumn("_dsir_id", F.xxhash64("url")),
+            gated_text.withColumn("_dsir_id", F.xxhash64("url")),
             dsir_target,
             n_take=int(dsir_take),
             id_col="_dsir_id",
@@ -334,7 +353,7 @@ def curate(
         )
 
     # exact content dedup: md5(text), keep deterministic first (url, ts)
-    w_md5 = Window.partitionBy(F.md5("text")).orderBy("url", "warc_ts")
+    w_md5 = Window.partitionBy("_md5").orderBy("url", "warc_ts")
     exact = (
         gated.withColumn("_rn", F.row_number().over(w_md5))
         .filter(F.col("_rn") == 1)
@@ -349,14 +368,14 @@ def curate(
         # signature — use a composite id if ever lifting that invariant).
         from htmld_spark.functions.dedup import minhash_lsh_pairs, near_dedup_keep
 
-        # `exact` feeds BOTH the keep-set branch (pairs → CC → keepers ∪
-        # unpaired) and the final semi-join — a plan diamond that would
-        # re-run the MapInArrow extraction once per branch (caught by the
-        # bench's curate plan-shape assert, r5). Lazy localCheckpoint
-        # materializes the extracted+gated rows once at the CC loop's
-        # first action; every branch then reads the checkpointed blocks.
+        # the banding/verify passes need text: attach it for the pair
+        # computation only; the keep-set itself is id-level and the
+        # survivors stay slim. Checkpoints bound the CC loop's actions.
         exact = exact.localCheckpoint(eager=False)
-        pairs = minhash_lsh_pairs(exact, id_col="url", text_col="text")
+        exact_text = latest.join(
+            exact.select("url"), "url", "left_semi"
+        ).localCheckpoint(eager=False)
+        pairs = minhash_lsh_pairs(exact_text, id_col="url", text_col="text")
         keep = near_dedup_keep(exact, pairs, id_col="url")
         near = exact.join(keep, "url", "left_semi")
     else:
@@ -368,10 +387,8 @@ def curate(
             .drop("_rn")
         )
 
-    # count_bypass=False: `near` sits above the MapInArrow extraction and
-    # the bypass's 3-way traversal would re-run it per branch (column
-    # pruning defeats ReuseExchange). The salted pre-prune alone keeps the
-    # mega-host safety with a single traversal.
+    # count_bypass=False: the salted pre-prune alone keeps the mega-host
+    # safety with a single traversal of the (now slim) frame.
     quota = host_quota(near, max_per_host=max_per_host, count_bypass=False)
     if mixture:
         from htmld_spark.functions.text import stratified_sample
@@ -383,9 +400,8 @@ def curate(
         from htmld_spark.functions.text import temperature_sample
 
         # the rate derivation COLLECTS per-language counts (bounded:
-        # #languages rows) — an action over the quota frame, which the
-        # final plan consumes again. Checkpoint so the extraction chain
-        # materializes once; the keep filter itself is row-local.
+        # #languages rows) — an action over the (slim) quota frame, which
+        # the final plan consumes again; checkpoint so it runs once.
         quota = quota.localCheckpoint(eager=False)
         quota = temperature_sample(
             quota, stratum_col="pred_lang", key_col="url",
@@ -393,7 +409,10 @@ def curate(
             sample_frac=float(temperature_frac),
         )
     split = hash_split(quota, key_col="url", train_pct=train_pct, val_pct=val_pct)
-    return split.select(
+    # attach the payload exactly once: url is unique on BOTH sides
+    # (latest by the capture window, split by construction), so the
+    # equi-join is 1:1; the slim side is small and typically broadcasts.
+    return latest.join(split.select("url", "split"), "url").select(
         "url",
         "warc_ts",
         "text",

@@ -86,14 +86,16 @@ def test_warc_robots_curate_composition(spark):
         norm = to_utf8(raw, content_type_charset(ct))[0]
         assert r.text == main_text(parse_document(norm)).decode("utf-8")
 
-    # composed plan: exactly ONE MapInArrow (the extraction crossing) —
-    # the WARC parse and robots verdict crossings sit behind lazy
-    # localCheckpoints (Scan ExistingRDD), so no upstream re-runs
+    # composed plan: AT MOST one visible MapInArrow — the WARC parse and
+    # robots verdict crossings sit behind lazy localCheckpoints (Scan
+    # ExistingRDD), and since r8 the extraction crossing itself hides
+    # under curate's latest-capture checkpoint (slim-proxy shape), so 0
+    # visible is the expected steady state; >1 = an upstream re-run
     plan = (
         curate(clean, min_tokens=3, max_per_host=500)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("MapInArrow") == 1, plan[:2000]
+    assert plan.count("MapInArrow") <= 1, plan[:2000]
     assert "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # checkpoint-hidden on-ramp
 

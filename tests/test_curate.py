@@ -10,6 +10,15 @@ from htmld_spark.pipeline.curate import curate, curation_report
 from htmld_spark.pipeline.session import get_spark
 
 
+def _one_crossing(plan: str) -> bool:
+    """Extraction runs exactly once: either one visible MapInArrow, or
+    zero because it is hidden under the latest-capture lazy checkpoint
+    (r8 slim-proxy shape) whose scan must then be visible. More than one
+    MapInArrow = a reintroduced extraction diamond."""
+    n = plan.count("MapInArrow")
+    return n == 1 or (n == 0 and "Scan ExistingRDD" in plan)
+
+
 @pytest.fixture(scope="module")
 def spark():
     s = get_spark(master="local[4]", app_name="pytest_curate")
@@ -134,14 +143,16 @@ def test_curate_quality_score_gate(spark):
         .executedPlan()
         .toString()
     )
-    assert p.count("MapInArrow") == 1
+    assert _one_crossing(p)
 
 
 def test_curate_plan_shape(spark):
-    """One Python crossing; no Python in any post-extraction stage."""
+    """At most one visible Python crossing (r8: the extraction MapInArrow
+    sits under the latest-capture lazy checkpoint, so the final plan
+    shows the checkpoint scan instead); no row-Python anywhere."""
     pages = spark.read.parquet(ensure_pages("0.001"))
     p = curate(pages)._jdf.queryExecution().executedPlan().toString()
-    assert p.count("MapInArrow") == 1
+    assert _one_crossing(p)
     assert "BatchEvalPython" not in p
 
 
@@ -169,7 +180,7 @@ def test_curate_url_dedup(spark):
         curate(noisy, min_tokens=3, url_dedup=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    assert _one_crossing(p) and "BatchEvalPython" not in p
     base.unpersist()
     deduped.unpersist()
 
@@ -359,7 +370,7 @@ def test_curate_pdf_source(spark):
         if r.url == "https://h0.example/doc0":
             assert r.warc_ts == datetime.datetime(2024, 3, 1)  # latest capture
     p = curate(pages, source="pdf")._jdf.queryExecution().executedPlan().toString()
-    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    assert _one_crossing(p) and "BatchEvalPython" not in p
     again = curate(pages, source="pdf", min_tokens=3, max_per_host=500)
     assert cur.exceptAll(again).count() == 0 and again.exceptAll(cur).count() == 0
     with pytest.raises(ValueError):
@@ -430,7 +441,7 @@ def test_curate_meta_consent(spark):
         curate(noisy, min_tokens=3, meta_consent=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert p.count("MapInArrow") == 1 and "BatchEvalPython" not in p
+    assert _one_crossing(p) and "BatchEvalPython" not in p
     with _pytest.raises(ValueError):
         curate(noisy, source="pdf", meta_consent=True)
     out.unpersist()
