@@ -306,3 +306,56 @@ def test_ivf_sample_plan_has_no_takeordered(spark):
     p = plan_of(ivf_sample_df(emb, sample_mod=7))
     assert "TakeOrdered" not in p and "Sort" not in p
     assert "xxhash64" in p and "Filter" in p
+
+
+# --- r8 structural-shape guards (OPTIMIZATION_r08.md) -------------------
+
+
+def test_curate_payload_shuffles_once(spark):
+    """Guide §8 shape: curate's final plan must not shuffle the text
+    payload — every visible exchange carries only the slim decision
+    proxy; the payload moves at the latest-capture checkpoint and the
+    single attach join. A text-carrying exchange = the r8 slim-proxy
+    restructure silently regressed."""
+    import re
+
+    from htmld_spark.pipeline.curate import curate
+
+    pages = spark.read.parquet(ensure_pages("0.001")).select(
+        "url", "warc_ts", "html", "lang"
+    )
+    p = (
+        curate(pages)
+        ._sc._jvm.PythonSQLUtils.explainString(
+            curate(pages)._jdf.queryExecution(), "formatted"
+        )
+    )
+    blocks = re.findall(
+        r"\(\d+\) (?:Broadcast)?Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p
+    )
+    assert blocks, "no exchanges found — plan format changed?"
+    carrying = [b for b in blocks if re.search(r"\btext#\d+", b)]
+    assert not carrying, carrying
+
+
+def test_semdedup_pair_condition_uses_hoisted_norms(spark):
+    """r8 per-row norm hoist: the within-cell pair condition must consume
+    the precomputed _nrm columns (one multiply), not re-run the
+    HOF-aggregate norm folds per pair."""
+    from htmld_spark.functions.similarity import semdedup_keep
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(semdedup_keep(emb, n_cells=4, tau=0.5))
+    assert "_nrm" in p
+    # the pair condition multiplies the hoisted norms and evaluates exactly
+    # ONE aggregate fold (the dot product); the old per-pair recompute
+    # pattern — sqrt over an aggregated transform — must be gone
+    pair_lines = [
+        ln for ln in p.splitlines() if "_nrm" in ln and "aggregate(" in ln
+    ]
+    assert pair_lines, p[:2000]
+    assert all(ln.count("aggregate(") == 1 for ln in pair_lines), pair_lines
+    assert "SQRT(aggregate(transform" not in p
