@@ -1577,7 +1577,7 @@ def _q_canonical_urls(spark, sf_dir):
     pinned rule set over the same messy-url construction."""
     from htmld_spark.functions.urls import canonical_url
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _t(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id", f"{_MESSY_URL_SPARK} AS url"
     ).select("doc_id", canonical_url("url").alias("canon_url"))
@@ -1590,7 +1590,7 @@ def _q_url_dedup_keep(spark, sf_dir):
     so the oracle isn't vacuously green."""
     from htmld_spark.functions.urls import dedup_urls_keep
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _t(spark, sf_dir, "documents")
     messy = docs.selectExpr("doc_id", f"{_MESSY_URL_SPARK} AS url")
     return dedup_urls_keep(messy, url_col="url", id_col="doc_id").withColumn(
         "n_variants", F.col("n_variants").cast("long")
@@ -1610,7 +1610,10 @@ def _q_cdx_index(spark, sf_dir):
     tests/test_urls.py, value-asserted here)."""
     from htmld_spark.functions.urls import cdx_index
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # _t rebalances the single-file driver table so the md5+SURT
+    # projection parallelizes (r8: the direct read gave 2 scan splits —
+    # 30 of 32 cores idle through the heaviest per-row expression)
+    docs = _t(spark, sf_dir, "documents")
     caps = docs.selectExpr(
         f"{_MESSY_URL_SPARK} AS url",
         "CAST(1767225600 + doc_id AS BIGINT) AS ts",

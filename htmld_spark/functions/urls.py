@@ -141,6 +141,15 @@ def cdx_index(
         F.md5(F.col(payload_col).cast("binary")).alias("digest"),
         F.octet_length(F.col(payload_col)).alias("n_bytes"),
     ).filter(F.col("urlkey").isNotNull())
+    # r8: repartitionByRange runs a SEPARATE sampling job over its child
+    # to pick split points, so without this checkpoint the md5-the-payload
+    # + SURT-regexp projection executes TWICE (sampling pass + shuffle
+    # pass) — measured ~35% of cdx wall at the 10× SF. The lazy
+    # localCheckpoint materializes skinny once; the sampled range
+    # boundaries only decide row placement, never the row set, and the
+    # per-shard sortedness contract is unchanged (plan-asserted in
+    # tests/test_urls.py).
+    skinny = skinny.localCheckpoint(eager=False)
     parts = [n_shards] if n_shards else []
     return skinny.repartitionByRange(*parts, "urlkey", "ts").sortWithinPartitions(
         "urlkey", "ts"
